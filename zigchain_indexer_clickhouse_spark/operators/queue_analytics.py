@@ -1,0 +1,342 @@
+"""Work-queue & failure analytics (SURVEY.md §2.1 #12-20).
+
+Re-expresses the orchestrator's queue management queries
+(src/database/clickhouse_queries.js, src/core/orchestrator.js) and the
+health monitor (scripts/monitor_indexer.js) as DataFrame plans.
+
+`orders` models work_queue rows (o_orderstatus ≈ status), `events`
+models activity timestamps. "now" is pinned to a literal so the oracle
+replays bit-identically (the reference uses wall-clock NOW()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zigchain_indexer_clickhouse_spark.catalog import load
+from zigchain_indexer_clickhouse_spark.plans.registry import register
+
+# Pinned wall-clock for age computations (events span 2024-01).
+NOW = "2024-02-01 00:00:00"
+
+
+# --------------------------------------------------------------------------
+# 12. queue_status_counts (monitor_indexer.js:46-53)
+# --------------------------------------------------------------------------
+@register(
+    "queue_status_counts",
+    oracle="""
+    SELECT o_orderstatus AS status, COUNT(*) AS n_items,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_height,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_height,
+           MIN(o_orderdate) AS oldest, MAX(o_orderdate) AS newest
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def queue_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Work-queue status rollup: count + height range per status
+    (monitor_indexer.js:46-53, clickhouse_queries.js:153-158)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n_items"),
+        F.min("o_orderkey").cast("long").alias("min_height"),
+        F.max("o_orderkey").cast("long").alias("max_height"),
+        F.min("o_orderdate").alias("oldest"),
+        F.max("o_orderdate").alias("newest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 13. pending_work_topn (clickhouse_queries.js:163-168)
+# --------------------------------------------------------------------------
+@register(
+    "pending_work_topn",
+    oracle="""
+    SELECT o_orderkey AS id,
+           CAST(o_orderkey * 1000 + 1 AS BIGINT) AS start_height,
+           CAST(o_orderkey * 1000 + 1000 AS BIGINT) AS end_height,
+           o_orderdate AS created_at
+    FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY o_orderkey LIMIT 10
+    """,
+)
+def pending_work_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT * FROM work_queue WHERE status='pending' ORDER BY id LIMIT n`
+    (clickhouse_queries.js:163-168). Runs as TakeOrderedAndProject — no
+    global sort materialization."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("id"),
+            (F.col("o_orderkey") * 1000 + 1).cast("long").alias("start_height"),
+            (F.col("o_orderkey") * 1000 + 1000).cast("long").alias("end_height"),
+            F.col("o_orderdate").alias("created_at"),
+        )
+        .orderBy("id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# 14. overlapping_ranges (clickhouse_queries.js:220-229)
+# --------------------------------------------------------------------------
+@register(
+    "overlapping_ranges",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey AS id, o_orderkey * 10 AS s,
+             o_orderkey * 10 + 5 + (o_custkey % 30) AS e
+      FROM orders WHERE o_orderstatus IN ('O', 'P')
+    )
+    SELECT a.id AS work_id, COUNT(*) AS n_overlaps
+    FROM r a JOIN r b
+      ON a.id < b.id AND NOT (b.e < a.s OR a.e < b.s)
+    GROUP BY a.id
+    """,
+)
+def overlapping_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping work ranges (clickhouse_queries.js:220-229
+    getOverlappingRanges): `NOT (e2 < s1 OR e1 < s2)`.
+
+    Scale design: a naive range self-join is O(n²). Both sides are
+    exploded onto fixed-width buckets spanned by each interval, joined on
+    the bucket (equi-join → shuffle hash join), de-duplicated, then the
+    exact overlap predicate filters candidates. Cost O(n·k) with k =
+    avg buckets per interval (≤2 here); holds at 100 TB where intervals
+    are short relative to the domain.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus").isin("O", "P"))
+    r = o.select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") * 10).alias("s"),
+        (F.col("o_orderkey") * 10 + 5 + F.col("o_custkey") % 30).alias("e"),
+    )
+    width = 64
+    bucketed = r.select(
+        "id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.floor(F.col("s") / width), F.floor(F.col("e") / width))
+        ).alias("bucket"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        # an interval pair can share 2 buckets → dedupe before counting
+        .select(F.col("a.id").alias("work_id"), F.col("b.id").alias("other_id"),
+                F.col("a.s").alias("s1"), F.col("a.e").alias("e1"),
+                F.col("b.s").alias("s2"), F.col("b.e").alias("e2"))
+        .distinct()
+        .filter(~((F.col("e2") < F.col("s1")) | (F.col("e1") < F.col("s2"))))
+    )
+    return pairs.groupBy("work_id").agg(F.count("*").alias("n_overlaps"))
+
+
+# --------------------------------------------------------------------------
+# 15. gap_detection (monitor_indexer.js:91-105)
+# --------------------------------------------------------------------------
+@register(
+    "gap_detection",
+    oracle="""
+    WITH present AS (
+      SELECT DISTINCT o_orderkey AS height FROM orders WHERE o_orderstatus <> 'O'
+    ),
+    expected AS (
+      SELECT g.h FROM generate_series(0, 10000000) g(h)
+      WHERE g.h <= (SELECT MAX(o_orderkey) FROM orders)
+    )
+    SELECT COUNT(*) AS gap_count,
+           CAST(MIN(e.h) AS BIGINT) AS first_gap,
+           CAST(MAX(e.h) AS BIGINT) AS last_gap
+    FROM expected e LEFT JOIN present p ON e.h = p.height
+    WHERE p.height IS NULL
+    """,
+)
+def gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-block detection: expected height series anti-joined with
+    present heights (monitor_indexer.js:91-105 generate_series + LEFT
+    JOIN ... IS NULL).
+
+    Scale design: the expected series is generated in chunks (one
+    sequence() per 64k-height stripe exploded in parallel), not one
+    driver-side array, and the anti-join shuffles on height only.
+    """
+    o = load(spark, sf_dir, "orders")
+    present = o.filter(F.col("o_orderstatus") != "O").select(
+        F.col("o_orderkey").alias("height")
+    ).distinct()
+    stripe = 65536
+    max_h = o.agg(F.max("o_orderkey").alias("mh"))
+    expected = (
+        max_h.select(
+            "mh",
+            F.explode(F.sequence(F.lit(0), F.floor(F.col("mh") / stripe))).alias("chunk"),
+        )
+        .select(
+            "mh",
+            F.explode(
+                F.sequence(
+                    F.col("chunk") * stripe,
+                    F.least(F.col("chunk") * stripe + stripe - 1, F.col("mh")),
+                )
+            ).alias("h"),
+        )
+        .select("h")
+    )
+    gaps = expected.join(present, expected.h == present.height, "left_anti")
+    return gaps.agg(
+        F.count("*").alias("gap_count"),
+        F.min("h").cast("long").alias("first_gap"),
+        F.max("h").cast("long").alias("last_gap"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 16. failed_block_backoff (worker.js:335-374, retry_failed.js:82-84)
+# --------------------------------------------------------------------------
+@register(
+    "failed_block_backoff",
+    oracle="""
+    SELECT o_orderkey AS block_height,
+           CAST(o_orderkey % 8 AS INT) AS retry_count,
+           CAST(least(600, CAST(pow(2, least(o_orderkey % 8, 5)) AS BIGINT) * 30)
+                AS BIGINT) AS backoff_s,
+           o_orderdate + INTERVAL 1 SECOND *
+             least(600, CAST(pow(2, least(o_orderkey % 8, 5)) AS BIGINT) * 30)
+             AS next_retry_at,
+           CASE WHEN o_orderkey % 8 >= 5 THEN 'failed_permanently'
+                ELSE 'pending' END AS status
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def failed_block_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failed-block retry scheduling with capped exponential backoff:
+    `min(cap, base * 2^min(retries, 5))` (worker.js:352-357,
+    retry_failed.js:82-84 computeBackoffSeconds) and permanent-failure
+    status transition (worker.js:357)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    retry = (F.col("o_orderkey") % 8).cast("int")
+    backoff = F.least(
+        F.lit(600).cast("long"), F.pow(2, F.least(retry, F.lit(5))).cast("long") * 30
+    )
+    return o.select(
+        F.col("o_orderkey").alias("block_height"),
+        retry.alias("retry_count"),
+        backoff.alias("backoff_s"),
+        F.timestamp_add("SECOND", backoff, F.col("o_orderdate")).alias("next_retry_at"),
+        F.when(retry >= 5, "failed_permanently").otherwise("pending").alias("status"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 17. stale_detection (monitor_indexer.js:161-226)
+# --------------------------------------------------------------------------
+@register(
+    "stale_detection",
+    oracle=f"""
+    SELECT COUNT(*) AS stuck_count,
+           CAST(MIN(floor(epoch(TIMESTAMP '{NOW}' - ts) / 60)) AS BIGINT) AS min_minutes,
+           CAST(MAX(floor(epoch(TIMESTAMP '{NOW}' - ts) / 60)) AS BIGINT) AS max_minutes
+    FROM events
+    WHERE event_type = 'view' AND ts < TIMESTAMP '{NOW}' - INTERVAL 7 DAY
+    """,
+)
+def stale_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck/stale item detection: items in a live status whose
+    updated_at is older than a threshold, with min/max age in minutes
+    (monitor_indexer.js:161-174, 215-226)."""
+    e = load(spark, sf_dir, "events")
+    now = F.lit(NOW).cast("timestamp")
+    age_min = F.floor((now.cast("long") - F.col("ts").cast("long")) / 60)
+    return (
+        e.filter(
+            (F.col("event_type") == "view")
+            & (F.col("ts") < F.timestamp_add("DAY", F.lit(-7), now))
+        )
+        .agg(
+            F.count("*").alias("stuck_count"),
+            F.min(age_min).cast("long").alias("min_minutes"),
+            F.max(age_min).cast("long").alias("max_minutes"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 18. duplicate_ranges (monitor_indexer.js:197-206)
+# --------------------------------------------------------------------------
+@register(
+    "duplicate_ranges",
+    oracle="""
+    SELECT o_custkey, o_orderpriority, COUNT(*) AS n_queued
+    FROM orders WHERE o_orderstatus = 'O'
+    GROUP BY o_custkey, o_orderpriority
+    HAVING COUNT(*) > 1
+    """,
+)
+def duplicate_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate pending work detection: same range queued more than once
+    (monitor_indexer.js:197-206): groupBy + HAVING count>1."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        o.groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count("*").alias("n_queued"))
+        .filter(F.col("n_queued") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# 19. looping_ranges (monitor_indexer.js:177-188)
+# --------------------------------------------------------------------------
+@register(
+    "looping_ranges",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n_times
+    FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) > 2
+    """,
+)
+def looping_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loop detection: the same work re-queued >2 times within a recent
+    window (monitor_indexer.js:177-188)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_times"))
+        .filter(F.col("n_times") > 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# 20. recent_activity (monitor_indexer.js:119-129)
+# --------------------------------------------------------------------------
+@register(
+    "recent_activity",
+    oracle="""
+    SELECT event_type, COUNT(*) AS recent_count
+    FROM events
+    WHERE ts > (SELECT MAX(ts) - INTERVAL 24 HOUR FROM events)
+    GROUP BY event_type
+    """,
+)
+def recent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window activity counts (monitor_indexer.js:119-129
+    `WHERE created_at > NOW() - INTERVAL '1 hour'`), anchored to max(ts)
+    so the check is reproducible. The cutoff broadcasts; the time filter
+    partition-prunes on a date-partitioned layout."""
+    e = load(spark, sf_dir, "events")
+    cutoff = e.agg(F.timestamp_add("HOUR", F.lit(-24), F.max("ts")).alias("cutoff"))
+    return (
+        e.join(F.broadcast(cutoff))
+        .filter(F.col("ts") > F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("recent_count"))
+    )

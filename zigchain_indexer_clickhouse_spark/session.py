@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Tuned for correctness tests on local[N] but with settings chosen for a
+1000-executor cluster: AQE for runtime re-planning (skew joins, shuffle
+coalescing), Arrow for any pandas exchange, and partition sizing that
+keeps scan tasks ~128 MB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "zigchain-indexer-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster the environment's master is used untouched.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # AQE: runtime shuffle-partition coalescing + skew-join splitting.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # A fixed pre-AQE width; AQE coalesces down. On a big cluster this
+        # would be ~2-3x total cores.
+        .config("spark.sql.shuffle.partitions", "32")
+        # ~128 MB scan tasks — the parquet-side sweet spot at 100 TB.
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Arrow for every pandas_udf / mapInPandas exchange.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Broadcast anything under 32 MB — all our dims qualify.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
