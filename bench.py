@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is fully materialized (count + a cheap collect of the
+aggregate output) so the timing covers scan → shuffle → result, not
+just plan construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from zigchain_indexer_clickhouse_spark.plans import registry
+from zigchain_indexer_clickhouse_spark.session import get_spark
+
+# Headline set: the reference-parity ETL core + the heavy OLAP and
+# training-data operators — the queries whose cost dominates a real run.
+HEADLINE = (
+    "ingest_blocks",
+    "attrs_kv",
+    "type_route_wasm",
+    "replacing_dedup",
+    "overlapping_ranges",
+    "gap_detection",
+    "sessionize",
+    "time_bucket_rollup",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_local_volume",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "doc_fingerprint",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = registry.queries()
+
+    # warm the JVM + parquet footers with a trivial action
+    qs["max_height"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

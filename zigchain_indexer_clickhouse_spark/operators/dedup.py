@@ -1,0 +1,388 @@
+"""Deduplication operators for training-data pipelines
+(SURVEY.md §2.3 #33-36): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Test corpus: ``documents`` unioned with deterministic synthetic
+duplicates (exact copies for #33, drop-first-token near-copies for
+#34-35) so each operator provably finds known positives; the DuckDB
+oracle builds the identical corpus.
+
+Scale design: every near-dup operator is candidate-generation by
+EQUI-join (LSH band buckets / simhash chunks / metadata blocks), never
+an all-pairs comparison — the O(n·k) shape that survives 100 TB. The
+verify step joins candidate pairs back to per-doc feature sets by id,
+so wide arrays never ride through the pair shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zigchain_indexer_clickhouse_spark.catalog import load
+from zigchain_indexer_clickhouse_spark.functions.hashing import (
+    portable_hash,
+    portable_hash_sql,
+)
+from zigchain_indexer_clickhouse_spark.plans.registry import register
+
+MINHASH_K = 8  # signature length
+LSH_BANDS = 4  # bands of 2 rows each
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # 8-bit chunks for candidate banding
+HAMMING_MAX = 6
+JACCARD_MIN = 0.4
+NGRAM_JACCARD_MIN = 0.2
+
+# Shared corpus CTE for the DuckDB oracles (exact copies / near copies).
+_CORPUS_EXACT = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents
+"""
+_CORPUS_NEAR = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id,
+         substring(text, instr(text, ' ') + 1) AS text
+  FROM documents
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str, near: bool) -> DataFrame:
+    """documents + synthetic duplicates (near=True drops the first token
+    of the copy, making a near- rather than exact duplicate)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    if near:
+        copy = d.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    else:
+        copy = d.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    return d.unionAll(copy)
+
+
+# --------------------------------------------------------------------------
+# 33. dedup_exact — hash-groupBy exact dedup
+# --------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_EXACT})
+    SELECT sha256(text) AS text_hash, COUNT(*) AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: sha256(text) groupBy, keep the lowest doc_id.
+    One map-side-combinable shuffle on the 32-byte hash — the canonical
+    100 TB exact-dedup plan (hash first, never shuffle full texts)."""
+    c = _corpus(spark, sf_dir, near=False)
+    return (
+        c.groupBy(F.sha2("text", 256).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# 34. dedup_minhash_lsh — shingle → minhash → banded LSH → Jaccard verify
+# --------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    h = portable_hash_sql("shingle", "s.j")
+    return f"""
+    WITH corpus AS ({_CORPUS_NEAR}),
+    tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM corpus),
+    shd AS (
+      SELECT DISTINCT doc_id,
+             toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
+      FROM tok, generate_series(1, 4000) g(i)
+      WHERE g.i <= len(toks) - 2
+    ),
+    sig AS (
+      SELECT doc_id, s.j AS j, MIN({h}) AS mh
+      FROM shd, generate_series(0, {MINHASH_K - 1}) s(j)
+      GROUP BY doc_id, s.j
+    ),
+    sigl AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sig GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id,
+             CAST(b.b AS VARCHAR) || ':' || CAST(sig[2*b.b+1] AS VARCHAR)
+               || ':' || CAST(sig[2*b.b+2] AS VARCHAR) AS band_key
+      FROM sigl, generate_series(0, {LSH_BANDS - 1}) b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM bands a JOIN bands c
+        ON a.band_key = c.band_key AND a.doc_id < c.doc_id
+    ),
+    nsh AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter
+      FROM cand c
+      JOIN shd x ON x.doc_id = c.doc_a
+      JOIN shd y ON y.doc_id = c.doc_b AND x.shingle = y.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(COALESCE(i.ninter, 0) * 1.0
+                   / (na.n + nb.n - COALESCE(i.ninter, 0)), 4) AS jaccard
+      FROM cand c
+      JOIN nsh na ON na.doc_id = c.doc_a
+      JOIN nsh nb ON nb.doc_id = c.doc_b
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    ) WHERE jaccard >= {JACCARD_MIN}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup detection: 3-word shingles → k={MINHASH_K}
+    portable minhash signature → {LSH_BANDS} LSH bands → band-bucket
+    equi-join for candidates → exact Jaccard verify on candidate pairs.
+
+    Scale notes: candidates come from a shuffle-hash equi-join on the
+    band key (O(n·bands) rows), and the Jaccard verify re-joins shingle
+    SETS by doc_id — so the pair join only carries ids. Entirely builtin
+    higher-order functions; no Python in the pipeline.
+    """
+    c = _corpus(spark, sf_dir, near=True)
+    docs = c.select("doc_id", F.split(F.trim("text"), " ").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, F.lit(3))),
+        )
+    )
+    docs = docs.select("doc_id", shingles.alias("sh"))
+
+    def _minhash(j: int):
+        # NB: the lambda must take exactly ONE parameter — a 2-arg lambda
+        # makes F.transform pass (element, index) and the index silently
+        # replaces the seed
+        return F.array_min(F.transform(F.col("sh"), lambda s: portable_hash(s, j)))
+
+    sig_cols = [_minhash(j).alias(f"mh{j}") for j in range(MINHASH_K)]
+    sigs = docs.select("doc_id", *sig_cols)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":", F.lit(b), F.col(f"mh{2 * b}").cast("string"),
+                F.col(f"mh{2 * b + 1}").cast("string"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                * 1.0
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+# --------------------------------------------------------------------------
+# 35. dedup_simhash — 32-bit simhash + chunk-banded hamming pairs
+# --------------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    h = portable_hash_sql("tok")
+    powers = ", ".join(str(1 << i) for i in range(SIMHASH_BITS))
+    return f"""
+    WITH corpus AS ({_CORPUS_NEAR}),
+    tokr AS (
+      SELECT doc_id, {h} AS th
+      FROM (SELECT doc_id, u.tok FROM
+              (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM corpus) t,
+              UNNEST(t.toks) u(tok))
+    ),
+    votes AS (
+      SELECT doc_id, p.i AS bit,
+             SUM(CASE WHEN (th // ([{powers}])[p.i + 1]) % 2 = 1
+                      THEN 1 ELSE -1 END) AS vote
+      FROM tokr, generate_series(0, {SIMHASH_BITS - 1}) p(i)
+      GROUP BY doc_id, p.i
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0 THEN ([{powers}])[bit + 1] ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, c.c AS chunk_idx,
+             (simhash // ([1, 256, 65536, 16777216])[c.c + 1]) % 256 AS chunk
+      FROM sh, generate_series(0, {SIMHASH_CHUNKS - 1}) c(c)
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+           AND a.doc_id < b.doc_id
+    ) WHERE hamming <= {HAMMING_MAX}
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: per-token portable hash votes on
+    {SIMHASH_BITS} bits → fingerprint; candidate pairs from 8-bit chunk
+    equi-bands (any hamming≤{HAMMING_MAX} pair shares ≥1 identical chunk
+    by pigeonhole when chunks={SIMHASH_CHUNKS}); verify with
+    bit_count(xor). Bit tests use div/mod arithmetic so the oracle
+    replays identically."""
+    c = _corpus(spark, sf_dir, near=True)
+    tokr = c.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    ).select("doc_id", portable_hash(F.col("tok")).alias("th"))
+    bits = tokr.select(
+        "doc_id",
+        "th",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    )
+    # integer `div` by an exact power-of-two literal — a double division
+    # would corrupt low bits of the 60-bit hash
+    bit_set = F.expr("(th div cast(pow(2, bit) as bigint)) % 2 = 1")
+    votes = (
+        bits.withColumn("v", F.when(bit_set, 1).otherwise(-1))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("v").alias("vote"))
+    )
+    sh = votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(0))
+        .cast("long")
+        .alias("simhash")
+    )
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1))).alias("chunk_idx"),
+    ).withColumn(
+        "chunk", F.expr("(simhash div cast(pow(2, chunk_idx * 8) as bigint)) % 256")
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+    return pairs
+
+
+# --------------------------------------------------------------------------
+# 36. dedup_ngram_jaccard — blocked n-gram Jaccard verify
+# --------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT DISTINCT doc_id, toks[g.i] || ' ' || toks[g.i+1] AS bigram
+      FROM tok, generate_series(1, 4000) g(i)
+      WHERE g.i <= len(toks) - 1
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tok a JOIN tok b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    nbg AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter
+      FROM cand c
+      JOIN bg x ON x.doc_id = c.doc_a
+      JOIN bg y ON y.doc_id = c.doc_b AND x.bigram = y.bigram
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT c.doc_a, c.doc_b,
+             ROUND(COALESCE(i.ninter, 0) * 1.0
+                   / (na.n + nb.n - COALESCE(i.ninter, 0)), 4) AS jaccard
+      FROM cand c
+      JOIN nbg na ON na.doc_id = c.doc_a
+      JOIN nbg nb ON nb.doc_id = c.doc_b
+      LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+    ) WHERE jaccard >= {NGRAM_JACCARD_MIN}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard similarity over metadata-blocked candidate
+    pairs (same lang+source) — the cheap verify pass used downstream of
+    LSH. Blocking keeps the pair space O(Σ block²) instead of O(n²)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.split(F.trim("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 2),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, F.lit(2))),
+        )
+    )
+    docs = d.select("doc_id", "lang", "source", bigrams.alias("bg"))
+    a = docs.select(
+        F.col("lang"), F.col("source"), F.col("doc_id").alias("doc_a"),
+        F.col("bg").alias("bg_a"),
+    )
+    b = docs.select(
+        F.col("lang").alias("lang_b"), F.col("source").alias("source_b"),
+        F.col("doc_id").alias("doc_b"), F.col("bg").alias("bg_b"),
+    )
+    pairs = a.join(
+        b,
+        (a.lang == b.lang_b) & (a.source == b.source_b) & (F.col("doc_a") < F.col("doc_b")),
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("bg_a", "bg_b"))
+                * 1.0
+                / F.size(F.array_union("bg_a", "bg_b")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
+    )

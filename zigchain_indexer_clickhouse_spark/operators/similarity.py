@@ -1,0 +1,227 @@
+"""Similarity-search operators over embeddings
+(SURVEY.md §2.3 #37-39): brute-force cosine top-k, LSH-bucketed ANN,
+and embedding-based near-duplicate detection.
+
+Vectors stay as array columns; dot products run as builtin
+zip_with + aggregate folds (JVM-side, no Python). Floats are cast to
+double BEFORE multiplication on both engines, and cosines are rounded
+identically, so the DuckDB oracle hash-matches.
+
+Scale design: brute-force is the correctness baseline (broadcast the
+query set, scan candidates once); the LSH variant is the 100 TB path —
+bucket by random-hyperplane sign bits, equi-join on the bucket, and
+only score within buckets.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zigchain_indexer_clickhouse_spark.catalog import load
+from zigchain_indexer_clickhouse_spark.plans.registry import register
+
+TOPK = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+LSH_PLANES = 8
+DIM = 64
+NEAR_DUP_COS = 0.999
+
+
+def _hyperplanes() -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from md5 — inlined
+    as literals into BOTH the Spark plan and the oracle SQL, so no RNG
+    state is involved anywhere."""
+    planes = []
+    for j in range(LSH_PLANES):
+        row = []
+        for i in range(DIM):
+            h = int(hashlib.md5(f"hp:{j}:{i}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def _vec_double(col: str = "embedding"):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+# --------------------------------------------------------------------------
+# 37. ann_cosine_topk — brute-force cosine top-k (baseline)
+# --------------------------------------------------------------------------
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id AS query_id, e.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.qv, e.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+      FROM q JOIN e ON e.vec_id <> q.q_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOPK}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    the full embedding scan; one pass, one window on query_id for the
+    top-k. The exact-recall baseline every ANN variant is judged
+    against."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# 38. ann_lsh_bucketed — random-hyperplane LSH ANN (scale path)
+# --------------------------------------------------------------------------
+def _lsh_oracle() -> str:
+    planes = _hyperplanes()
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in planes[j])}]::DOUBLE[]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(LSH_PLANES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, CAST({bucket_terms} AS BIGINT) AS bucket FROM e),
+    q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id AS query_id, b.vec_id AS neighbor_id, q.bucket,
+             ROUND(list_dot_product(q.qv, b.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM q JOIN bucketed b ON b.bucket = q.bucket AND b.vec_id <> q.q_id
+    )
+    SELECT query_id, neighbor_id, bucket, cosine, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOPK}
+    """
+
+
+@register("ann_lsh_bucketed", oracle=_lsh_oracle())
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: {LSH_PLANES} deterministic random hyperplanes →
+    sign-bit bucket id → equi-join queries to same-bucket candidates →
+    cosine top-k inside the bucket.
+
+    This is the 100 TB path: the bucket equi-join replaces the
+    brute-force cross join, cutting scored pairs by ~2^planes while the
+    hyperplane projection stays a narrow per-row fold."""
+    planes = _hyperplanes()
+    e = load(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
+    bucket = None
+    for j in range(LSH_PLANES):
+        lit_plane = F.array(*[F.lit(x) for x in planes[j]])
+        bit = F.when(_dot(F.col("v"), lit_plane) > 0, F.lit(1 << j)).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    b = e.withColumn("bucket", bucket.cast("long"))
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    scored = (
+        b.join(F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_id")))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("bucket"),
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# 39. embedding_near_dup — cosine-threshold near-duplicate pairs
+# --------------------------------------------------------------------------
+@register(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, label, embedding::DOUBLE[] FROM embeddings
+    )
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             ROUND(list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM corpus a JOIN corpus b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= {NEAR_DUP_COS}
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label so the pair
+    join is an equi-join per block (at scale the block key would be an
+    LSH bucket — same plan shape). Synthetic clones (vec_id+100000) give
+    known positives; the oracle builds the identical corpus."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_double().alias("v")
+    )
+    corpus = e.unionAll(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "label", "v")
+    )
+    a = corpus.select(
+        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = corpus.select(
+        F.col("label").alias("label_b"), F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(b, (a.label == b.label_b) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+    )

@@ -32,6 +32,11 @@ _MODULES = (
     "zigchain_indexer_clickhouse_spark.operators.indexer_core",
     "zigchain_indexer_clickhouse_spark.operators.queue_analytics",
     "zigchain_indexer_clickhouse_spark.operators.olap",
+    "zigchain_indexer_clickhouse_spark.operators.dedup",
+    "zigchain_indexer_clickhouse_spark.operators.similarity",
+    "zigchain_indexer_clickhouse_spark.operators.text_analysis",
+    "zigchain_indexer_clickhouse_spark.operators.multimodal",
+    "zigchain_indexer_clickhouse_spark.streaming.event_stream",
 )
 
 _loaded = False

@@ -1,0 +1,158 @@
+"""Structured Streaming operators (SURVEY.md §2.4 #45-47).
+
+The reference indexes a live chain: the orchestrator tails the RPC tip
+and workers append per-block rows (orchestrator.js launchWorkers loop).
+The Spark-native equivalent is Structured Streaming over an append-only
+file source: ``readStream`` on the events table, watermarked windowed
+aggregation, streaming dedup, and type-routed sinks.
+
+These run with ``Trigger.availableNow`` into in-memory sinks so the
+driver's batch harness can collect results; in production the same
+plans write to partitioned parquet/kafka with checkpointing. They are
+registered rows-only (no SQL oracle — the driver records the weaker
+check) because stream semantics (watermark state) aren't expressible
+in a single DuckDB query.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from zigchain_indexer_clickhouse_spark.plans.registry import register
+
+# Raw schema of events.parquet (ts is TIMESTAMP(NANOS) → read as long).
+_EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+_counter = 0
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a DIRECTORY; stage a symlink to
+    the events parquet in a deterministic temp dir per sf_dir."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"zic_spark_stream_{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_stream_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_append_to_memory(df: DataFrame, name: str) -> DataFrame:
+    """Drain the stream with availableNow into an in-memory table and
+    return it as a batch DataFrame (test/driver harness path)."""
+    global _counter
+    _counter += 1
+    qname = f"{name}_{_counter}"
+    spark = df.sparkSession
+    with tempfile.TemporaryDirectory(prefix=f"ckpt_{name}_") as ckpt:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname)
+
+
+# --------------------------------------------------------------------------
+# 45. stream_event_counts — watermarked windowed counts
+# --------------------------------------------------------------------------
+@register("stream_event_counts")
+def stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-type hourly rollup with a 1-hour watermark for late
+    data — the streaming twin of time_bucket_rollup. Complete-mode
+    memory sink for harness collection; parquet/kafka sink + checkpoint
+    in production."""
+    s = _read_event_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("bucket"), "event_type", "n_events", "total_value"
+        )
+    )
+    global _counter
+    _counter += 1
+    qname = f"stream_event_counts_{_counter}"
+    with tempfile.TemporaryDirectory(prefix="ckpt_sec_") as ckpt:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(qname)
+
+
+# --------------------------------------------------------------------------
+# 46. stream_dedup — streaming duplicate suppression
+# --------------------------------------------------------------------------
+@register("stream_dedup")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon —
+    the streaming ReplacingMergeTree: duplicate rows arriving within
+    the state window are suppressed exactly once."""
+    s = _read_event_stream(spark, sf_dir)
+    deduped = s.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    out = deduped.select("event_id", "ts", "user_id", "event_type")
+    return _run_append_to_memory(out, "stream_dedup")
+
+
+# --------------------------------------------------------------------------
+# 47. stream_type_route — streaming type-specific routing
+# --------------------------------------------------------------------------
+@register("stream_type_route")
+def stream_type_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming analog of the worker's wasm/message routing
+    (worker.js:185-239): filter the stream per type and append to
+    type-specific sinks. Harness variant routes two types into one
+    memory sink with a route tag."""
+    s = _read_event_stream(spark, sf_dir)
+    routed = s.filter(F.col("event_type").isin("click", "purchase")).select(
+        F.col("event_id").alias("height"),
+        F.when(F.col("event_type") == "click", "type_wasm")
+        .otherwise("type_message")
+        .alias("route"),
+        "user_id",
+        "ts",
+    )
+    return _run_append_to_memory(routed, "stream_type_route")
