@@ -1,0 +1,344 @@
+"""Extended OLAP surface (SURVEY.md §2.2 continued, #48-56):
+single-pass filtered aggregates, dimension-join reports, per-group
+large-entity detection, running/moving window analytics, exact
+quantiles, pivoted counts, and hierarchical rollups — the remaining
+ClickHouse-style reporting shapes.
+
+Scale notes identical to olap.py: broadcast dims, partial aggregation,
+windows partitioned by the entity key. ROLLUP/pivot run as a single
+shuffle with grouping sets / conditional aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zigchain_indexer_clickhouse_spark.catalog import load
+from zigchain_indexer_clickhouse_spark.plans.registry import register
+
+
+# --------------------------------------------------------------------------
+# 48. q6_forecast_revenue — single-pass filtered aggregate (TPC-H Q6 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change: pure scan + filter + agg. All three
+    predicates push down to the parquet scan (PushedFilters), the agg is
+    a single partial+final pair — the cheapest possible plan shape."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 49. q10_returned_items — returned-item report (TPC-H Q10 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top customers by returned-item revenue: lineitem⋈orders shuffle
+    join, customer/nation broadcast, TakeOrdered top-20."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey", "c_name", "n_name", "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# 50. q14_promo_share — conditional-aggregate ratio (TPC-H Q14 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q14_promo_share",
+    oracle="""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share: broadcast part into the filtered
+    lineitem scan; the ratio is two conditional sums in one agg pass."""
+    p = load(spark, sf_dir, "part")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 51. q18_large_orders — HAVING-style large-entity detection (TPC-H Q18)
+# --------------------------------------------------------------------------
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(t.sum_qty, 2) AS sum_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    ) t ON t.l_orderkey = o.o_orderkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: pre-aggregate lineitem on its own key
+    (map-side combine), then semi-join the small survivor set to orders
+    — never the raw join first. The classic push-agg-below-join plan."""
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty_raw"))
+        .filter(F.col("sum_qty_raw") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty_raw", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# 52. running_total — cumulative window aggregation
+# --------------------------------------------------------------------------
+@register(
+    "running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS cum_spend,
+           CAST(row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS INT) AS order_seq
+    FROM orders
+    """,
+)
+def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative spend + order sequence — running-state
+    analytics in one window shuffle on the customer key."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            2,
+        ).alias("cum_spend"),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 53. moving_average — range-framed time window
+# --------------------------------------------------------------------------
+@register(
+    "moving_average",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ROUND(SUM(value), 2) AS day_value,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1
+    )
+    SELECT day, day_value, n_events,
+           ROUND(AVG(day_value) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+             AS ma7
+    FROM daily
+    """,
+)
+def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily event value: pre-rollup to days
+    (tiny), then a single-partition window over the day series — the
+    windowed input is already aggregated so the global window is cheap."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("day_value"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day", "day_value", "n_events", F.round(F.avg("day_value").over(w), 4).alias("ma7")
+    )
+
+
+# --------------------------------------------------------------------------
+# 54. value_quantiles — exact interpolated quantiles per group
+# --------------------------------------------------------------------------
+@register(
+    "value_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           ROUND(MIN(value), 2) AS min_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p95 per event type (ClickHouse
+    quantileExact analog). percentile() is exact and matches DuckDB's
+    quantile_cont interpolation; at 100 TB the approx variant
+    (percentile_approx / t-digest) swaps in with the same plan shape."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 55. event_type_pivot — pivoted conditional counts
+# --------------------------------------------------------------------------
+@register(
+    "event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+             AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity profile: pivot as conditional aggregation
+    (single shuffle; a literal .pivot() needs two passes or an explicit
+    value list — conditional agg is the 100 TB-friendly form)."""
+    e = load(spark, sf_dir, "events")
+
+    def cnt(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long")
+
+    return e.groupBy("user_id").agg(
+        cnt("click").alias("n_click"),
+        cnt("view").alias("n_view"),
+        cnt("purchase").alias("n_purchase"),
+        cnt("signup").alias("n_signup"),
+        cnt("error").alias("n_error"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+            2,
+        ).alias("purchase_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 56. status_priority_rollup — hierarchical ROLLUP aggregation
+# --------------------------------------------------------------------------
+@register(
+    "status_priority_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals (status → priority → grand total) via
+    ROLLUP grouping sets — one shuffle produces all three levels."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

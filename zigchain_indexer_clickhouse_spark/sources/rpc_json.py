@@ -1,0 +1,154 @@
+"""RPC-JSON block ingestion — the reference's core connector,
+Spark-native (SURVEY.md §2.1; reference: src/core/worker.js
+fetchBlock/fetchBlockResults → storeBlockData → processTransactions).
+
+The reference pulls Tendermint ``/block_results`` JSON over HTTP and
+flattens it row-by-row in JavaScript. The Spark-native equivalent is a
+declarative parse: a DataFrame of raw JSON documents (from
+``spark.read.json``/``.text`` over an RPC dump, a Kafka topic, or any
+landing zone) → ``from_json`` with an explicit schema → nested
+``posexplode`` into the txs / tx_events / tx_event_attrs tables. The
+whole pipeline is Catalyst-visible: column pruning reaches into the
+JSON parse, and no Python touches a row.
+
+``rpc_ingest_flatten`` exercises the connector end-to-end with
+deterministic synthetic block documents built from ``events`` (build →
+parse → flatten must reproduce the direct derivation, which is what
+the DuckDB oracle computes without JSON).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zigchain_indexer_clickhouse_spark.catalog import load
+from zigchain_indexer_clickhouse_spark.plans.registry import register
+
+# Tendermint block_results, reduced to the fields the reference stores
+# (worker.js:124-272). attributes carry the decoded key/value pairs.
+BLOCK_RESULTS_SCHEMA = (
+    "height bigint, "
+    "txs_results array<struct<"
+    "  tx_index:int, code:int, gas_wanted:bigint, gas_used:bigint,"
+    "  events:array<struct<type:string,"
+    "    attributes:array<struct<key:string,value:string,index:boolean>>>>"
+    ">>"
+)
+
+
+def parse_block_results(json_df: DataFrame, json_col: str = "json") -> DataFrame:
+    """Parse raw block_results JSON documents into flat tx/event/attr
+    rows — the declarative core of the indexer's extraction
+    (worker.js:124-272 processTransactions).
+
+    Returns one row per (height, tx_index, event, attribute) with
+    positional indexes, ready to split into the txs / tx_events /
+    type_* tables by projection+filter.
+    """
+    parsed = json_df.select(
+        F.from_json(F.col(json_col), BLOCK_RESULTS_SCHEMA).alias("b")
+    )
+    txs = parsed.select(
+        F.col("b.height").alias("height"),
+        F.explode("b.txs_results").alias("tx"),
+    )
+    ev = txs.select(
+        "height",
+        F.col("tx.tx_index").alias("tx_index"),
+        F.col("tx.code").alias("code"),
+        F.col("tx.gas_wanted").alias("gas_wanted"),
+        F.col("tx.gas_used").alias("gas_used"),
+        F.posexplode("tx.events").alias("event_index", "ev"),
+    )
+    return ev.select(
+        "height",
+        "tx_index",
+        "code",
+        "gas_wanted",
+        "gas_used",
+        F.col("event_index").cast("int").alias("event_index"),
+        F.col("ev.type").alias("type"),
+        F.posexplode("ev.attributes").alias("attr_index", "attr"),
+    ).select(
+        "height",
+        "tx_index",
+        "code",
+        "gas_wanted",
+        "gas_used",
+        "event_index",
+        "type",
+        F.col("attr_index").cast("int").alias("attr_index"),
+        F.col("attr.key").alias("key"),
+        F.col("attr.value").alias("value"),
+    )
+
+
+def build_block_documents(events: DataFrame) -> DataFrame:
+    """Deterministically synthesize block_results JSON documents from the
+    events table (one block per 10 heights, one tx_result per event,
+    attributes from the props JSON) — the test harness's stand-in for an
+    RPC dump directory."""
+    w = Window.partitionBy(F.expr("event_id div 10")).orderBy("event_id")
+    per_tx = events.select(
+        F.expr("event_id div 10").alias("height"),
+        (F.row_number().over(w) - 1).cast("int").alias("tx_index"),
+        (F.col("event_id") % 5).cast("int").alias("code"),
+        F.floor(F.col("value") * 1000).cast("long").alias("gas_wanted"),
+        F.floor(F.col("value") * 900).cast("long").alias("gas_used"),
+        F.array(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.transform(
+                    F.map_entries(F.from_json("props", "map<string,string>")),
+                    lambda kv: F.struct(
+                        kv["key"].alias("key"),
+                        kv["value"].alias("value"),
+                        F.lit(True).alias("index"),
+                    ),
+                ).alias("attributes"),
+            )
+        ).alias("events"),
+    )
+    blocks = per_tx.groupBy("height").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "tx_index", "code", "gas_wanted", "gas_used", "events"
+                )
+            )
+        ).alias("txs_results")
+    )
+    return blocks.select(
+        F.to_json(F.struct("height", "txs_results")).alias("json")
+    )
+
+
+@register(
+    "rpc_ingest_flatten",
+    oracle="""
+    WITH tx AS (
+      SELECT event_id // 10 AS height,
+             CAST(row_number() OVER (PARTITION BY event_id // 10
+                                     ORDER BY event_id) - 1 AS INT) AS tx_index,
+             CAST(event_id % 5 AS INT) AS code,
+             CAST(floor(value * 1000) AS BIGINT) AS gas_wanted,
+             CAST(floor(value * 900) AS BIGINT) AS gas_used,
+             event_type AS type, props
+      FROM events
+    )
+    SELECT height, tx_index, code, gas_wanted, gas_used,
+           CAST(0 AS INT) AS event_index, type,
+           CAST(0 AS INT) AS attr_index,
+           u.k AS key, json_extract_string(props, '$.' || u.k) AS value
+    FROM tx, UNNEST(json_keys(props)) u(k)
+    """,
+)
+def rpc_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end connector check: build synthetic block_results JSON →
+    parse_block_results → flat rows. The oracle derives the expected
+    rows directly (no JSON), so any round-trip infidelity in the
+    build/parse pipeline fails the hash."""
+    e = load(spark, sf_dir, "events")
+    docs = build_block_documents(e)
+    return parse_block_results(docs)
