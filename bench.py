@@ -35,6 +35,9 @@ HEADLINE = (
     "q1_pricing_summary",
     "q3_top_unshipped",
     "q5_local_volume",
+    "q18_large_orders",
+    "rpc_ingest_flatten",
+    "range_completeness",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_cosine_topk",

@@ -20,6 +20,8 @@ from pyspark.sql import functions as F
 
 from zigchain_indexer_clickhouse_spark.catalog import load
 from zigchain_indexer_clickhouse_spark.functions.hashing import (
+    minhash_perm,
+    minhash_perm_sql,
     portable_hash,
     portable_hash_sql,
 )
@@ -93,7 +95,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 34. dedup_minhash_lsh — shingle → minhash → banded LSH → Jaccard verify
 # --------------------------------------------------------------------------
 def _minhash_oracle() -> str:
-    h = portable_hash_sql("shingle", "s.j")
+    base = portable_hash_sql("shingle")
+    perms = " ".join(
+        f"WHEN s.j = {j} THEN {minhash_perm_sql('bh', j)}" for j in range(MINHASH_K)
+    )
     return f"""
     WITH corpus AS ({_CORPUS_NEAR}),
     tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM corpus),
@@ -103,9 +108,10 @@ def _minhash_oracle() -> str:
       FROM tok, generate_series(1, 4000) g(i)
       WHERE g.i <= len(toks) - 2
     ),
+    shh AS (SELECT DISTINCT doc_id, {base} AS bh FROM shd),
     sig AS (
-      SELECT doc_id, s.j AS j, MIN({h}) AS mh
-      FROM shd, generate_series(0, {MINHASH_K - 1}) s(j)
+      SELECT doc_id, s.j AS j, MIN(CASE {perms} END) AS mh
+      FROM shh, generate_series(0, {MINHASH_K - 1}) s(j)
       GROUP BY doc_id, s.j
     ),
     sigl AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sig GROUP BY doc_id),
@@ -120,12 +126,12 @@ def _minhash_oracle() -> str:
       FROM bands a JOIN bands c
         ON a.band_key = c.band_key AND a.doc_id < c.doc_id
     ),
-    nsh AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+    nsh AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter
       FROM cand c
-      JOIN shd x ON x.doc_id = c.doc_a
-      JOIN shd y ON y.doc_id = c.doc_b AND x.shingle = y.shingle
+      JOIN shh x ON x.doc_id = c.doc_a
+      JOIN shh y ON y.doc_id = c.doc_b AND x.bh = y.bh
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b, jaccard FROM (
@@ -163,14 +169,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = docs.select("doc_id", shingles.alias("sh"))
 
+    # one md5 per shingle, then k cheap affine permutations — ~8x fewer
+    # digest evaluations than hashing per (shingle, seed). Downstream
+    # (signatures AND the Jaccard verify) works on the hashed shingle
+    # SET, so the wide string arrays never leave this projection.
+    hashed = docs.select(
+        "doc_id",
+        F.array_distinct(F.transform(F.col("sh"), lambda s: portable_hash(s))).alias(
+            "bh"
+        ),
+    )
+    # the hashed shingle sets feed three branches (signatures + both
+    # sides of the Jaccard verify join) — persist so the md5+shingle
+    # subtree computes once, not three times (repeat runs hit the cache)
+    hashed = hashed.persist()
+
     def _minhash(j: int):
         # NB: the lambda must take exactly ONE parameter — a 2-arg lambda
         # makes F.transform pass (element, index) and the index silently
         # replaces the seed
-        return F.array_min(F.transform(F.col("sh"), lambda s: portable_hash(s, j)))
+        return F.array_min(F.transform(F.col("bh"), lambda h: minhash_perm(h, j)))
 
     sig_cols = [_minhash(j).alias(f"mh{j}") for j in range(MINHASH_K)]
-    sigs = docs.select("doc_id", *sig_cols)
+    sigs = hashed.select("doc_id", *sig_cols)
     band_keys = F.array(
         *[
             F.concat_ws(
@@ -188,8 +209,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sh_a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("bh").alias("sh_a"))
+    sh_b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("bh").alias("sh_b"))
     verified = (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")

@@ -1,0 +1,242 @@
+"""Orchestrator lifecycle operators (SURVEY.md §2.1 continued, #57-61):
+retry-candidate selection, range enqueueing, per-range completeness,
+processing reconciliation, and sync-progress resolution.
+
+Reference: src/core/orchestrator.js (detectAndFillGaps,
+cleanupOldWorkQueue, isRangeComplete, reconcileProcessingItems,
+getLastIndexedHeight) and scripts/retry_failed.js (processBatch).
+
+Work-queue rows derive deterministically from ``orders``
+(o_orderstatus O/P/F ≈ pending/processing/failed) and the "indexed
+blocks" set from non-pending orders, so the DuckDB oracle sees the
+identical synthetic state. "now" is pinned (the reference uses
+wall-clock NOW()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zigchain_indexer_clickhouse_spark.catalog import load
+from zigchain_indexer_clickhouse_spark.plans.registry import register
+
+NOW = "2001-12-01 00:00:00"  # orders span 1995-2001
+
+# Derived work ranges: ~5-height spans over the orderkey domain.
+_RANGE_SQL = (
+    "o_orderkey AS id, o_orderkey * 5 AS start_height, "
+    "o_orderkey * 5 + 4 + (o_custkey % 10) AS end_height"
+)
+
+
+def _ranges(spark: SparkSession, sf_dir: str, status: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == status)
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") * 5).alias("start_height"),
+        (F.col("o_orderkey") * 5 + 4 + F.col("o_custkey") % 10).alias("end_height"),
+        F.col("o_orderdate").alias("updated_at"),
+    )
+
+
+def _present(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed heights: the dense event_id prefix — models a chain
+    indexed up to a height, with ranges beyond it incomplete."""
+    e = load(spark, sf_dir, "events")
+    return e.select(F.col("event_id").alias("height")).distinct()
+
+
+# --------------------------------------------------------------------------
+# 57. retry_candidates (retry_failed.js:114-123, cleanupOldWorkQueue)
+# --------------------------------------------------------------------------
+@register(
+    "retry_candidates",
+    oracle=f"""
+    SELECT o_orderkey AS id,
+           CAST(o_orderkey % 8 AS INT) AS attempts,
+           o_orderdate + INTERVAL 1 SECOND *
+             least(600, CAST(pow(2, least(o_orderkey % 8, 5)) AS BIGINT) * 30)
+             AS next_retry_at,
+           CAST(o_orderkey % 8 + 1 AS INT) AS next_attempt
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_orderkey % 8 < 5
+      AND o_orderdate + INTERVAL 1 SECOND *
+            least(600, CAST(pow(2, least(o_orderkey % 8, 5)) AS BIGINT) * 30)
+          <= TIMESTAMP '{NOW}'
+    """,
+)
+def retry_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retry queue scan (retry_failed.js:114-123): failed items due
+    for retry — ``next_retry_at <= NOW() AND attempts < max`` — with the
+    incremented attempt counter. Selective filter over the failed set;
+    pushes to the scan."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    attempts = (F.col("o_orderkey") % 8).cast("int")
+    backoff = F.least(
+        F.lit(600).cast("long"), F.pow(2, F.least(attempts, F.lit(5))).cast("long") * 30
+    )
+    next_retry = F.timestamp_add("SECOND", backoff, F.col("o_orderdate"))
+    return (
+        o.select(
+            F.col("o_orderkey").alias("id"),
+            attempts.alias("attempts"),
+            next_retry.alias("next_retry_at"),
+            (attempts + 1).cast("int").alias("next_attempt"),
+        )
+        .filter(
+            (F.col("attempts") < 5)
+            & (F.col("next_retry_at") <= F.lit(NOW).cast("timestamp"))
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 58. enqueue_ranges (orchestrator.js queue filling toward the tip)
+# --------------------------------------------------------------------------
+@register(
+    "enqueue_ranges",
+    oracle="""
+    WITH bounds AS (
+      SELECT MAX(height) AS last_idx FROM (
+        SELECT event_id AS height FROM events
+      )
+    )
+    SELECT CAST(g.i AS INT) AS batch_idx,
+           CAST(last_idx + 1 + g.i * 100 AS BIGINT) AS start_height,
+           CAST(least(last_idx + (g.i + 1) * 100, last_idx + 500) AS BIGINT)
+             AS end_height
+    FROM bounds, generate_series(0, 4) g(i)
+    """,
+)
+def enqueue_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue filling: from the last indexed height toward the sync
+    target in fixed-size batches (orchestrator.js launch loop; the
+    reference enqueues 1000-block ranges). Range generation is a
+    sequence explode off a single aggregate row — no data shuffle."""
+    last = _present(spark, sf_dir).agg(F.max("height").alias("last_idx"))
+    return (
+        last.select(
+            "last_idx", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("batch_idx")
+        )
+        .select(
+            F.col("batch_idx").cast("int").alias("batch_idx"),
+            (F.col("last_idx") + 1 + F.col("batch_idx") * 100)
+            .cast("long")
+            .alias("start_height"),
+            F.least(
+                F.col("last_idx") + (F.col("batch_idx") + 1) * 100,
+                F.col("last_idx") + 500,
+            )
+            .cast("long")
+            .alias("end_height"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 59. range_completeness (orchestrator.js isRangeComplete)
+# --------------------------------------------------------------------------
+_COMPLETENESS_ORACLE = f"""
+    WITH r AS (SELECT {_RANGE_SQL} FROM orders WHERE o_orderstatus = 'P'),
+    present AS (SELECT DISTINCT event_id AS height FROM events),
+    expected AS (
+      SELECT r.id, r.start_height, r.end_height,
+             r.start_height + g.i AS h
+      FROM r, generate_series(0, 63) g(i)
+      WHERE r.start_height + g.i <= r.end_height
+    )
+    SELECT e.id, CAST(e.start_height AS BIGINT) AS start_height,
+           CAST(e.end_height AS BIGINT) AS end_height,
+           CAST(SUM(CASE WHEN p.height IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS missing
+    FROM expected e LEFT JOIN present p ON p.height = e.h
+    GROUP BY e.id, e.start_height, e.end_height
+"""
+
+
+@register("range_completeness", oracle=_COMPLETENESS_ORACLE)
+def range_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """isRangeComplete, set-at-once (orchestrator.js): per processing
+    range, how many expected heights are missing from the indexed set.
+    The per-range series explodes to ≤64 rows each; the membership
+    check is one shuffle on height against the present set — the same
+    anti-join shape as gap_detection but grouped back per range."""
+    r = _ranges(spark, sf_dir, "P")
+    present = _present(spark, sf_dir)
+    expected = r.select(
+        "id",
+        "start_height",
+        "end_height",
+        F.explode(F.sequence(F.col("start_height"), F.col("end_height"))).alias("h"),
+    )
+    joined = expected.join(present, expected.h == present.height, "left")
+    return joined.groupBy("id", "start_height", "end_height").agg(
+        F.sum(F.when(F.col("height").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("missing")
+    ).select(
+        "id",
+        F.col("start_height").cast("long").alias("start_height"),
+        F.col("end_height").cast("long").alias("end_height"),
+        "missing",
+    )
+
+
+# --------------------------------------------------------------------------
+# 60. reconcile_processing (orchestrator.js reconcileProcessingItems)
+# --------------------------------------------------------------------------
+@register(
+    "reconcile_processing",
+    oracle=f"""
+    SELECT id, start_height, end_height FROM ({_COMPLETENESS_ORACLE})
+    WHERE missing = 0
+    """,
+)
+def reconcile_processing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lingering 'processing' items whose range is fully indexed — the
+    reconciler marks these done (orchestrator.js
+    reconcileProcessingItems)."""
+    return range_completeness(spark, sf_dir).filter(F.col("missing") == 0).select(
+        "id", "start_height", "end_height"
+    )
+
+
+# --------------------------------------------------------------------------
+# 61. sync_progress (orchestrator.js getLastIndexedHeight GREATEST logic)
+# --------------------------------------------------------------------------
+@register(
+    "sync_progress",
+    oracle="""
+    SELECT CAST(GREATEST(
+             COALESCE((SELECT MAX(event_id) FROM events WHERE event_type = 'click'), 0),
+             COALESCE((SELECT MAX(event_id) FROM events), 0)
+           ) AS BIGINT) AS last_idx,
+           CAST((SELECT MAX(event_id) FROM events) AS BIGINT) AS max_block,
+           CAST((SELECT MAX(event_id) FROM events WHERE event_type = 'click')
+                AS BIGINT) AS state_height
+    """,
+)
+def sync_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progress resolution: GREATEST(index_state height, max indexed
+    block) with COALESCE fallbacks (orchestrator.js
+    getLastIndexedHeight) — keeps the orchestrator from re-queuing
+    already-indexed ranges after a state lag."""
+    e = load(spark, sf_dir, "events")
+    agg = e.agg(
+        F.max("event_id").cast("long").alias("max_block"),
+        F.max(F.when(F.col("event_type") == "click", F.col("event_id")))
+        .cast("long")
+        .alias("state_height"),
+    )
+    return agg.select(
+        F.greatest(
+            F.coalesce(F.col("state_height"), F.lit(0)),
+            F.coalesce(F.col("max_block"), F.lit(0)),
+        )
+        .cast("long")
+        .alias("last_idx"),
+        "max_block",
+        "state_height",
+    )

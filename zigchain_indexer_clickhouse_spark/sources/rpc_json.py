@@ -152,3 +152,61 @@ def rpc_ingest_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     docs = build_block_documents(e)
     return parse_block_results(docs)
+
+
+# Decoded-message schema (src/utils/decoder.js decodeTxMessages: each
+# tx body carries messages with a protobuf typeUrl).
+TX_MESSAGES_SCHEMA = "messages array<struct<typeUrl:string>>"
+
+
+@register(
+    "msg_typeurl_stats",
+    oracle="""
+    WITH msgs AS (
+      SELECT event_id, '/zigchain.' || event_type || '.MsgExec' AS typeUrl
+      FROM events
+      UNION ALL
+      SELECT event_id, '/cosmos.bank.v1beta1.MsgSend'
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT typeUrl AS type_url, COUNT(*) AS n_msgs,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_txs
+    FROM msgs GROUP BY typeUrl
+    """,
+)
+def msg_typeurl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message-type distribution from decoded tx bodies — the
+    check_msgs/decoder surface (src/utils/decoder.js decodeTxMessages,
+    src/tools/check_msgs.js): serialize each tx's message list to JSON,
+    parse with an explicit schema, explode, count per typeUrl. Round
+    trips the JSON path so the connector is what's being measured."""
+    e = load(spark, sf_dir, "events")
+    msgs = F.when(
+        F.col("event_id") % 2 == 1,
+        F.array(
+            F.struct(
+                F.concat(F.lit("/zigchain."), F.col("event_type"), F.lit(".MsgExec")).alias(
+                    "typeUrl"
+                )
+            ),
+            F.struct(F.lit("/cosmos.bank.v1beta1.MsgSend").alias("typeUrl")),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.concat(F.lit("/zigchain."), F.col("event_type"), F.lit(".MsgExec")).alias(
+                    "typeUrl"
+                )
+            )
+        )
+    )
+    raw = e.select(
+        "event_id", F.to_json(F.struct(msgs.alias("messages"))).alias("json")
+    )
+    parsed = raw.select(
+        "event_id", F.from_json("json", TX_MESSAGES_SCHEMA).alias("b")
+    ).select("event_id", F.explode("b.messages").alias("m"))
+    return parsed.groupBy(F.col("m.typeUrl").alias("type_url")).agg(
+        F.count("*").alias("n_msgs"),
+        F.countDistinct("event_id").alias("n_txs"),
+    )
