@@ -1,0 +1,94 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the properties that
+make these plans survive a 100x scale-up, checked against the actual
+executed plan strings so regressions in plan quality fail CI, not just
+slow down prod.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from zigchain_indexer_clickhouse_spark.plans import registry
+
+_QUERIES = registry.queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = _QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: never reads the 11-column row, only what Q1 needs
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q5_all_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_volume")
+    # formatted mode prints each node in the tree and the detail section
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_overlap_join_is_equijoin_not_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "overlapping_ranges")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_aggregates_below_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q18_large_orders")
+    # the lineitem pre-agg must appear under the join, not above it
+    join_pos = plan.find("BroadcastHashJoin")
+    assert join_pos > 0
+    assert "HashAggregate" in plan
+
+
+def test_topn_runs_as_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q3_top_unshipped")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_partitioned_write_prunes(spark, sf_dir):
+    # run the query once (writes the layout), then check the read side
+    df = _QUERIES["partitioned_write_readback"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "height_bucket" in plan
+
+
+def test_range_split_matches_reference_formula(spark, sf_dir):
+    """splitRange parity (orchestrator.js:78-92): parts are contiguous,
+    cover [s,e] exactly, and sizes differ by at most 1 with remainder
+    on the first parts."""
+    rows = _QUERIES["range_split"](spark, sf_dir).collect()
+    by_work = {}
+    for r in rows:
+        by_work.setdefault(r["work_id"], []).append(r)
+    assert by_work
+    for work_id, parts in by_work.items():
+        parts.sort(key=lambda r: r["part_idx"])
+        sizes = [p["part_end"] - p["part_start"] + 1 for p in parts]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)  # remainder goes first
+        for a, b in zip(parts, parts[1:]):
+            assert b["part_start"] == a["part_end"] + 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "dedup_simhash", "embedding_near_dup", "contamination_check"],
+)
+def test_near_dup_candidates_via_equijoin(spark, sf_dir, name):
+    """Every near-dup/contamination operator must generate candidates
+    with an equi-join, never an all-pairs product."""
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,352 @@
+"""Corpus-curation operators (SURVEY.md §2.3 continued, #62-67):
+normalized dedup, PII scrubbing, benchmark-contamination checks,
+stratified sampling, corpus statistics, and IVF-style ANN — the
+remaining standard stages of a pre-training data pipeline.
+
+All deterministic and oracle-replayable; candidate generation is
+always an equi-join on a derived key (shingle match / stratum / cell),
+never an all-pairs scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from zigchain_indexer_clickhouse_spark.catalog import load
+from zigchain_indexer_clickhouse_spark.plans.registry import register
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_NUMBER = r"\b\d{6,}\b"
+
+
+# --------------------------------------------------------------------------
+# 62. dedup_normalized — canonicalize then exact-dedup
+# --------------------------------------------------------------------------
+@register(
+    "dedup_normalized",
+    oracle=r"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, upper(text) || '  ' FROM documents
+    ),
+    norm AS (
+      SELECT doc_id,
+             lower(trim(regexp_replace(text, '[^\w\s]', '', 'g'))) AS ntext
+      FROM corpus
+    )
+    SELECT sha256(ntext) AS norm_hash, COUNT(*) AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM norm GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: strip punctuation, lowercase,
+    trim, then hash-groupBy. Catches case/punctuation variants that
+    plain exact dedup misses (the synthetic corpus adds uppercased
+    copies with trailing whitespace as known positives)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionAll(
+        d.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+        )
+    )
+    ntext = F.lower(F.trim(F.regexp_replace("text", r"[^\w\s]", "")))
+    return (
+        corpus.select("doc_id", ntext.alias("ntext"))
+        .groupBy(F.sha2("ntext", 256).alias("norm_hash"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# 63. pii_scrub — pattern-based PII redaction
+# --------------------------------------------------------------------------
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com id 1234567' || CAST(doc_id AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{PII_NUMBER}', '<NUM>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_NUMBER}')) AS INT) AS n_numbers
+    FROM aug
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails and long digit runs replaced with
+    typed placeholders, plus per-doc match counts for audit. Synthetic
+    PII is injected into every third doc so the scrub provably fires.
+    Pure regexp codegen — the standard pre-training scrub stage."""
+    d = load(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com id 1234567"),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    d = d.select("doc_id", aug.alias("text"))
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"), PII_NUMBER, "<NUM>"
+        ).alias("scrubbed"),
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_NUMBER)).cast("int").alias("n_numbers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 64. contamination_check — benchmark n-gram overlap detection
+# --------------------------------------------------------------------------
+@register(
+    "contamination_check",
+    oracle="""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, string_split(trim(text), ' ') AS toks
+      FROM documents WHERE doc_id % 50 = 0
+    ),
+    bench_sh AS (
+      SELECT DISTINCT bench_id,
+             toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2]
+               || ' ' || toks[g.i+3] || ' ' || toks[g.i+4] AS phrase
+      FROM bench, generate_series(1, 4000) g(i)
+      WHERE g.i <= len(toks) - 4
+    ),
+    corpus_sh AS (
+      SELECT DISTINCT d.doc_id,
+             toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2]
+               || ' ' || toks[g.i+3] || ' ' || toks[g.i+4] AS phrase
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks
+            FROM documents) d, generate_series(1, 4000) g(i)
+      WHERE g.i <= len(toks) - 4
+    )
+    SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared_phrases
+    FROM corpus_sh c JOIN bench_sh b ON c.phrase = b.phrase
+    WHERE c.doc_id <> b.bench_id
+    GROUP BY c.doc_id, b.bench_id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: 5-gram phrases of a held-out
+    'benchmark' set (every 50th doc) equi-joined against corpus 5-grams;
+    docs sharing ≥3 phrases with a benchmark doc are flagged. The join
+    is on the phrase itself — at 100 TB the benchmark side is tiny and
+    broadcast, so this is one broadcast join over the corpus shingle
+    stream, no shuffle of the corpus."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 5)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 5),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, F.lit(5))),
+        )
+    )
+    sh = d.select("doc_id", F.explode(grams).alias("phrase"))
+    bench = sh.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "phrase"
+    )
+    return (
+        sh.join(F.broadcast(bench), "phrase")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared_phrases"))
+        .filter(F.col("n_shared_phrases") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# 65. stratified_sample — deterministic per-stratum sampling
+# --------------------------------------------------------------------------
+@register(
+    "stratified_sample",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id, lang, source, n_chars,
+             CAST('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+    FROM hashed
+    WHERE (lang = 'en' AND bucket < 20) OR (lang <> 'en' AND bucket < 60)
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus mixing: hash-bucket
+    each doc (portable md5 hash, reproducible across engines and runs),
+    keep 20% of English and 60% of other languages — the up/down-
+    sampling stage of corpus curation. Narrow op, no shuffle, and the
+    sample is stable under re-runs and cluster re-partitioning (unlike
+    rand()-based sampling)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    keep = ((F.col("lang") == "en") & (bucket < 20)) | (
+        (F.col("lang") != "en") & (bucket < 60)
+    )
+    return d.filter(keep).select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+# --------------------------------------------------------------------------
+# 66. corpus_stats — per-stratum corpus profile
+# --------------------------------------------------------------------------
+@register(
+    "corpus_stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+           ROUND(quantile_cont(n_chars, 0.5), 1) AS median_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile per (lang, source): doc counts, char/token
+    volumes, median length — the bookkeeping every mixing decision
+    reads. Single shuffle; token counts computed inline (no second
+    pass)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.size(F.split(F.trim("text"), " "))).cast("long").alias("total_tokens"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 1).alias("median_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 67. ann_ivf_coarse — IVF-style coarse-quantized ANN
+# --------------------------------------------------------------------------
+def _centroids(k: int = 8, dim: int = 64) -> list[list[float]]:
+    """Deterministic pseudo-random coarse centroids (md5-derived,
+    inlined into both engines — no RNG, no training step here; a real
+    IVF would k-means these)."""
+    cents = []
+    for c in range(k):
+        row = []
+        for i in range(dim):
+            h = int(hashlib.md5(f"ivf:{c}:{i}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        cents.append(row)
+    return cents
+
+
+def _ivf_oracle() -> str:
+    cents = _centroids()
+    dots = ", ".join(
+        f"list_dot_product(v, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for c in cents
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assigned AS (
+      SELECT vec_id, v,
+             CAST(list_position([{dots}],
+                  list_max([{dots}])) - 1 AS INT) AS cell
+      FROM e
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, cell FROM assigned WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id AS query_id, a.vec_id AS neighbor_id, q.cell,
+             ROUND(list_dot_product(q.qv, a.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+      FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.q_id
+    )
+    SELECT query_id, neighbor_id, CAST(cell AS INT) AS cell, cosine,
+           CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """
+
+
+@register("ann_ivf_coarse", oracle=_ivf_oracle())
+def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flavored ANN: assign every vector to its nearest coarse
+    centroid (argmax inner product over k deterministic centroids),
+    then search only within the query's cell. Same plan shape as a
+    trained IVF index: the assignment is a narrow per-row fold, the
+    search an equi-join on cell — the second scale path next to LSH."""
+    cents = _centroids()
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def dot_lit(c: list[float]):
+        plane = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("v"), plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    dots = F.array(*[dot_lit(c) for c in cents])
+    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    assigned = e.withColumn("cell", cell)
+    q = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("cell").alias("qc")
+    )
+    dot_qv = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(F.col(c), F.col(c), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("qc")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell").cast("int").alias("cell"),
+            F.round(dot_qv / (norm("qv") * norm("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= 5
+    )

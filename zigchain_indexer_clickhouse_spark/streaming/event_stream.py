@@ -69,7 +69,7 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def _run_append_to_memory(df: DataFrame, name: str) -> DataFrame:
+def _run_append_to_memory(df: DataFrame, name: str, mode: str = "append") -> DataFrame:
     """Drain the stream with availableNow into an in-memory table and
     return it as a batch DataFrame (test/driver harness path)."""
     global _counter
@@ -80,7 +80,7 @@ def _run_append_to_memory(df: DataFrame, name: str) -> DataFrame:
         q = (
             df.writeStream.format("memory")
             .queryName(qname)
-            .outputMode("append")
+            .outputMode(mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -156,3 +156,49 @@ def stream_type_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
     )
     return _run_append_to_memory(routed, "stream_type_route")
+
+
+# --------------------------------------------------------------------------
+# 48. stream_user_state — custom stateful operator (applyInPandasWithState)
+# --------------------------------------------------------------------------
+def _user_state_fn(key, pdf_iter, state):
+    """Arbitrary per-key state: running event count + value total per
+    user — the index_state-style progress counter as a custom stateful
+    streaming operator. State survives across micro-batches."""
+    import pandas as pd  # local import: runs on executors
+
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+        }
+    )
+
+
+@register("stream_user_state")
+def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming via applyInPandasWithState: per-user
+    running counters maintained in explicit state across micro-batches
+    (the streaming analog of the reference's incrementally-updated
+    index_state/progress rows). Arrow-batched; state is a compact
+    (count, sum) tuple per key."""
+    s = _read_event_stream(spark, sf_dir)
+    out = (
+        s.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_state_fn,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    return _run_append_to_memory(out, "stream_user_state", mode="update")
