@@ -159,6 +159,35 @@ def stream_type_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 75. stream_mv_daily — incrementally-maintained daily rollup (MV analog)
+# --------------------------------------------------------------------------
+@register("stream_mv_daily")
+def stream_mv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of mv_daily_block_stats: the reference's
+    SummingMergeTree materialized view (init_clickhouse.js:381-395) is
+    an *incrementally maintained* rollup — every insert updates the
+    day's partial sums. Structured Streaming's update-mode windowed
+    aggregate is the exact analog: state holds one row per day, each
+    micro-batch merges its partial sums into it. Watermark bounds the
+    state like the MV's partition TTL would."""
+    s = _read_event_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("event_count"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_gas"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("error_count"),
+        )
+        .select(F.col("w.start").cast("date").alias("date"),
+                "event_count", "total_gas", "error_count")
+    )
+    return _run_append_to_memory(agg, "stream_mv_daily", mode="update")
+
+
+# --------------------------------------------------------------------------
 # 48. stream_user_state — custom stateful operator (applyInPandasWithState)
 # --------------------------------------------------------------------------
 def _user_state_fn(key, pdf_iter, state):
