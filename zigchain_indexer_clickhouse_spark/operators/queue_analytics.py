@@ -123,17 +123,21 @@ def overlapping_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
+    # A pair sharing k buckets would be emitted k times; instead of a
+    # distinct() (an extra shuffle of the whole candidate set), count
+    # each pair only in its FIRST shared bucket — max of the two start
+    # buckets — which every overlapping pair hits exactly once.
+    first_shared = F.greatest(
+        F.floor(F.col("a.s") / width), F.floor(F.col("b.s") / width)
+    )
     pairs = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
         )
-        # an interval pair can share 2 buckets → dedupe before counting
-        .select(F.col("a.id").alias("work_id"), F.col("b.id").alias("other_id"),
-                F.col("a.s").alias("s1"), F.col("a.e").alias("e1"),
-                F.col("b.s").alias("s2"), F.col("b.e").alias("e2"))
-        .distinct()
-        .filter(~((F.col("e2") < F.col("s1")) | (F.col("e1") < F.col("s2"))))
+        .filter(~((F.col("b.e") < F.col("a.s")) | (F.col("a.e") < F.col("b.s"))))
+        .filter(F.col("a.bucket") == first_shared)
+        .select(F.col("a.id").alias("work_id"))
     )
     return pairs.groupBy("work_id").agg(F.count("*").alias("n_overlaps"))
 

@@ -89,9 +89,20 @@ def build_block_documents(events: DataFrame) -> DataFrame:
     events table (one block per 10 heights, one tx_result per event,
     attributes from the props JSON) — the test harness's stand-in for an
     RPC dump directory."""
-    w = Window.partitionBy(F.expr("event_id div 10")).orderBy("event_id")
-    per_tx = events.select(
+    # Project height FIRST and window/group on the same column: the
+    # window's hash exchange then satisfies the groupBy's required
+    # distribution, so the whole build runs with ONE shuffle (window
+    # partitioning reused by the aggregate — verified in the plan).
+    with_height = events.select(
         F.expr("event_id div 10").alias("height"),
+        "event_id",
+        "value",
+        "event_type",
+        "props",
+    )
+    w = Window.partitionBy("height").orderBy("event_id")
+    per_tx = with_height.select(
+        "height",
         (F.row_number().over(w) - 1).cast("int").alias("tx_index"),
         (F.col("event_id") % 5).cast("int").alias("code"),
         F.floor(F.col("value") * 1000).cast("long").alias("gas_wanted"),
