@@ -1,0 +1,126 @@
+"""IndexerAPI facade: the reference's database-helper surface
+(clickhouse_queries.js module.exports) over append-only versioned
+parquet with FINAL-at-read semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from zigchain_indexer_clickhouse_spark.api import _WORK_QUEUE_SCHEMA, IndexerAPI
+
+
+@pytest.fixture()
+def api(spark, tmp_path):
+    return IndexerAPI(spark, str(tmp_path))
+
+
+def test_work_queue_lifecycle(api):
+    api.insert_work_queue(
+        [
+            {"id": 1, "start_height": 1, "end_height": 1000},
+            {"id": 2, "start_height": 1001, "end_height": 2000},
+            {"id": 3, "start_height": 2001, "end_height": 3000},
+        ]
+    )
+    assert api.count_work_queue("pending") == 3
+
+    pending = api.get_pending_work(limit=2).collect()
+    assert [r["id"] for r in pending] == [1, 2]
+
+    # update = versioned re-append; FINAL shows only the latest state
+    api.update_work_queue_status(2, "processing")
+    assert api.count_work_queue("pending") == 2
+    assert api.count_work_queue("processing") == 1
+
+    api.update_work_queue_status(2, "failed", error_message="rpc timeout")
+    row = api.work_queue().filter("id = 2").collect()[0]
+    assert row["status"] == "failed" and row["error_message"] == "rpc timeout"
+
+    # delete = tombstone append
+    api.delete_work_queue_item(1)
+    assert sorted(r["id"] for r in api.work_queue().collect()) == [2, 3]
+
+    # raw log keeps full history (3 inserts + 2 updates + 1 delete)
+    log = api._read_log("work_queue", _WORK_QUEUE_SCHEMA)
+    assert log.count() == 6
+
+
+def test_overlapping_ranges_probe(api):
+    api.insert_work_queue(
+        [
+            {"id": 1, "start_height": 1, "end_height": 1000},
+            {"id": 2, "start_height": 1001, "end_height": 2000, "status": "done"},
+            {"id": 3, "start_height": 1500, "end_height": 2500},
+        ]
+    )
+    hits = api.get_overlapping_ranges(900, 1600).collect()
+    # id=2 overlaps but is done; id=1 and id=3 are pending and overlap
+    assert sorted(r["id"] for r in hits) == [1, 3]
+
+
+def test_failed_block_upsert_and_backoff(api):
+    api.add_failed_block(42, "rpc", "timeout", worker_id="w1")
+    api.add_failed_block(42, "rpc", "timeout again", worker_id="w2")
+    api.add_failed_block(7, "decode", "bad proto")
+
+    fb = {r["block_height"]: r for r in api.failed_blocks().collect()}
+    assert fb[42]["attempts"] == 2 and fb[42]["worker_id"] == "w2"
+    assert fb[7]["attempts"] == 1
+
+    sched = {r["block_height"]: r["retry_in_s"]
+             for r in api.retry_schedule().collect()}
+    # min(600, 2^min(n,5)*5): n=1 → 10, n=2 → 20
+    assert sched[7] == 10 and sched[42] == 20
+
+    api.remove_failed_block(42)
+    assert [r["block_height"] for r in api.failed_blocks().collect()] == [7]
+
+
+def test_index_state_argmax(api):
+    assert api.get_last_indexed_height() == 0
+    api.update_last_indexed_height("decoded_indexer", 100)
+    api.update_last_indexed_height("decoded_indexer", 250)
+    api.update_last_indexed_height("raw_indexer", 999)
+    assert api.get_last_indexed_height("decoded_indexer") == 250
+    assert api.get_last_indexed_height("raw_indexer") == 999
+
+
+def test_sql_over_final_views(api):
+    api.insert_work_queue([{"id": 1, "start_height": 1, "end_height": 10}])
+    api.update_work_queue_status(1, "processing")
+    n = api.query(
+        "SELECT COUNT(*) AS n FROM work_queue WHERE status = 'processing'"
+    ).collect()[0]["n"]
+    assert n == 1
+
+
+def test_compact_preserves_final_state(api):
+    api.insert_work_queue(
+        [{"id": i, "start_height": i, "end_height": i + 9} for i in range(1, 6)]
+    )
+    api.update_work_queue_status(3, "done")
+    api.delete_work_queue_item(5)
+    before = sorted(
+        (r["id"], r["status"]) for r in api.work_queue().collect()
+    )
+    api.compact("work_queue", _WORK_QUEUE_SCHEMA, ["id"])
+    after = sorted((r["id"], r["status"]) for r in api.work_queue().collect())
+    assert before == after == [
+        (1, "pending"), (2, "pending"), (3, "done"), (4, "pending")
+    ]
+
+
+def test_split_range_parity(api):
+    # splitRange (orchestrator.js:78-92): cover exactly, sizes ≤1 apart
+    parts = api.split_range(1, 10, 3)
+    assert parts == [(1, 4), (5, 7), (8, 10)]
+    assert api.splitRange(1, 10, 3) == parts  # camelCase alias
+    parts = api.split_range(1, 5, 10)  # more parts than heights → clamp
+    assert parts == [(i, i) for i in range(1, 6)]
+
+
+def test_camelcase_aliases(api):
+    api.insertWorkQueue([{"id": 9, "start_height": 1, "end_height": 2}])
+    assert api.countWorkQueue("pending") == 1
+    assert api.getLastIndexedHeight() == 0
+    assert api.getMaxBlockHeight() == 0

@@ -1,0 +1,338 @@
+"""User-facing indexer API — the reference's database helper surface
+(src/database/clickhouse_queries.js module.exports, src/core/
+orchestrator.js splitRange) re-expressed over parquet + DataFrames.
+
+A user of the reference drives it through ~14 functions
+(getLastIndexedHeight, countWorkQueue, getPendingWork,
+updateWorkQueueStatus, insertWorkQueue, getOverlappingRanges,
+addFailedBlock, ...). This facade exposes the same surface with the
+same semantics, one method per reference export (camelCase aliases
+included), so switching engines is a s/require/import/.
+
+Storage model — Spark-first, not a port: ClickHouse mutates rows in
+place via ReplacingMergeTree merges and async `ALTER TABLE` mutations.
+On an object store at 100 TB, in-place mutation is the wrong primitive;
+the native design is an APPEND-ONLY versioned log per table:
+
+- every write (insert/update/delete) appends rows with a monotonically
+  increasing ``_version`` and a ``_deleted`` tombstone flag;
+- every read applies FINAL: latest version per key wins
+  (``max_by``-style window), tombstones drop out.
+
+That is exactly ReplacingMergeTree + CollapsingMergeTree semantics with
+the merge moved to read time (and compaction as an offline rewrite —
+``compact()``), which is how log-structured tables (Iceberg/Delta/Hudi)
+do it on Spark. Point updates cost one tiny appended file, never a
+partition rewrite; the FINAL window shuffles only the key column.
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_WORK_QUEUE_SCHEMA = (
+    "id long, start_height long, end_height long, status string, "
+    "error_message string, created_at timestamp, "
+    "_version long, _deleted boolean"
+)
+_FAILED_BLOCKS_SCHEMA = (
+    "block_height long, error_type string, error_message string, "
+    "worker_id string, attempts int, "
+    "_version long, _deleted boolean"
+)
+_INDEX_STATE_SCHEMA = (
+    "index_name string, last_processed_height long, updated_at timestamp, "
+    "_version long, _deleted boolean"
+)
+
+_monotonic = itertools.count(int(time.time() * 1000))
+
+
+def _next_version() -> int:
+    """Monotonic version for appended rows (per-process; a cluster
+    deployment would use a commit-service sequence or txn timestamp)."""
+    return next(_monotonic)
+
+
+class IndexerAPI:
+    """Drop-in query/command surface of the reference indexer.
+
+    Parameters
+    ----------
+    spark : SparkSession
+    base_path : str
+        Directory holding one subdirectory per table
+        (``work_queue/``, ``failed_blocks/``, ``index_state/``,
+        ``blocks/``). Tables are created lazily on first write.
+    """
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base = base_path.rstrip("/")
+
+    # -- storage primitives -------------------------------------------------
+    def _path(self, table: str) -> str:
+        return f"{self.base}/{table}"
+
+    def _read_log(self, table: str, schema: str) -> DataFrame:
+        """Raw versioned log (may not exist yet → empty)."""
+        try:
+            return self.spark.read.schema(schema).parquet(self._path(table))
+        except Exception:
+            return self.spark.createDataFrame([], schema)
+
+    def _append(self, table: str, rows: list[dict], schema: str) -> None:
+        v = _next_version()
+        full = [{**r, "_version": v, "_deleted": r.get("_deleted", False)}
+                for r in rows]
+        (self.spark.createDataFrame(full, schema)
+         .coalesce(1)
+         .write.mode("append").parquet(self._path(table)))
+
+    @staticmethod
+    def _final(log: DataFrame, key_cols: list[str]) -> DataFrame:
+        """FINAL semantics: latest version per key, tombstones removed.
+        One shuffle on the key — the same cost ClickHouse pays in its
+        background merge, paid lazily here."""
+        w = Window.partitionBy(*key_cols).orderBy(F.col("_version").desc())
+        return (
+            log.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (~F.col("_deleted")))
+            .drop("_rn", "_version", "_deleted")
+        )
+
+    def compact(self, table: str, schema: str, key_cols: list[str]) -> None:
+        """Offline compaction: rewrite the log as its FINAL state (the
+        explicit analog of ClickHouse's background merge / OPTIMIZE)."""
+        final = self._final(self._read_log(table, schema), key_cols)
+        tmp = self._path(table) + "__compact"
+        final_with_meta = final.withColumn(
+            "_version", F.lit(_next_version())
+        ).withColumn("_deleted", F.lit(False))
+        final_with_meta.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+            self._path(table)
+        )
+
+    # -- work_queue (clickhouse_queries.js:153-231) -------------------------
+    def work_queue(self) -> DataFrame:
+        """work_queue FINAL — the view every queue query runs against."""
+        return self._final(
+            self._read_log("work_queue", _WORK_QUEUE_SCHEMA), ["id"]
+        )
+
+    def insert_work_queue(self, items: list[dict]) -> None:
+        """insertWorkQueue (clickhouse_queries.js:199-214): enqueue
+        [{id, start_height, end_height, status?}, ...]."""
+        now = time.time()
+        self._append(
+            "work_queue",
+            [
+                {
+                    "id": int(it["id"]),
+                    "start_height": int(it["start_height"]),
+                    "end_height": int(it["end_height"]),
+                    "status": it.get("status", "pending"),
+                    "error_message": None,
+                    "created_at": __import__("datetime").datetime.fromtimestamp(now),
+                }
+                for it in items
+            ],
+            _WORK_QUEUE_SCHEMA,
+        )
+
+    def count_work_queue(self, status: str) -> int:
+        """countWorkQueue (clickhouse_queries.js:153-158):
+        `SELECT count() FROM work_queue FINAL WHERE status = ?`."""
+        return (
+            self.work_queue().filter(F.col("status") == status).count()
+        )
+
+    def get_pending_work(self, limit: int = 1) -> DataFrame:
+        """getPendingWork (clickhouse_queries.js:163-168): first N
+        pending items by id — TakeOrderedAndProject, no global sort."""
+        return (
+            self.work_queue()
+            .filter(F.col("status") == "pending")
+            .orderBy("id")
+            .limit(limit)
+        )
+
+    def update_work_queue_status(
+        self, id: int, status: str, error_message: str | None = None
+    ) -> None:
+        """updateWorkQueueStatus (clickhouse_queries.js:173-185): the
+        reference issues `ALTER TABLE ... UPDATE`; here it is a
+        versioned re-append of the row — O(1) write, merged at read."""
+        cur = self.work_queue().filter(F.col("id") == id).collect()
+        if not cur:
+            raise KeyError(f"work_queue id {id} not found")
+        r = cur[0].asDict()
+        r.update(status=status, error_message=error_message)
+        self._append("work_queue", [r], _WORK_QUEUE_SCHEMA)
+
+    def delete_work_queue_item(self, id: int) -> None:
+        """deleteWorkQueueItem (clickhouse_queries.js:190-194): tombstone
+        append (`ALTER TABLE ... DELETE` analog; no partition rewrite)."""
+        self._append(
+            "work_queue",
+            [{
+                "id": int(id), "start_height": None, "end_height": None,
+                "status": None, "error_message": None, "created_at": None,
+                "_deleted": True,
+            }],
+            _WORK_QUEUE_SCHEMA,
+        )
+
+    def get_overlapping_ranges(self, start_height: int, end_height: int) -> DataFrame:
+        """getOverlappingRanges (clickhouse_queries.js:220-231): queued
+        ranges overlapping [start, end] — `NOT (e < s1 OR e1 < s)` with
+        the probe interval a literal, so it pushes down to the scan."""
+        return self.work_queue().filter(
+            F.col("status").isin("pending", "processing")
+            & ~(
+                (F.col("end_height") < F.lit(start_height))
+                | (F.lit(end_height) < F.col("start_height"))
+            )
+        )
+
+    # -- failed_blocks (clickhouse_queries.js:234-258, worker.js:335-374) ---
+    def failed_blocks(self) -> DataFrame:
+        return self._final(
+            self._read_log("failed_blocks", _FAILED_BLOCKS_SCHEMA),
+            ["block_height"],
+        )
+
+    def add_failed_block(
+        self,
+        height: int,
+        error_type: str,
+        error_message: str,
+        worker_id: str | None = None,
+    ) -> None:
+        """addFailedBlock (clickhouse_queries.js:234-252): upsert with
+        attempts+1 — read current attempts, append the bumped row."""
+        cur = self.failed_blocks().filter(
+            F.col("block_height") == height
+        ).collect()
+        attempts = (cur[0]["attempts"] if cur else 0) + 1
+        self._append(
+            "failed_blocks",
+            [{
+                "block_height": int(height), "error_type": error_type,
+                "error_message": error_message, "worker_id": worker_id,
+                "attempts": attempts,
+            }],
+            _FAILED_BLOCKS_SCHEMA,
+        )
+
+    def remove_failed_block(self, height: int) -> None:
+        """removeFailedBlock (clickhouse_queries.js:256-258)."""
+        self._append(
+            "failed_blocks",
+            [{
+                "block_height": int(height), "error_type": None,
+                "error_message": None, "worker_id": None, "attempts": None,
+                "_deleted": True,
+            }],
+            _FAILED_BLOCKS_SCHEMA,
+        )
+
+    def retry_schedule(self) -> DataFrame:
+        """Retry backoff per failed block —
+        `min(600, 2^min(attempts,5) * 5)` seconds
+        (worker.js:335-374, scripts/retry_failed.js:82)."""
+        return self.failed_blocks().withColumn(
+            "retry_in_s",
+            F.least(
+                F.lit(600),
+                F.pow(F.lit(2), F.least(F.col("attempts"), F.lit(5))) * 5,
+            ).cast("int"),
+        )
+
+    # -- index_state (clickhouse_queries.js:115-139) ------------------------
+    def get_last_indexed_height(self, index_name: str = "decoded_indexer") -> int:
+        """getLastIndexedHeight (clickhouse_queries.js:115-125): latest
+        row by updated_at for the index — argmax, 0 when absent."""
+        log = self._read_log("index_state", _INDEX_STATE_SCHEMA)
+        row = (
+            self._final(log, ["index_name"])
+            .filter(F.col("index_name") == index_name)
+            .select("last_processed_height")
+            .collect()
+        )
+        return int(row[0][0]) if row else 0
+
+    def update_last_indexed_height(self, index_name: str, height: int) -> None:
+        """updateLastIndexedHeight (clickhouse_queries.js:130-139)."""
+        self._append(
+            "index_state",
+            [{
+                "index_name": index_name,
+                "last_processed_height": int(height),
+                "updated_at": __import__("datetime").datetime.now(),
+            }],
+            _INDEX_STATE_SCHEMA,
+        )
+
+    # -- blocks / generic (clickhouse_queries.js:96-148) --------------------
+    def insert(self, table: str, df: DataFrame) -> None:
+        """insert (clickhouse_queries.js:96-110): bulk append of a
+        DataFrame into a table directory."""
+        df.write.mode("append").parquet(self._path(table))
+
+    def get_max_block_height(self) -> int:
+        """getMaxBlockHeight (clickhouse_queries.js:142-148)."""
+        try:
+            blocks = self.spark.read.parquet(self._path("blocks"))
+        except Exception:
+            return 0
+        row = blocks.agg(F.max("height")).collect()[0][0]
+        return int(row) if row is not None else 0
+
+    def query(self, sql: str) -> DataFrame:
+        """query (clickhouse_queries.js:8-72): ad-hoc SQL over the FINAL
+        views — registers work_queue / failed_blocks / index_state and
+        delegates to Spark SQL (Catalyst replaces the hand-rolled
+        DELETE/UPDATE → ALTER rewriting: those are API methods here)."""
+        self.work_queue().createOrReplaceTempView("work_queue")
+        self.failed_blocks().createOrReplaceTempView("failed_blocks")
+        self._final(
+            self._read_log("index_state", _INDEX_STATE_SCHEMA), ["index_name"]
+        ).createOrReplaceTempView("index_state")
+        return self.spark.sql(sql)
+
+    # -- orchestrator helpers (src/core/orchestrator.js) --------------------
+    @staticmethod
+    def split_range(start: int, end: int, parts: int) -> list[tuple[int, int]]:
+        """splitRange (orchestrator.js:78-92): contiguous parts covering
+        [start, end], sizes differing by ≤1, remainder on the first
+        parts. Pure driver-side function (the distributed twin is the
+        `range_split` operator)."""
+        total = end - start + 1
+        parts = max(1, min(parts, total))
+        base, rem = divmod(total, parts)
+        out, cur = [], start
+        for i in range(parts):
+            size = base + (1 if i < rem else 0)
+            out.append((cur, cur + size - 1))
+            cur += size
+        return out
+
+    # camelCase aliases — the reference's exact export names
+    getLastIndexedHeight = get_last_indexed_height
+    updateLastIndexedHeight = update_last_indexed_height
+    getMaxBlockHeight = get_max_block_height
+    countWorkQueue = count_work_queue
+    getPendingWork = get_pending_work
+    updateWorkQueueStatus = update_work_queue_status
+    deleteWorkQueueItem = delete_work_queue_item
+    insertWorkQueue = insert_work_queue
+    getOverlappingRanges = get_overlapping_ranges
+    addFailedBlock = add_failed_block
+    removeFailedBlock = remove_failed_block
+    splitRange = split_range

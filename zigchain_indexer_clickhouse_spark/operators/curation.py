@@ -350,3 +350,128 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
         F.col("rnk") <= 5
     )
+
+
+# --------------------------------------------------------------------------
+# 77. gopher_quality_filter — rule-based doc quality gate
+# --------------------------------------------------------------------------
+@register(
+    "gopher_quality_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_words,
+             ROUND(list_sum(list_transform(toks, t -> strlen(t))) * 1.0
+                   / len(toks), 4) AS mean_word_len,
+             ROUND(list_sum(list_transform(toks,
+                     t -> CASE WHEN t IN ('the','a','of','to','in')
+                               THEN 1 ELSE 0 END)) * 1.0 / len(toks), 4)
+               AS stopword_frac
+      FROM tok
+    )
+    SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+           mean_word_len, stopword_frac,
+           CAST(CASE WHEN n_words BETWEEN 30 AND 100000
+                      AND mean_word_len BETWEEN 3 AND 8
+                      AND stopword_frac <= 0.3
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM m
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based quality gate in the Gopher/C4 style: word count,
+    mean word length, and stopword fraction per document, plus the
+    keep/drop verdict. Entirely narrow per-row higher-order-function
+    arithmetic — no shuffle at all, so it streams through 100 TB at
+    scan speed (the shape you want for the first pass of a corpus
+    pipeline, before anything that needs a shuffle)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.trim("text"), " ").alias("toks")
+    )
+    n_words = F.size("toks")
+    sum_len = F.aggregate(
+        F.transform("toks", lambda t: F.length(t)), F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_stop = F.aggregate(
+        F.transform(
+            "toks",
+            lambda t: F.when(
+                t.isin("the", "a", "of", "to", "in"), 1
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    m = d.select(
+        "doc_id",
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        F.round(sum_len * 1.0 / n_words, 4).alias("mean_word_len"),
+        F.round(n_stop * 1.0 / n_words, 4).alias("stopword_frac"),
+    )
+    keep = (
+        F.col("n_words").between(30, 100000)
+        & F.col("mean_word_len").between(3, 8)
+        & (F.col("stopword_frac") <= 0.3)
+    )
+    return m.withColumn("keep", keep.cast("int"))
+
+
+# --------------------------------------------------------------------------
+# 78. repetition_filter — within-doc n-gram repetition gate
+# --------------------------------------------------------------------------
+@register(
+    "repetition_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, toks[g.i] || ' ' || toks[g.i+1] AS gram
+      FROM tok, generate_series(1, 4000) g(i)
+      WHERE g.i <= len(toks) - 1
+    ),
+    per_gram AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+           ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_gram_frac,
+           CAST(CASE WHEN MAX(c) * 1.0 / SUM(c) <= 0.2 THEN 1 ELSE 0 END
+                AS INT) AS keep
+    FROM per_gram GROUP BY doc_id
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition gate (the Gopher 'repetition' rules):
+    share of all 2-grams taken by the single most frequent 2-gram; docs
+    dominated by one phrase are boilerplate and dropped. Two aggregates,
+    both keyed by doc_id — the second reuses the first's hash
+    partitioning, so the gram explosion shuffles once and the wide gram
+    strings never leave their executor a second time."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, F.lit(2))),
+    )
+    per_gram = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+    )
+    out = per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_grams"),
+        F.count("*").cast("long").alias("n_distinct_grams"),
+        F.round(F.max("c") * 1.0 / F.sum("c"), 4).alias("top_gram_frac"),
+    )
+    return out.withColumn(
+        "keep", (F.col("top_gram_frac") <= 0.2).cast("int")
+    )

@@ -342,3 +342,77 @@ def status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# 76. asof_join — as-of (point-in-time) join, union+window formulation
+# --------------------------------------------------------------------------
+@register(
+    "asof_join",
+    oracle="""
+    WITH snaps AS (
+      SELECT user_id, ts AS snap_ts, MAX(value) AS snap_value
+      FROM events WHERE event_id % 100 = 0
+      GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, e.value, s.snap_ts, s.snap_value
+    FROM events e
+    ASOF LEFT JOIN snaps s
+      ON e.user_id = s.user_id AND e.ts >= s.snap_ts
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the latest per-user snapshot at or
+    before its timestamp (the point-in-time enrichment the reference
+    approximates with argmax-by-updated_at reads of index_state,
+    clickhouse_queries.js:115-125 — generalized to per-key history).
+
+    Spark-first formulation: Spark has no ASOF JOIN operator, and a
+    range join (`s.ts <= e.ts` + window) degenerates to O(n·m) per key.
+    The scalable shape is UNION + WINDOW: tag snapshots and events,
+    union them, and carry the last non-null snapshot forward with a
+    running `last(ignorenulls)` over (user, ts). ONE shuffle on the key,
+    each row touched once — survives any scale where a single user's
+    history fits a partition (AQE splits the rest). Ties (event ts ==
+    snapshot ts) sort the snapshot first, matching ASOF's >= semantics;
+    snapshots are pre-deduped per (user, ts) so the order is total.
+    """
+    e = load(spark, sf_dir, "events")
+    snaps = (
+        e.filter(F.col("event_id") % 100 == 0)
+        .groupBy("user_id", F.col("ts").alias("snap_ts"))
+        .agg(F.max("value").alias("snap_value"))
+    )
+    tagged_s = snaps.select(
+        "user_id",
+        F.col("snap_ts").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+        F.col("snap_ts"),
+        "snap_value",
+        F.lit(0).alias("is_event"),
+    )
+    tagged_e = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.lit(None).cast("timestamp").alias("snap_ts"),
+        F.lit(None).cast("double").alias("snap_value"),
+        F.lit(1).alias("is_event"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged_s.unionAll(tagged_e).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.last("snap_ts", ignorenulls=True).over(w).alias("snap_ts"),
+        F.last("snap_value", ignorenulls=True).over(w).alias("snap_value"),
+        "is_event",
+    )
+    return filled.filter(F.col("is_event") == 1).drop("is_event")
