@@ -42,6 +42,11 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "doc_fingerprint",
+    "mv_daily_tx_stats",
+    "asof_join",
+    "distinct_users_skew_safe",
+    "contamination_check",
+    "gopher_quality_filter",
 )
 
 

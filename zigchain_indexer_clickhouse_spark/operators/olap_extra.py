@@ -416,3 +416,35 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_event",
     )
     return filled.filter(F.col("is_event") == 1).drop("is_event")
+
+
+# --------------------------------------------------------------------------
+# 79. distinct_users_skew_safe — skew-proof exact distinct count
+# --------------------------------------------------------------------------
+@register(
+    "distinct_users_skew_safe",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type, shaped for skew: event_type
+    has ~5 values, so a direct groupBy(event_type).agg(countDistinct)
+    would funnel the whole table through 5 reducers. Instead the first
+    aggregate keys on the WIDE composite (event_type, user_id) — evenly
+    spread, partial-agg collapses duplicates map-side — and the second
+    counts the survivors per type (tiny input). Same two-exchange count
+    as Spark's distinct rewrite but with the heavy shuffle on a
+    skew-free key; at 100 TB swap stage 2's input for the stage 1
+    output and nothing changes. n_events rides along via a sum of
+    per-(type,user) partial counts — no extra pass."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("c")
+    )
+    return per_user.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("n_events"),
+    )

@@ -231,3 +231,33 @@ def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_append_to_memory(out, "stream_user_state", mode="update")
+
+
+# --------------------------------------------------------------------------
+# 80. stream_sessionize — native session windows on the event stream
+# --------------------------------------------------------------------------
+@register("stream_sessionize")
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch `sessionize` operator (#31): Spark's
+    native `session_window` merges events into gap-based sessions
+    (30-minute inactivity) per user, incrementally, with watermark-
+    bounded state — the streaming form of the lag+cumsum batch plan.
+    State is one open session per active user, merged on arrival;
+    closed sessions emit once the watermark passes the gap."""
+    s = _read_event_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return _run_append_to_memory(agg, "stream_sessionize")
