@@ -1,0 +1,229 @@
+"""Behavioral-analytics operators (#81-83): ClickHouse's windowFunnel /
+retention / sequenceMatch aggregate-function family, re-expressed
+Spark-first. The reference serves its analytics out of ClickHouse
+(SURVEY §2.2), where these are the standard event-stream reporting
+functions; an engine claiming the same serving surface needs them.
+
+Design: all three are per-entity sequence computations. The scalable
+shape is ONE shuffle on user_id into a per-user sorted event array,
+then a pure expression-land fold (`F.aggregate` over the sorted array)
+— no second shuffle, no Python, no self-joins. The DuckDB oracles use
+an equivalent relational (join/EXISTS) formulation, so the fold's
+semantics are cross-checked against an independent derivation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zigchain_indexer_clickhouse_spark.catalog import load
+from zigchain_indexer_clickhouse_spark.plans.registry import register
+
+_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day funnel window in microseconds
+
+
+# --------------------------------------------------------------------------
+# 81. window_funnel — ClickHouse windowFunnel(signup → click → purchase)
+# --------------------------------------------------------------------------
+@register(
+    "window_funnel",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > t1.ts1 AND e.ts <= t1.ts1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3
+      FROM events e
+      JOIN t1 ON e.user_id = t1.user_id
+      JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > t2.ts2 AND e.ts <= t1.ts1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    )
+    SELECT t1.user_id, t1.ts1 AS funnel_start,
+           CAST(CASE WHEN t3.ts3 IS NOT NULL THEN 3
+                     WHEN t2.ts2 IS NOT NULL THEN 2
+                     ELSE 1 END AS INT) AS level
+    FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+            LEFT JOIN t3 ON t1.user_id = t3.user_id
+    """,
+)
+def window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel analog: deepest funnel level (signup → click →
+    purchase) each user reaches within 7 days of their first signup,
+    steps strictly ordered in time.
+
+    One shuffle (groupBy user_id, collecting only funnel-relevant
+    events), then the chain is computed by a fold over the time-sorted
+    array with a (level, start, prev) accumulator — expression-land,
+    codegen'd, zero extra passes. The oracle derives the same result
+    relationally (3 chained min-aggregates), so the fold is verified
+    against an independent formulation."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("us"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("t"),
+                )
+            )
+        ).alias("seq")
+    )
+    init = F.named_struct(
+        F.lit("lvl"), F.lit(0),
+        F.lit("t1"), F.lit(0).cast("long"),
+        F.lit("prev"), F.lit(0).cast("long"),
+    )
+
+    def step(acc, ev):
+        adv1 = (acc["lvl"] == 0) & (ev["t"] == "signup")
+        in_win = (ev["us"] > acc["prev"]) & (ev["us"] <= acc["t1"] + _WINDOW_US)
+        adv2 = (acc["lvl"] == 1) & (ev["t"] == "click") & in_win
+        adv3 = (acc["lvl"] == 2) & (ev["t"] == "purchase") & in_win
+        return F.named_struct(
+            F.lit("lvl"),
+            F.when(adv1, 1).when(adv2, 2).when(adv3, 3).otherwise(acc["lvl"]),
+            F.lit("t1"),
+            F.when(adv1, ev["us"]).otherwise(acc["t1"]),
+            F.lit("prev"),
+            F.when(adv1 | adv2 | adv3, ev["us"]).otherwise(acc["prev"]),
+        )
+
+    folded = per_user.select(
+        "user_id", F.aggregate("seq", init, step).alias("f")
+    ).filter(F.col("f.lvl") >= 1)
+    return folded.select(
+        "user_id",
+        F.timestamp_micros(F.col("f.t1")).alias("funnel_start"),
+        F.col("f.lvl").cast("int").alias("level"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 82. retention_cohorts — ClickHouse retention() cohort analysis
+# --------------------------------------------------------------------------
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(d) AS c FROM days GROUP BY user_id)
+    SELECT c.c AS cohort_day,
+           COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM days d
+                          WHERE d.user_id = c.user_id AND d.d = c.c + 1)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS retained_d1,
+           CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM days d
+                          WHERE d.user_id = c.user_id AND d.d = c.c + 7)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS retained_d7
+    FROM cohort c GROUP BY c.c
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retention() analog: users bucketed by first-activity day, with
+    day-1 and day-7 return counts — the standard cohort table.
+
+    Shape: dedupe to (user, day) — the wide-key shuffle that partial
+    aggregation collapses map-side — then ONE groupBy(user) builds the
+    per-user day set (≤ active-day count, tiny) and computes cohort +
+    return flags with array_contains; the final cohort rollup is a
+    ~one-row-per-day aggregate. No EXISTS self-joins at any scale."""
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    per_user = days.groupBy("user_id").agg(
+        F.min("d").alias("c"), F.collect_set("d").alias("ds")
+    )
+    flags = per_user.select(
+        F.col("c").alias("cohort_day"),
+        F.array_contains("ds", F.date_add(F.col("c"), 1)).cast("int").alias("r1"),
+        F.array_contains("ds", F.date_add(F.col("c"), 7)).cast("int").alias("r7"),
+    )
+    return flags.groupBy("cohort_day").agg(
+        F.count("*").alias("n_users"),
+        F.sum("r1").cast("long").alias("retained_d1"),
+        F.sum("r7").cast("long").alias("retained_d7"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 83. sequence_match — ClickHouse sequenceMatch pattern detection
+# --------------------------------------------------------------------------
+@register(
+    "sequence_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'signup' THEN 's'
+                                        WHEN 'click' THEN 'c'
+                                        WHEN 'purchase' THEN 'p'
+                                        WHEN 'view' THEN 'v'
+                                        ELSE 'e' END, ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(strlen(seq) AS INT) AS seq_len,
+           CAST(CASE WHEN regexp_matches(seq, 's.*c.*p') THEN 1 ELSE 0 END
+                AS INT) AS match_signup_click_purchase,
+           CAST(CASE WHEN regexp_matches(seq, 'ee') THEN 1 ELSE 0 END
+                AS INT) AS match_double_error
+    FROM seqs
+    """,
+)
+def sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceMatch analog: encode each user's time-ordered event
+    stream as a character string (one char per event type) and test
+    ordered patterns with a regex — `(?1).*(?2).*(?3)` becomes
+    `s.*c.*p`. One shuffle to the per-user sorted encoding; the match
+    itself is a codegen'd regexp over a short string. Ties broken by
+    event_id on both engines so the encoding is deterministic."""
+    e = load(spark, sf_dir, "events")
+    chr_col = (
+        F.when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "view", "v")
+        .otherwise("e")
+    )
+    seqs = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                chr_col.alias("ch"),
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("ev")), lambda s: s["ch"]
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("int").alias("seq_len"),
+        F.col("seq").rlike("s.*c.*p").cast("int")
+        .alias("match_signup_click_purchase"),
+        F.col("seq").rlike("ee").cast("int").alias("match_double_error"),
+    )

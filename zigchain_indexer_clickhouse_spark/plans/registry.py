@@ -38,6 +38,7 @@ _MODULES = (
     "zigchain_indexer_clickhouse_spark.operators.multimodal",
     "zigchain_indexer_clickhouse_spark.operators.curation",
     "zigchain_indexer_clickhouse_spark.operators.matviews",
+    "zigchain_indexer_clickhouse_spark.operators.funnel",
     "zigchain_indexer_clickhouse_spark.operators.olap_extra",
     "zigchain_indexer_clickhouse_spark.operators.orchestration",
     "zigchain_indexer_clickhouse_spark.sources.rpc_json",
