@@ -92,3 +92,44 @@ def test_near_dup_candidates_via_equijoin(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+def test_funnel_ops_single_shuffle(spark, sf_dir):
+    """windowFunnel/sequenceMatch run as ONE shuffle + expression fold
+    — the property that makes them viable at 100 TB."""
+    for name in ("window_funnel", "sequence_match"):
+        plan = _plan(spark, sf_dir, name)
+        assert _exchanges(plan) == 1, name
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_asof_join_no_range_join(spark, sf_dir):
+    """As-of must be the union+window formulation: no join node at all
+    (a range join would appear as BNLJ/cartesian), ≤2 exchanges
+    (snapshot dedup + the window's key shuffle)."""
+    plan = _plan(spark, sf_dir, "asof_join")
+    assert "Join" not in plan
+    assert _exchanges(plan) <= 2
+
+
+def test_mv_tx_stats_broadcasts_blocks(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mv_daily_tx_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_skew_safe_distinct_avoids_hot_key_shuffle(spark, sf_dir):
+    """First exchange must hash the WIDE (event_type, user_id) key;
+    a plan whose first shuffle keys on event_type alone has the skew
+    funnel back."""
+    plan = _plan(spark, sf_dir, "distinct_users_skew_safe")
+    # detail sections are ordered by node id, so the first
+    # hashpartitioning(...) printed belongs to the innermost Exchange
+    first_exchange = plan.split("hashpartitioning(")[1]
+    assert "user_id" in first_exchange.split(")")[0]

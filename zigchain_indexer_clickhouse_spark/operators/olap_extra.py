@@ -448,3 +448,29 @@ def distinct_users_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_users"),
         F.sum("c").cast("long").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# 84. approx_sketch_stats — the approximate scale path (HLL + percentile
+#     sketch), rows-only: error bounds asserted in tests, not an oracle
+# --------------------------------------------------------------------------
+@register("approx_sketch_stats")
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-based twins of the exact aggregates — ClickHouse's
+    uniq() (HyperLogLog++) and quantileTDigest() — which are what
+    actually runs at 100 TB: constant-memory per group, one pass,
+    mergeable partials (so partial aggregation still collapses
+    map-side, unlike exact percentile which buffers every value).
+
+    approx_count_distinct = HLL++ at 5% rsd; approx_percentile =
+    positional sketch at accuracy 10000 (~0.01% rank error). Registered
+    rows-only — sketches are engine-specific by construction, so the
+    driver's hash-compare doesn't apply; tests/test_approx.py asserts
+    the error bounds against the exact answers instead."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_sketch"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95_sketch"),
+        F.count("*").alias("n_events"),
+    )
