@@ -42,6 +42,7 @@ _MODULES = (
     "zigchain_indexer_clickhouse_spark.operators.olap_extra",
     "zigchain_indexer_clickhouse_spark.operators.orchestration",
     "zigchain_indexer_clickhouse_spark.sources.rpc_json",
+    "zigchain_indexer_clickhouse_spark.sources.landing",
     "zigchain_indexer_clickhouse_spark.sources.partitioned_write",
     "zigchain_indexer_clickhouse_spark.streaming.event_stream",
 )
