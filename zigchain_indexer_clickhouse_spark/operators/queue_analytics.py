@@ -344,3 +344,137 @@ def recent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("recent_count"))
     )
+
+
+# --------------------------------------------------------------------------
+# 86. monitor_health_report — the monitor's combined dashboard
+# --------------------------------------------------------------------------
+@register(
+    "monitor_health_report",
+    oracle=f"""
+    SELECT 'queue_' || o_orderstatus AS check, COUNT(*) AS n,
+           CAST(MAX(o_orderkey) AS BIGINT) AS detail
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'gaps', COUNT(*), CAST(MAX(e.h) AS BIGINT)
+    FROM (SELECT g.h FROM generate_series(0, 10000000) g(h)
+          WHERE g.h <= (SELECT MAX(o_orderkey) FROM orders)) e
+    LEFT JOIN (SELECT DISTINCT o_orderkey AS height FROM orders
+               WHERE o_orderstatus <> 'O') p ON e.h = p.height
+    WHERE p.height IS NULL
+    UNION ALL
+    SELECT 'stuck_items', COUNT(*),
+           CAST(MAX(floor(epoch(TIMESTAMP '{NOW}' - ts) / 60)) AS BIGINT)
+    FROM events
+    WHERE event_type = 'view' AND ts < TIMESTAMP '{NOW}' - INTERVAL 7 DAY
+    UNION ALL
+    SELECT 'duplicate_ranges', COUNT(*), CAST(MAX(n_queued) AS BIGINT) FROM (
+      SELECT COUNT(*) AS n_queued FROM orders WHERE o_orderstatus = 'O'
+      GROUP BY o_custkey, o_orderpriority HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'looping_ranges', COUNT(*), CAST(MAX(n_times) AS BIGINT) FROM (
+      SELECT COUNT(*) AS n_times FROM events
+      WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+      GROUP BY user_id, event_type HAVING COUNT(*) > 2)
+    UNION ALL
+    SELECT 'recent_activity', COUNT(*),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT)
+    FROM events WHERE ts > (SELECT MAX(ts) - INTERVAL 24 HOUR FROM events)
+    UNION ALL
+    SELECT 'db_blocks', COUNT(*), CAST(MAX(o_orderkey) AS BIGINT) FROM orders
+    """,
+)
+def monitor_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitor's end-to-end health dashboard in one result set
+    (scripts/monitor_indexer.js:24-230 runs these checks sequentially
+    and prints them): queue status rollup, gap scan, stuck items,
+    duplicate/looping ranges, recent activity, and table totals, each
+    as a (check, n, detail) row.
+
+    Shape: seven independent small aggregates unioned — Spark runs the
+    branches as parallel jobs over shared scan subtrees; every branch
+    is a partial-agg-collapsible groupBy or a single-row agg, so the
+    report costs roughly two table scans regardless of data size
+    (the reference runs 7 sequential ClickHouse round-trips)."""
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    now = F.lit(NOW).cast("timestamp")
+
+    queue = o.groupBy("o_orderstatus").agg(
+        F.concat(F.lit("queue_"), F.col("o_orderstatus")).alias("check"),
+        F.count("*").alias("n"),
+        F.max("o_orderkey").cast("long").alias("detail"),
+    ).select("check", "n", "detail")
+
+    present = o.filter(F.col("o_orderstatus") != "O").select(
+        F.col("o_orderkey").alias("height")
+    ).distinct()
+    stripe = 65536
+    expected = (
+        o.agg(F.max("o_orderkey").alias("mh"))
+        .select("mh", F.explode(F.sequence(F.lit(0), F.floor(F.col("mh") / stripe))).alias("chunk"))
+        .select(F.explode(F.sequence(
+            F.col("chunk") * stripe,
+            F.least(F.col("chunk") * stripe + stripe - 1, F.col("mh")),
+        )).alias("h"))
+    )
+    gaps = expected.join(present, expected.h == present.height, "left_anti").agg(
+        F.lit("gaps").alias("check"),
+        F.count("*").alias("n"),
+        F.max("h").cast("long").alias("detail"),
+    )
+
+    age_min = F.floor((now.cast("long") - F.col("ts").cast("long")) / 60)
+    stuck = e.filter(
+        (F.col("event_type") == "view")
+        & (F.col("ts") < F.timestamp_add("DAY", F.lit(-7), now))
+    ).agg(
+        F.lit("stuck_items").alias("check"),
+        F.count("*").alias("n"),
+        F.max(age_min).cast("long").alias("detail"),
+    )
+
+    dups = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count("*").alias("n_queued"))
+        .filter(F.col("n_queued") > 1)
+        .agg(
+            F.lit("duplicate_ranges").alias("check"),
+            F.count("*").alias("n"),
+            F.max("n_queued").cast("long").alias("detail"),
+        )
+    )
+
+    loops = (
+        e.filter(F.col("ts") > F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n_times"))
+        .filter(F.col("n_times") > 2)
+        .agg(
+            F.lit("looping_ranges").alias("check"),
+            F.count("*").alias("n"),
+            F.max("n_times").cast("long").alias("detail"),
+        )
+    )
+
+    cutoff = e.agg(F.timestamp_add("HOUR", F.lit(-24), F.max("ts")).alias("cutoff"))
+    recent = (
+        e.join(F.broadcast(cutoff), e.ts > cutoff.cutoff)
+        .agg(
+            F.lit("recent_activity").alias("check"),
+            F.count("*").alias("n"),
+            F.countDistinct("event_type").cast("long").alias("detail"),
+        )
+    )
+
+    totals = o.agg(
+        F.lit("db_blocks").alias("check"),
+        F.count("*").alias("n"),
+        F.max("o_orderkey").cast("long").alias("detail"),
+    )
+
+    return (
+        queue.unionAll(gaps).unionAll(stuck).unionAll(dups)
+        .unionAll(loops).unionAll(recent).unionAll(totals)
+    )
