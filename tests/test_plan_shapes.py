@@ -133,3 +133,31 @@ def test_skew_safe_distinct_avoids_hot_key_shuffle(spark, sf_dir):
     # hashpartitioning(...) printed belongs to the innermost Exchange
     first_exchange = plan.split("hashpartitioning(")[1]
     assert "user_id" in first_exchange.split(")")[0]
+
+
+# BNLJ is allowed ONLY where the build side is a deliberate tiny
+# broadcast: the 5-query brute-force ANN baseline and the 1-row cutoff
+# aggregates of the trailing-window checks. Everything else: forbidden.
+_BNLJ_ALLOWED = {"ann_cosine_topk", "recent_activity", "monitor_health_report"}
+
+
+def test_global_plan_hygiene(spark, sf_dir):
+    """Sweep EVERY registered batch query: no CartesianProduct, no
+    row-at-a-time Python (BatchEvalPython), and BroadcastNestedLoopJoin
+    only on the explicit allowlist. New operators inherit this gate
+    automatically — a forbidden shape fails CI, not prod."""
+    offenders = {}
+    for name, fn in sorted(_QUERIES.items()):
+        if name.startswith("stream_"):
+            continue  # streaming queries execute eagerly on build
+        plan = _plan(spark, sf_dir, name)
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("cartesian")
+        if "BatchEvalPython" in plan:
+            flags.append("row-python")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWED:
+            flags.append("bnlj")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
