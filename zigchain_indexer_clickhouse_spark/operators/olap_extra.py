@@ -474,3 +474,86 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95_sketch"),
         F.count("*").alias("n_events"),
     )
+
+
+# --------------------------------------------------------------------------
+# 89. q4_priority_semi — EXISTS semi-join (TPC-H Q4 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q4_priority_semi",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1995-01-01'
+      AND o_orderdate < DATE '1995-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late-shipping line,
+    counted by priority. EXISTS compiles to a LEFT-SEMI join — the probe
+    side short-circuits on first match and the build side carries only
+    (orderkey, shipdate), so the semi-join never materializes lineitem's
+    width. Date filter pushes to the orders scan and prunes before the
+    join."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# 90. q22_idle_customers_anti — NOT EXISTS anti-join (TPC-H Q22 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q22_idle_customers_anti",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_idle,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 0
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '1995-01-01'
+                        AND o.o_orderdate < DATE '1996-01-01')
+    GROUP BY n.n_name
+    """,
+)
+def q22_idle_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: positive-balance customers with no 1995 order,
+    rolled up by nation. NOT EXISTS is a LEFT-ANTI join on the custkey;
+    orders is filtered (pushdown) and projected to the single join
+    column before the shuffle, and the nation name attaches afterwards
+    via broadcast (25 rows) — the anti-join runs on the narrowest
+    possible inputs."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("date"))
+        )
+        .select("o_custkey")
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation")
+    )
+    idle = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(n), "c_nationkey")
+        .groupBy("nation")
+        .agg(
+            F.count("*").alias("n_idle"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
