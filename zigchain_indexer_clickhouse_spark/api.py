@@ -29,7 +29,9 @@ partition rewrite; the FINAL window shuffles only the key column.
 from __future__ import annotations
 
 import itertools
+import shutil
 import time
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -117,6 +119,7 @@ class IndexerAPI:
         self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
             self._path(table)
         )
+        shutil.rmtree(tmp, ignore_errors=True)
 
     # -- work_queue (clickhouse_queries.js:153-231) -------------------------
     def work_queue(self) -> DataFrame:
@@ -138,7 +141,7 @@ class IndexerAPI:
                     "end_height": int(it["end_height"]),
                     "status": it.get("status", "pending"),
                     "error_message": None,
-                    "created_at": __import__("datetime").datetime.fromtimestamp(now),
+                    "created_at": datetime.fromtimestamp(now),
                 }
                 for it in items
             ],
@@ -274,7 +277,7 @@ class IndexerAPI:
             [{
                 "index_name": index_name,
                 "last_processed_height": int(height),
-                "updated_at": __import__("datetime").datetime.now(),
+                "updated_at": datetime.now(),
             }],
             _INDEX_STATE_SCHEMA,
         )

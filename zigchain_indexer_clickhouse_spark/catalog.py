@@ -57,3 +57,44 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql() use."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# Canonical column sets per table — the catalog's expectation, checked
+# by verify_catalog (the init_clickhouse.js:465-495 verifyTables analog).
+EXPECTED_COLUMNS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_name", "n_regionkey"),
+    "customer": ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier": ("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part": ("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders": ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events": ("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents": ("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings": ("vec_id", "embedding"),
+}
+
+
+def verify_catalog(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Verify every expected table exists and carries the expected
+    columns — the engine's analog of the reference's verifyTables
+    (init_clickhouse.js:465-495: enumerate system.tables, flag missing).
+
+    Returns {table: status} with status 'ok', 'missing', or
+    'schema-drift: ...'. Reads only parquet FOOTERS (schema inspection
+    triggers no scan), so the check is metadata-cost at any data size.
+    """
+    report: dict[str, str] = {}
+    for t in TABLES:
+        try:
+            cols = tuple(load(spark, sf_dir, t).columns)
+        except Exception:
+            report[t] = "missing"
+            continue
+        expected = EXPECTED_COLUMNS[t]
+        missing = [c for c in expected if c not in cols]
+        report[t] = f"schema-drift: lacks {missing}" if missing else "ok"
+    return report
