@@ -333,3 +333,38 @@ def table_storage_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stats("events", ["event_type", "props"], 3,
                         F.col("event_id"), 10000))
     )
+
+
+# --------------------------------------------------------------------------
+# 91. partition_ttl — TTL-based partition lifecycle (DROP PARTITION analog)
+# --------------------------------------------------------------------------
+@register(
+    "partition_ttl",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS part_month,
+           COUNT(*) AS n_rows,
+           CAST(CASE WHEN date_trunc('month', o_orderdate)
+                          < DATE '1995-01-01' THEN 1 ELSE 0 END AS INT)
+             AS expired
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def partition_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition TTL sweep: per month-partition row counts plus the
+    expired flag against a retention cutoff — the planning query behind
+    ClickHouse's `TTL ... DELETE` / `ALTER TABLE DROP PARTITION`
+    (the reference partitions by height range, src/database/partition.js,
+    and relies on partition-level lifecycle for cleanup). On parquet the
+    execution is a metadata-only directory delete of expired partitions
+    — no data is read or rewritten, which is the entire point of
+    partition-aligned retention at 100 TB; this plan is the decision
+    input, one partial-agg shuffle wide."""
+    o = load(spark, sf_dir, "orders")
+    part = F.date_trunc("month", "o_orderdate")
+    return o.groupBy(part.cast("date").alias("part_month")).agg(
+        F.count("*").alias("n_rows"),
+        F.max(
+            F.when(part.cast("date") < F.lit("1995-01-01").cast("date"), 1).otherwise(0)
+        ).cast("int").alias("expired"),
+    )

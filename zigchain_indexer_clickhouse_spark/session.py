@@ -35,6 +35,12 @@ def get_spark(app_name: str = "zigchain-indexer-spark", master: str | None = Non
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Broadcast anything under 32 MB — all our dims qualify.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Runtime Bloom-filter injection on large shuffle joins — the
+        # engine-side analog of the reference's bloom_filter skip
+        # indexes (models.js:125,233,282): the probe side is pre-filtered
+        # by a bloom built from the build side, cutting shuffled rows
+        # before the exchange.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
