@@ -80,3 +80,64 @@ def partitioned_write_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("event_id").cast("long").alias("max_height"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 92. tx_hash_bucketed_lookup — hash-bucketed layout for point lookups
+# --------------------------------------------------------------------------
+@register(
+    "tx_hash_bucketed_lookup",
+    oracle="""
+    WITH txs AS (
+      SELECT o_orderkey AS tx_id,
+             upper(sha256('tx-' || CAST(o_orderkey AS VARCHAR))) AS tx_hash
+      FROM orders
+    )
+    SELECT tx_id, tx_hash, substr(tx_hash, 1, 2) AS hash_bucket
+    FROM txs
+    WHERE tx_hash IN (
+      SELECT upper(sha256('tx-' || CAST(k AS VARCHAR)))
+      FROM (SELECT 17 AS k UNION ALL SELECT 4242 UNION ALL SELECT 99991)
+    )
+    """,
+)
+def tx_hash_bucketed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookups on a HASH-BUCKETED layout — the storage design the
+    reference approximates with a bloom_filter skip index on tx_hash
+    (models.js:125,233,282). The tx table is written partitioned by the
+    first hash byte (256 directories); a lookup then touches exactly
+    one directory via PartitionFilters instead of scanning every file's
+    bloom footer. At 100 TB that is the difference between a metadata
+    op and a full-index probe; the write costs one range shuffle."""
+    o = load(spark, sf_dir, "orders")
+    from zigchain_indexer_clickhouse_spark.functions.hashing import tx_hash
+
+    txs = o.select(
+        F.col("o_orderkey").alias("tx_id"),
+        tx_hash(F.concat(F.lit("tx-"), F.col("o_orderkey").cast("string"))).alias(
+            "tx_hash"
+        ),
+    ).withColumn("hash_bucket", F.substring("tx_hash", 1, 2))
+
+    key = hashlib.md5(f"{sf_dir}|txhash".encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"zic_spark_txhash_{key}")
+    (
+        txs.repartitionByRange("hash_bucket")
+        .write.mode("overwrite")
+        .partitionBy("hash_bucket")
+        .parquet(path)
+    )
+
+    probes = [17, 4242, 99991]
+    probe_hashes = [
+        hashlib.sha256(f"tx-{k}".encode()).hexdigest().upper() for k in probes
+    ]
+    probe_buckets = [h[:2] for h in probe_hashes]
+    # bucket predicate prunes to ≤3 directories (PartitionFilters);
+    # the hash predicate then pushes into those files' row groups
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("hash_bucket").isin(probe_buckets))
+        .filter(F.col("tx_hash").isin(probe_hashes))
+        .select("tx_id", "tx_hash", F.col("hash_bucket").cast("string").alias("hash_bucket"))
+    )

@@ -261,3 +261,35 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_append_to_memory(agg, "stream_sessionize")
+
+
+# --------------------------------------------------------------------------
+# 93. stream_static_enrich — stream ⋈ static dimension (dictGet, streaming)
+# --------------------------------------------------------------------------
+@register("stream_static_enrich")
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    per-user profile built from the batch table (the streaming form of
+    dict_lookup / ClickHouse dictGet — every micro-batch probes the
+    static side, which Spark re-plans per batch and broadcasts when
+    small). No watermark needed: the static side is bounded, so the
+    join is stateless."""
+    from zigchain_indexer_clickhouse_spark.catalog import load
+
+    profile = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("lifetime_events"),
+            F.round(F.sum("value"), 2).alias("lifetime_value"),
+        )
+    )
+    s = _read_event_stream(spark, sf_dir)
+    enriched = s.join(profile, "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "lifetime_events",
+        "lifetime_value",
+    )
+    return _run_append_to_memory(enriched, "stream_static_enrich")
