@@ -407,3 +407,95 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= NGRAM_JACCARD_MIN)
     )
+
+
+# --------------------------------------------------------------------------
+# 94. dedup_clusters — connected components over duplicate pairs
+# --------------------------------------------------------------------------
+_CLUSTER_EDGES_SQL = """
+      SELECT doc_id AS a, doc_id + 10000 AS b FROM documents
+      UNION ALL
+      SELECT doc_id, doc_id + 20000 FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id, doc_id + 1 FROM documents
+      WHERE doc_id % 50 = 0
+        AND doc_id + 1 IN (SELECT doc_id FROM documents)
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE base AS ({_CLUSTER_EDGES_SQL}),
+    edges AS (
+      SELECT a, b FROM base UNION SELECT b, a FROM base
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach AS (
+      SELECT n AS src, n AS dst FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT CAST(src AS BIGINT) AS doc_id,
+           CAST(MIN(dst) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the duplicate-pair graph — the step
+    after pair generation in every corpus dedup pipeline: transitive
+    duplicates (A~B, B~C) must land in ONE cluster so a single
+    canonical doc (the min id) survives. The reference's
+    ReplacingMergeTree only dedups exact keys; component-forming is the
+    generalization near-dup pipelines need.
+
+    Spark-first iterative algorithm: min-label propagation. Each
+    round, every node takes the min label over itself and its
+    neighbors (one join + one groupBy, both hash-partitioned on the
+    node id); converges in O(diameter) rounds — the synthetic edge set
+    has diameter ≤ 3, real near-dup graphs rarely exceed ~20 (the
+    iteration cap). Convergence is detected by an aggregate checksum,
+    not a row-by-row diff. The oracle computes the same components
+    with a recursive-CTE transitive closure — an independent
+    formulation, so the propagation loop is cross-checked end to end.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    e1 = d.select(F.col("doc_id").alias("a"), (F.col("doc_id") + 10000).alias("b"))
+    e2 = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 20000).alias("b")
+    )
+    nxt = d.select((F.col("doc_id")).alias("nd"))
+    e3 = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .join(nxt, F.col("doc_id") + 1 == F.col("nd"))
+        .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
+    )
+    base = e1.unionAll(e2).unionAll(e3)
+    edges = base.unionAll(
+        base.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+
+    labels = edges.select(F.col("a").alias("n")).distinct().select(
+        "n", F.col("n").alias("label")
+    )
+    prev_sum = None
+    for _ in range(20):  # diameter cap; each round is 2 shuffles
+        neighbor_min = (
+            edges.join(labels, edges.a == labels.n)
+            .select(F.col("b").alias("n"), "label")
+            .unionAll(labels)
+            .groupBy("n")
+            .agg(F.min("label").alias("label"))
+        )
+        # convergence: sum of labels is strictly decreasing until fixed
+        cur_sum = neighbor_min.agg(F.sum("label")).collect()[0][0]
+        labels = neighbor_min
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        labels = labels.persist()
+
+    return labels.select(
+        F.col("n").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("cluster_id"),
+    )

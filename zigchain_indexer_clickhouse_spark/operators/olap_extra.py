@@ -557,3 +557,174 @@ def q22_idle_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 95. q7_nation_volume — bi-directional nation-pair trade (TPC-H Q7 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between a nation pair, both
+    directions, by year. The interesting plan property: BOTH nation
+    joins broadcast and their filters APPLY BEFORE the fact-fact join —
+    customer and supplier shrink to one nation each, so the surviving
+    orders/lineitem rows are a small fraction before the only real
+    shuffle (lineitem ⋈ orders on orderkey, bloom-filtered)."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ("NATION_1", "NATION_2")
+    c = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n.filter(F.col("n_name").isin(*pair))),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.filter(F.col("n_name").isin(*pair))),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    j = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# 96. q8_market_share — region market share by year (TPC-H Q8 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q8_market_share",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      JOIN region r ON n2.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                          ELSE 0 END) / SUM(volume), 4) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's purchase volume
+    per year. Conditional-sum-over-sum computes the share in the SAME
+    aggregation (no second pass, no join of two aggregates); the
+    region/nation dims collapse to broadcasts and the customer-region
+    filter prunes orders before the fact-fact shuffle."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_nations = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey")
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(eu_nations),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    ).select("c_custkey")
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+    )
+    return j.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", volume).otherwise(0.0))
+            / F.sum(volume),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+# --------------------------------------------------------------------------
+# 97. q15_top_supplier — max-revenue supplier(s) (TPC-H Q15 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with max quarterly revenue. The
+    revenue CTE computes once; the max is a broadcast scalar (no window
+    over the full aggregate, no second scan of lineitem — Spark caches
+    nothing here, but the agg input is the already-tiny rev relation).
+    Ties (= max) are all returned, matching the spec."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev.total_revenue == mx.mx).select(
+        "supplier_no", "total_revenue"
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(
+        F.broadcast(top), s.s_suppkey == top.supplier_no
+    ).select("s_suppkey", "s_name", "total_revenue")
