@@ -478,7 +478,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("a").alias("n")).distinct().select(
         "n", F.col("n").alias("label")
     )
-    prev_sum = None
+    prev_sum, cached = None, None
     for _ in range(20):  # diameter cap; each round is 2 shuffles
         neighbor_min = (
             edges.join(labels, edges.a == labels.n)
@@ -494,6 +494,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
         labels = labels.persist()
+        if cached is not None:
+            cached.unpersist()  # only the frontier stays cached
+        cached = labels
 
     return labels.select(
         F.col("n").cast("long").alias("doc_id"),

@@ -225,3 +225,42 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= NEAR_DUP_COS)
     )
+
+
+# --------------------------------------------------------------------------
+# 98. embedding_centroids — per-group mean vectors (k-means/IVF primitive)
+# --------------------------------------------------------------------------
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, CAST(g.i - 1 AS INT) AS dim,
+           ROUND(SUM(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 10000)
+                          AS BIGINT)) * 1.0
+                 / (10000 * COUNT(*)), 6) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM embeddings, generate_series(1, 64) g(i)
+    GROUP BY label, g.i
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors — the aggregation primitive under
+    k-means / IVF training and class-prototype similarity. posexplode
+    to (label, dim, value), then ONE groupBy(label, dim) average:
+    partial aggregation collapses each partition to ≤ labels×dims rows
+    map-side, so the shuffle is tiny regardless of vector count — the
+    standard way to average millions of vectors without ever holding
+    more than a counter per (group, dim) in memory.
+
+    Floats are quantized to 1e-4 integers BEFORE aggregating, so both
+    engines sum exactly and neither summation order nor round-half
+    convention (Spark HALF_UP vs DuckDB HALF_EVEN) can flip a digit —
+    avg-of-float aggregates are the classic cross-engine drift trap."""
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    scaled = F.floor(F.col("v").cast("double") * 10000).cast("long")
+    return exploded.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
+        F.round(F.sum(scaled) * 1.0 / (10000 * F.count("*")), 6).alias("centroid"),
+        F.count("*").alias("n_vecs"),
+    )
