@@ -475,3 +475,100 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "keep", (F.col("top_gram_frac") <= 0.2).cast("int")
     )
+
+
+# --------------------------------------------------------------------------
+# 99. sequence_packing — pack docs into fixed token-budget sequences
+# --------------------------------------------------------------------------
+PACK_BUDGET = 2048
+PACK_SHARDS = 4
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM toks
+    )
+    SELECT doc_id, shard, n_tokens, cum_before,
+           CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM packed
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign every document a (pack_id, offset)
+    inside fixed {PACK_BUDGET}-token training sequences — the stage
+    that turns a curated corpus into dense pretraining batches.
+
+    Shape: docs are sharded (doc_id mod {PACK_SHARDS}) and packed
+    greedily in id order WITHIN each shard, so the running-sum window
+    partitions by shard — shard count scales with the cluster and no
+    global sort or single-partition window ever exists. Start-offset
+    assignment (cum_before div budget) is what packers actually use:
+    deterministic, one pass, no bin-search."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).cast("int").alias("shard"),
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = d.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "cum_before",
+        F.floor(F.col("cum_before") / PACK_BUDGET).cast("long").alias("pack_id"),
+        (F.col("cum_before") % PACK_BUDGET).cast("long").alias("pack_offset"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 100. vocab_top_tokens — corpus vocabulary statistics
+# --------------------------------------------------------------------------
+@register(
+    "vocab_top_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.tok FROM
+        (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents) t,
+        UNNEST(t.toks) u(tok)
+    )
+    SELECT tok AS token, COUNT(*) AS term_freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM tok GROUP BY tok
+    ORDER BY term_freq DESC, token LIMIT 50
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: term frequency + document frequency
+    per token, top 50 — the input to vocab construction and stopword
+    induction. Token explosion feeds ONE (token, doc) dedup-free
+    aggregate pair; the top-N runs as TakeOrderedAndProject over the
+    (small) distinct-token relation, never a global sort of the
+    token stream."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token")
+    )
+    stats = d.groupBy("token").agg(
+        F.count("*").alias("term_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    return stats.orderBy(F.col("term_freq").desc(), "token").limit(50)
