@@ -42,6 +42,7 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "doc_fingerprint",
+    "tfidf_top_terms",
     "mv_daily_tx_stats",
     "asof_join",
     "distinct_users_skew_safe",

@@ -9,7 +9,7 @@ single scan per batch; no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zigchain_indexer_clickhouse_spark.catalog import load
@@ -167,4 +167,79 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         rolling_fingerprint(F.split(F.trim("text"), " ")).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 101. tfidf_top_terms — per-doc top terms by TF-IDF weight
+# --------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, u.tok AS token FROM
+        (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents) t,
+        UNNEST(t.toks) u(tok)
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             ROUND(tf.tf * (n.n_docs - df.df + 0.5) / (df.df + 0.5), 4)
+               AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by TF-IDF — keyword
+    extraction / near-dup explanation / topic features, straight out of
+    the curation toolbox.
+
+    Plan: tf aggregate on (doc, token), persisted — it feeds BOTH the
+    scoring join and the df aggregate, and without the persist Catalyst
+    prunes the count out of the df branch and re-scans + re-tokenizes
+    the corpus (explode is the expensive step at 100 TB; same
+    one-materialization-many-consumers pattern as dedup_minhash_lsh).
+    df is map-side-combined per token (agg + broadcast back, NOT a
+    window over token — a window would put every row of a hot token
+    like "the" on one reducer). The 1-row corpus count joins as an
+    explicit broadcast crossJoin (BNLJ over a single-row build = one
+    virtual probe per row; the count itself is a metadata-only parquet
+    footer scan). The idf is the BM25 rational form, not ln():
+    multiply/divide are correctly-rounded IEEE ops, so both engines
+    produce bit-identical scores — libm log differs in the last ulp
+    across engines and would flake the hash compare at round
+    boundaries."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token")
+    )
+    tf = d.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n = load(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf") * (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= 5
     )
