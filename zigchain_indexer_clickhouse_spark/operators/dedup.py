@@ -15,6 +15,9 @@ so wide arrays never ride through the pair shuffle.
 
 from __future__ import annotations
 
+from functools import reduce
+from itertools import combinations
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,8 +32,20 @@ from zigchain_indexer_clickhouse_spark.plans.registry import register
 
 MINHASH_K = 8  # signature length
 LSH_BANDS = 4  # bands of 2 rows each
-SIMHASH_BITS = 32
-SIMHASH_CHUNKS = 4  # 8-bit chunks for candidate banding
+
+# SimHash banding (Manku et al., WWW'07 block-permutation scheme, done as
+# block COMBINATIONS so it's one equi-join): the 60-bit fingerprint splits
+# into M=10 blocks of 6 bits; every T=4-block subset is a 24-bit candidate
+# key. Pigeonhole: hamming<=6 flips touch <=6 blocks, leaving >=4 clean
+# -> every qualifying pair shares >=1 key (guaranteed recall, unlike
+# single-chunk banding which only guarantees hamming<=chunks-1). The
+# (M, T) dial: C(M,T) key rows per doc vs key selectivity (T*6 bits) vs
+# guaranteed radius (M-T).
+SIMHASH_BITS = 60
+SIMHASH_BLOCKS = 10
+SIMHASH_BLOCK_BITS = 6
+SIMHASH_KEY_BLOCKS = 4
+SIMHASH_COMBOS = tuple(combinations(range(SIMHASH_BLOCKS), SIMHASH_KEY_BLOCKS))
 HAMMING_MAX = 6
 JACCARD_MIN = 0.4
 NGRAM_JACCARD_MIN = 0.2
@@ -235,6 +250,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_oracle() -> str:
     h = portable_hash_sql("tok")
     powers = ", ".join(str(1 << i) for i in range(SIMHASH_BITS))
+    bw, nv = SIMHASH_BLOCK_BITS, 1 << SIMHASH_BLOCK_BITS
+    blk_powers = ", ".join(str(1 << (bw * b)) for b in range(SIMHASH_BLOCKS))
+    combo_vals = ", ".join(
+        f"({p}, {c[0]}, {c[1]}, {c[2]}, {c[3]})" for p, c in enumerate(SIMHASH_COMBOS)
+    )
+    kv = " + ".join(
+        f"((simhash // ([{blk_powers}])[pr.i{k} + 1]) % {nv}) * {nv ** k}"
+        for k in range(SIMHASH_KEY_BLOCKS)
+    )
     return f"""
     WITH corpus AS ({_CORPUS_NEAR}),
     tokr AS (
@@ -256,29 +280,34 @@ def _simhash_oracle() -> str:
                   AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id
     ),
-    chunks AS (
-      SELECT doc_id, simhash, c.c AS chunk_idx,
-             (simhash // ([1, 256, 65536, 16777216])[c.c + 1]) % 256 AS chunk
-      FROM sh, generate_series(0, {SIMHASH_CHUNKS - 1}) c(c)
+    keys AS (
+      SELECT doc_id, simhash, pr.p, {kv} AS kv
+      FROM sh, (VALUES {combo_vals}) pr(p, i0, i1, i2, i3)
     )
     SELECT doc_a, doc_b, hamming FROM (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-      FROM chunks a JOIN chunks b
-        ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
-           AND a.doc_id < b.doc_id
+      FROM keys a JOIN keys b
+        ON a.p = b.p AND a.kv = b.kv AND a.doc_id < b.doc_id
     ) WHERE hamming <= {HAMMING_MAX}
     """
 
 
 @register("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: per-token portable hash votes on
-    {SIMHASH_BITS} bits → fingerprint; candidate pairs from 8-bit chunk
-    equi-bands (any hamming≤{HAMMING_MAX} pair shares ≥1 identical chunk
-    by pigeonhole when chunks={SIMHASH_CHUNKS}); verify with
-    bit_count(xor). Bit tests use div/mod arithmetic so the oracle
-    replays identically."""
+    """SimHash near-dup: per-token portable hash votes on 60 bits →
+    fingerprint; candidates from the Manku block-combination bands (see
+    SIMHASH_COMBOS — 24-bit keys, guaranteed recall at hamming≤6);
+    verify with bit_count(xor). Bit tests use div/mod arithmetic so the
+    oracle replays identically.
+
+    Pair-dedup is a FILTER, not distinct(): a qualifying pair matches in
+    possibly many of the 210 bands, but both fingerprints ride through
+    the join, so each row can recompute the full match vector and keep
+    itself only in the FIRST matching band — no extra shuffle of the
+    candidate set (same trick as dedup_minhash_lsh's first-shared-bucket
+    filter)."""
+    bw, nv = SIMHASH_BLOCK_BITS, 1 << SIMHASH_BLOCK_BITS
     c = _corpus(spark, sf_dir, near=True)
     tokr = c.select(
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
@@ -301,32 +330,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simhash")
     )
-    chunks = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1))).alias("chunk_idx"),
-    ).withColumn(
-        "chunk", F.expr("(simhash div cast(pow(2, chunk_idx * 8) as bigint)) % 256")
+
+    # Band keys from a constant-folded literal of the 210 combos — one
+    # small arithmetic expression per row, NOT 210 inlined struct
+    # builders (a ~1000-node tree blows the codegen method limit and
+    # falls back to interpreted eval).
+    combos_sql = "array(" + ", ".join(
+        "array(" + ", ".join(str(blk) for blk in combo) + ")"
+        for combo in SIMHASH_COMBOS
+    ) + ")"
+    kv_sql = " + ".join(
+        f"((simhash div cast(pow(2, c[{k}] * {bw}) as bigint)) % {nv}) * {nv ** k}"
+        for k in range(SIMHASH_KEY_BLOCKS)
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+    keys = (
+        sh.select("doc_id", "simhash", F.posexplode(F.expr(combos_sql)).alias("p", "c"))
+        .withColumn("kv", F.expr(kv_sql))
+    )
+
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.p") == F.col("b.p"))
+        & (F.col("a.kv") == F.col("b.kv"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.c").alias("c"),
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")).alias("x"),
+    )
+    # Pair-dedup filter: a clean block has a zero xor block. Combos are
+    # generated in lexicographic order, so the FIRST all-clean band is
+    # exactly the 4 smallest clean block indices — keep the pair only in
+    # that band.
+    first_band = F.expr(
+        f"slice(filter(sequence(0, {SIMHASH_BLOCKS - 1}),"
+        f"             blk -> (x div cast(pow(2, blk * {bw}) as bigint)) % {nv} = 0),"
+        f"       1, {SIMHASH_KEY_BLOCKS})"
+    )
+    return (
+        cand.filter(first_band == F.col("c"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-            .cast("int")
-            .alias("hamming"),
+            "doc_a",
+            "doc_b",
+            F.bit_count("x").cast("int").alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
-    return pairs
 
 
 # --------------------------------------------------------------------------
