@@ -84,7 +84,14 @@ def test_range_split_matches_reference_formula(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_minhash_lsh", "dedup_simhash", "embedding_near_dup", "contamination_check"],
+    [
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "embedding_near_dup",
+        "contamination_check",
+        "dedup_exact_substring",
+        "semdedup",
+    ],
 )
 def test_near_dup_candidates_via_equijoin(spark, sf_dir, name):
     """Every near-dup/contamination operator must generate candidates
@@ -92,6 +99,15 @@ def test_near_dup_candidates_via_equijoin(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_substring_pair_gen_is_joinless(spark, sf_dir):
+    """dedup_exact_substring expands pairs from the grouped doc-id array
+    in expression land — the plan must contain NO join at all (the
+    naive formulation self-joins the (doc, window) table, shuffling the
+    biggest intermediate twice)."""
+    plan = _plan(spark, sf_dir, "dedup_exact_substring")
+    assert "Join" not in plan
 
 
 def _exchanges(plan: str) -> int:
@@ -138,7 +154,14 @@ def test_skew_safe_distinct_avoids_hot_key_shuffle(spark, sf_dir):
 # BNLJ is allowed ONLY where the build side is a deliberate tiny
 # broadcast: the 5-query brute-force ANN baseline and the 1-row cutoff
 # aggregates of the trailing-window checks. Everything else: forbidden.
-_BNLJ_ALLOWED = {"ann_cosine_topk", "recent_activity", "monitor_health_report"}
+# ops where the BNLJ build side is a single scalar row (broadcast
+# scalar — constant cost at any scale), audited individually
+_BNLJ_ALLOWED = {
+    "ann_cosine_topk",
+    "recent_activity",
+    "monitor_health_report",
+    "tfidf_top_terms",
+}
 
 
 def test_global_plan_hygiene(spark, sf_dir):

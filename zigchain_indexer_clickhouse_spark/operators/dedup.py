@@ -461,6 +461,86 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 102. dedup_exact_substring — shared K-token-window dedup (Lee et al. 2021)
+# --------------------------------------------------------------------------
+EXSUB_K = 8  # tokens per window (paper uses 50-token runs at corpus scale)
+EXSUB_MAX_DF = 8  # stop-window cap: windows in more docs are boilerplate
+
+
+def _exsub_oracle() -> str:
+    wh = portable_hash_sql(f"array_to_string(toks[g.i : g.i + {EXSUB_K - 1}], ' ')")
+    return f"""
+    WITH corpus AS ({_CORPUS_NEAR}),
+    tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM corpus),
+    win AS (
+      SELECT DISTINCT doc_id, {wh} AS wh
+      FROM tok, generate_series(1, 4000) g(i)
+      WHERE g.i <= len(toks) - {EXSUB_K - 1}
+    ),
+    grp AS (
+      SELECT wh FROM win GROUP BY wh
+      HAVING COUNT(*) BETWEEN 2 AND {EXSUB_MAX_DF}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS shared_windows
+    FROM grp g
+    JOIN win a ON a.wh = g.wh
+    JOIN win b ON b.wh = g.wh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register("dedup_exact_substring", oracle=_exsub_oracle())
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): two docs are duplicates when
+    they share any run of {EXSUB_K} consecutive tokens. The paper's
+    suffix array is a single-machine structure; the distributed
+    re-expression is sliding-window hashing — every K-token window,
+    hashed, is a join key, and a shared window IS a shared substring.
+
+    Scale shape: ONE groupBy on the 8-byte window hash (texts never
+    shuffle), then pair expansion happens in expression land from the
+    grouped doc-id array — no self-join of the (doc, window) table, so
+    the candidate stage is one shuffle instead of a two-sided join of
+    the biggest intermediate. The df cap (≤{EXSUB_MAX_DF} docs/window)
+    is the standard stop-window guard: without it one boilerplate
+    header shared by 1M docs emits 10^12 pairs; with it, pair count is
+    ≤ C(cap,2)·windows. The cap is also applied in the oracle, so both
+    engines see the identical candidate space."""
+    c = _corpus(spark, sf_dir, near=True)
+    docs = c.select("doc_id", F.split(F.trim("text"), " ").alias("toks")).filter(
+        F.size("toks") >= EXSUB_K
+    )
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - EXSUB_K),
+            lambda i: portable_hash(
+                F.concat_ws(" ", F.slice(F.col("toks"), i + 1, F.lit(EXSUB_K)))
+            ),
+        )
+    )
+    wh = docs.select("doc_id", F.explode(wins).alias("wh"))
+    grouped = (
+        wh.groupBy("wh")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= EXSUB_MAX_DF))
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(ds) - 2),"
+                " i -> transform(sequence(i + 1, size(ds) - 1),"
+                " j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("shared_windows")
+    )
+
+
+# --------------------------------------------------------------------------
 # 94. dedup_clusters — connected components over duplicate pairs
 # --------------------------------------------------------------------------
 _CLUSTER_EDGES_SQL = """

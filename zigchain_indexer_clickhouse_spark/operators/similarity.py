@@ -228,6 +228,90 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 103. semdedup — semantic dedup: within-cluster cosine prune (SemDeDup)
+# --------------------------------------------------------------------------
+SEMDEDUP_COS = 0.999
+
+
+@register(
+    "semdedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, label, embedding::DOUBLE[] FROM embeddings
+    ),
+    dups AS (
+      SELECT b.vec_id AS vec_b, MIN(a.vec_id) AS keeper
+      FROM corpus a JOIN corpus b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ROUND(list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))), 6) >= {SEMDEDUP_COS}
+      GROUP BY b.vec_id
+    )
+    SELECT c.vec_id, c.label,
+           CAST(COALESCE(d.keeper, c.vec_id) AS BIGINT) AS keeper_id,
+           (d.keeper IS NULL) AS is_kept
+    FROM corpus c LEFT JOIN dups d ON d.vec_b = c.vec_id
+    """,
+)
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    inside each embedding cluster, examples whose cosine similarity
+    exceeds the threshold are semantic duplicates — keep one
+    representative, drop the rest. Here the cluster assignment is the
+    ``label`` column (the k-means step is `embedding_centroids`'s job);
+    the keep rule is deterministic greedy-min: a vector is dropped iff
+    some smaller-id vector in its cluster is ≥-threshold similar, and
+    its keeper_id is the smallest such neighbor.
+
+    Scale shape: the pairwise stage is an equi-join on the cluster id —
+    cost O(Σ cluster²), the SemDeDup invariant, NOT O(n²) — then one
+    groupBy(vec_b) min-agg and a left join back. At 100 TB the guard is
+    cluster-size capping (split oversized clusters by an extra LSH bit,
+    same plan shape). Synthetic clones (vec_id+100000) are guaranteed
+    positives; the oracle builds the identical corpus."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_double().alias("v")
+    )
+    corpus = e.unionAll(
+        e.select((F.col("vec_id") + 100000).alias("vec_id"), "label", "v")
+    )
+    a = corpus.select(
+        F.col("label"), F.col("vec_id").alias("va_id"), F.col("v").alias("va")
+    )
+    b = corpus.select(
+        F.col("label").alias("label_b"), F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+    )
+    dups = (
+        a.join(b, (a.label == b.label_b) & (F.col("va_id") < F.col("vec_b")))
+        .select(
+            "va_id",
+            "vec_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_COS)
+        .groupBy("vec_b")
+        .agg(F.min("va_id").alias("keeper"))
+    )
+    return (
+        corpus.join(dups, corpus.vec_id == dups.vec_b, "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce("keeper", "vec_id").cast("long").alias("keeper_id"),
+            F.col("keeper").isNull().alias("is_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # 98. embedding_centroids — per-group mean vectors (k-means/IVF primitive)
 # --------------------------------------------------------------------------
 @register(
