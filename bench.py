@@ -36,6 +36,9 @@ HEADLINE = (
     "q3_top_unshipped",
     "q5_local_volume",
     "q18_large_orders",
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q21_sole_failing_supplier",
     "rpc_ingest_flatten",
     "range_completeness",
     "dedup_exact",

@@ -101,6 +101,21 @@ def test_near_dup_candidates_via_equijoin(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q21_collapses_exists_pair_to_one_agg(spark, sf_dir):
+    """q21's EXISTS + NOT EXISTS pair must run as ONE aggregate over the
+    joined fact — a plan with 3+ SortMergeJoins means the correlated
+    subqueries came back as self-joins."""
+    plan = _plan(spark, sf_dir, "q21_sole_failing_supplier")
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q9_dims_broadcast_single_agg(spark, sf_dir):
+    """q9: part/supplier/nation all broadcast; only orders shuffles."""
+    plan = _plan(spark, sf_dir, "q9_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
 def test_exact_substring_pair_gen_is_joinless(spark, sf_dir):
     """dedup_exact_substring expands pairs from the grouped doc-id array
     in expression land — the plan must contain NO join at all (the
@@ -161,6 +176,7 @@ _BNLJ_ALLOWED = {
     "recent_activity",
     "monitor_health_report",
     "tfidf_top_terms",
+    "q11_value_concentration",
 }
 
 

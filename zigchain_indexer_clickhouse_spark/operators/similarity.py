@@ -268,7 +268,10 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the pairwise stage is an equi-join on the cluster id —
     cost O(Σ cluster²), the SemDeDup invariant, NOT O(n²) — then one
-    groupBy(vec_b) min-agg and a left join back. At 100 TB the guard is
+    groupBy(vec_b) min-agg and a left join back; the keeper map is two
+    longs per DUPLICATE vector (a small fraction of the corpus), so it
+    broadcasts — at extreme dup rates swap the hint for a bucketed
+    equi-join, same plan otherwise. At 100 TB the pairwise guard is
     cluster-size capping (split oversized clusters by an extra LSH bit,
     same plan shape). Synthetic clones (vec_id+100000) are guaranteed
     positives; the oracle builds the identical corpus."""
@@ -301,7 +304,7 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("va_id").alias("keeper"))
     )
     return (
-        corpus.join(dups, corpus.vec_id == dups.vec_b, "left")
+        corpus.join(F.broadcast(dups), corpus.vec_id == dups.vec_b, "left")
         .select(
             "vec_id",
             "label",

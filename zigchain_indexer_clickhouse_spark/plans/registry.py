@@ -40,6 +40,7 @@ _MODULES = (
     "zigchain_indexer_clickhouse_spark.operators.matviews",
     "zigchain_indexer_clickhouse_spark.operators.funnel",
     "zigchain_indexer_clickhouse_spark.operators.olap_extra",
+    "zigchain_indexer_clickhouse_spark.operators.olap_shapes",
     "zigchain_indexer_clickhouse_spark.operators.orchestration",
     "zigchain_indexer_clickhouse_spark.sources.rpc_json",
     "zigchain_indexer_clickhouse_spark.sources.landing",
