@@ -312,24 +312,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokr = c.select(
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
     ).select("doc_id", portable_hash(F.col("tok")).alias("th"))
-    bits = tokr.select(
-        "doc_id",
-        "th",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-    )
-    # integer `div` by an exact power-of-two literal — a double division
-    # would corrupt low bits of the 60-bit hash
-    bit_set = F.expr("(th div cast(pow(2, bit) as bigint)) % 2 = 1")
-    votes = (
-        bits.withColumn("v", F.when(bit_set, 1).otherwise(-1))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("v").alias("vote"))
-    )
-    sh = votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("vote") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")).otherwise(0))
-        .cast("long")
-        .alias("simhash")
-    )
+    # All 60 bit votes in ONE per-doc aggregation of 60 conditional
+    # sums — NOT an explode to (doc, bit) rows, which would push
+    # tokens×60 rows through the shuffle. Partial aggregation collapses
+    # each map partition to 60 counters per doc, so the exchange
+    # carries one row per doc. Bit tests use integer `div` by an exact
+    # power-of-two literal — a double division would corrupt low bits
+    # of the 60-bit hash.
+    vote_cols = [
+        F.sum(
+            F.when(F.expr(f"(th div {1 << j}) % 2 = 1"), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = tokr.groupBy("doc_id").agg(*vote_cols)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    sh = votes.select("doc_id", fp.cast("long").alias("simhash"))
 
     # Band keys from a constant-folded literal of the 210 combos — one
     # small arithmetic expression per row, NOT 210 inlined struct
