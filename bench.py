@@ -47,6 +47,7 @@ HEADLINE = (
     "doc_fingerprint",
     "tfidf_top_terms",
     "mv_daily_tx_stats",
+    "bucketed_colocated_join",
     "asof_join",
     "distinct_users_skew_safe",
     "contamination_check",

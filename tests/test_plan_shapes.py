@@ -101,6 +101,27 @@ def test_near_dup_candidates_via_equijoin(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_join_has_no_prejoin_exchange(spark, sf_dir):
+    """bucketed_colocated_join: both facts written bucketBy(orderkey),
+    so the SMJ consumes bucket files directly — the ONLY exchange in
+    the executed plan is the final 3-row agg's. A second exchange means
+    bucketing was not picked up and the 100 TB co-location story is
+    broken."""
+    plan = _plan(spark, sf_dir, "bucketed_colocated_join")
+    assert plan.count(") SortMergeJoin") == 1
+    assert _exchanges(plan) == 1
+
+
+def test_salted_join_keys_include_salt(spark, sf_dir):
+    """salted_skew_join: the shuffle join must key on (key, salt) —
+    salt missing from the join keys means the hot key still lands on
+    one reducer and the whole pattern is a no-op."""
+    plan = _plan(spark, sf_dir, "salted_skew_join")
+    assert plan.count(") SortMergeJoin") == 1
+    smj_detail = plan.split(") SortMergeJoin")[1].split("\n\n")[0]
+    assert "salt" in smj_detail
+
+
 def test_q21_collapses_exists_pair_to_one_agg(spark, sf_dir):
     """q21's EXISTS + NOT EXISTS pair must run as ONE aggregate over the
     joined fact — a plan with 3+ SortMergeJoins means the correlated

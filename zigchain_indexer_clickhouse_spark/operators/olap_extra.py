@@ -451,6 +451,78 @@ def distinct_users_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 115. salted_skew_join — manual key-salting for joins AQE can't fix
+# --------------------------------------------------------------------------
+N_SALT = 8
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, AVG(value) AS avg_user_value FROM events GROUP BY 1
+    ),
+    fact AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 2 = 0 THEN 0 ELSE user_id END AS skew_uid
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_joined,
+           ROUND(SUM(CAST(floor(avg_user_value * 10000) AS BIGINT))
+                 / 10000.0, 4) AS sum_dim_value
+    FROM fact JOIN dim ON dim.user_id = fact.skew_uid
+    GROUP BY 1
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted shuffle join — the §4 fallback for skew that AQE
+    can NOT fix: AQE's skew split only applies to terminal sort-merge
+    stages (not streaming state joins, not joins whose output
+    partitioning a later stage reuses), and only after a stage
+    materializes. Here half the fact lands on one hot key (a
+    deterministic `event_id % 2 → key 0` skew, mirroring how one
+    contract address dominates a real event stream).
+
+    The pattern: fact rows carry `salt = event_id % {N_SALT}`; the dim
+    side is exploded ×{N_SALT} (one copy per salt); the join keys on
+    (key, salt), so the hot key's rows spread over {N_SALT} reducers —
+    per-task input drops to 1/{N_SALT} of the hot key at the cost of
+    duplicating the SMALL side {N_SALT}×. The merge hint pins the
+    shuffle join so test scale doesn't broadcast away the demo; the
+    oracle is the UNSALTED join — salting must be result-invariant."""
+    e = load(spark, sf_dir, "events")
+    dim = e.groupBy("user_id").agg(F.avg("value").alias("avg_user_value"))
+    fact = e.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("skew_uid"),
+    ).withColumn("salt", (F.col("event_id") % N_SALT).cast("int"))
+    dim_salted = dim.select(
+        "user_id",
+        "avg_user_value",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("salt"),
+    )
+    return (
+        fact.hint("merge")
+        .join(
+            dim_salted,
+            (fact.skew_uid == dim_salted.user_id) & (fact.salt == dim_salted.salt),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_joined"),
+            F.round(
+                F.sum(F.floor(F.col("avg_user_value") * 10000).cast("long"))
+                / 10000.0,
+                4,
+            ).alias("sum_dim_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # 84. approx_sketch_stats — the approximate scale path (HLL + percentile
 #     sketch), rows-only: error bounds asserted in tests, not an oracle
 # --------------------------------------------------------------------------

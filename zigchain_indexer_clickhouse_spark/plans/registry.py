@@ -45,6 +45,7 @@ _MODULES = (
     "zigchain_indexer_clickhouse_spark.sources.rpc_json",
     "zigchain_indexer_clickhouse_spark.sources.landing",
     "zigchain_indexer_clickhouse_spark.sources.partitioned_write",
+    "zigchain_indexer_clickhouse_spark.sources.bucketed",
     "zigchain_indexer_clickhouse_spark.streaming.event_stream",
 )
 
