@@ -40,6 +40,7 @@ HEADLINE = (
     "q13_order_count_distribution",
     "q21_sole_failing_supplier",
     "rpc_ingest_flatten",
+    "ingest_pipeline_full",
     "range_completeness",
     "dedup_exact",
     "dedup_minhash_lsh",
