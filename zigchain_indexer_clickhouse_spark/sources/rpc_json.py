@@ -213,9 +213,12 @@ def ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     e = load(spark, sf_dir, "events")
+    # 10k heights per partition dir (the reference uses 100k): coarse
+    # enough that a write is a handful of directories, fine enough to
+    # prune a height-range query to ~0.1% of files at chain scale.
     flat = (
         parse_block_results(build_block_documents(e))
-        .withColumn("height_bucket", F.floor(F.col("height") / 100).cast("long"))
+        .withColumn("height_bucket", F.floor(F.col("height") / 10000).cast("long"))
         .persist()
     )
     tx_events = flat.groupBy(
@@ -237,9 +240,11 @@ def ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"zic_spark_ingest_{key}")
     for name, df in tables.items():
-        df.write.mode("overwrite").partitionBy("height_bucket").parquet(
-            os.path.join(base, name)
-        )
+        # repartitionByRange lines files up with partition dirs — one
+        # file per (bucket, write) instead of shuffle_partitions many
+        df.repartitionByRange("height_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("height_bucket").parquet(os.path.join(base, name))
     flat.unpersist()
     counts = [
         spark.read.parquet(os.path.join(base, name))
