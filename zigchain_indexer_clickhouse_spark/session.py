@@ -9,6 +9,7 @@ keeps scan tasks ~128 MB.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -42,6 +43,13 @@ def get_spark(app_name: str = "zigchain-indexer-spark", master: str | None = Non
         # before the exchange.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # keep saveAsTable metadata out of the repo cwd (bucketed tables
+        # store their data at explicit /tmp paths; this is the default
+        # warehouse for anything that doesn't)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), "zic_spark_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
