@@ -124,3 +124,36 @@ def test_camelcase_aliases(api):
     assert api.countWorkQueue("pending") == 1
     assert api.getLastIndexedHeight() == 0
     assert api.getMaxBlockHeight() == 0
+
+
+def test_version_high_water_mark_survives_restart(api, spark, tmp_path):
+    """A new process (new IndexerAPI instance) must continue versioning
+    ABOVE what is already on disk — wall-clock seeding could re-seed
+    below it after a sub-ms write burst and resurrect stale rows."""
+    api.insert_work_queue([{"id": 1, "start_height": 1, "end_height": 10}])
+    api.update_work_queue_status(1, "processing")
+    api.update_work_queue_status(1, "done")
+
+    # fresh instance = restarted process; no in-memory counter carried
+    api2 = IndexerAPI(spark, str(tmp_path))
+    api2.update_work_queue_status(1, "failed", error_message="late")
+    assert api2.work_queue().filter("id = 1").collect()[0]["status"] == "failed"
+
+    # and the first instance still reads the same FINAL state
+    assert api.work_queue().filter("id = 1").collect()[0]["status"] == "failed"
+
+
+def test_auto_compact_bounds_file_count(api, tmp_path, monkeypatch):
+    """Hot tables (index_state updates every block in the reference)
+    must not accrete one file per append forever: after N appends the
+    log auto-compacts and FINAL reads are unchanged."""
+    import zigchain_indexer_clickhouse_spark.api as api_mod
+
+    monkeypatch.setattr(api_mod, "AUTO_COMPACT_EVERY", 10)
+    for h in range(1, 26):
+        api.update_last_indexed_height("decoded_indexer", h)
+    assert api.get_last_indexed_height("decoded_indexer") == 25
+
+    files = list((tmp_path / "index_state").glob("*.parquet"))
+    # 25 appends with compaction every 10 → far fewer than 25 data files
+    assert len(files) <= 12

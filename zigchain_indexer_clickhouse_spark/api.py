@@ -28,7 +28,7 @@ partition rewrite; the FINAL window shuffles only the key column.
 
 from __future__ import annotations
 
-import itertools
+import os
 import shutil
 import time
 from datetime import datetime
@@ -51,13 +51,19 @@ _INDEX_STATE_SCHEMA = (
     "_version long, _deleted boolean"
 )
 
-_monotonic = itertools.count(int(time.time() * 1000))
+# FINAL-merged tables: (schema, key columns) — used by the versioned
+# append path and auto-compaction.
+_MERGED_TABLES = {
+    "work_queue": (_WORK_QUEUE_SCHEMA, ["id"]),
+    "failed_blocks": (_FAILED_BLOCKS_SCHEMA, ["block_height"]),
+    "index_state": (_INDEX_STATE_SCHEMA, ["index_name"]),
+}
 
-
-def _next_version() -> int:
-    """Monotonic version for appended rows (per-process; a cluster
-    deployment would use a commit-service sequence or txn timestamp)."""
-    return next(_monotonic)
+# Auto-compact a table's append-only log once it accretes this many
+# appended files since the last compaction. Keeps hot tables
+# (index_state updates every block in the reference) at a bounded file
+# count instead of one tiny parquet file per update forever.
+AUTO_COMPACT_EVERY = 64
 
 
 class IndexerAPI:
@@ -75,6 +81,11 @@ class IndexerAPI:
     def __init__(self, spark: SparkSession, base_path: str):
         self.spark = spark
         self.base = base_path.rstrip("/")
+        # per-table version counters, lazily seeded from the on-disk
+        # high-water mark (max existing _version), and per-table append
+        # counts since the last compaction
+        self._versions: dict[str, int] = {}
+        self._appends_since_compact: dict[str, int] = {}
 
     # -- storage primitives -------------------------------------------------
     def _path(self, table: str) -> str:
@@ -87,13 +98,36 @@ class IndexerAPI:
         except Exception:
             return self.spark.createDataFrame([], schema)
 
+    def _next_version(self, table: str, schema: str) -> int:
+        """Monotonic per-table version, seeded from max(_version) on
+        disk — survives process restarts without resurrecting stale
+        rows or tombstones (wall-clock seeding did not: a sub-ms write
+        burst + restart could re-seed below already-written versions).
+        A multi-writer cluster deployment would use a commit-service
+        sequence or transactional table format instead."""
+        if table not in self._versions:
+            hw = (
+                self._read_log(table, schema)
+                .agg(F.max("_version"))
+                .collect()[0][0]
+            )
+            self._versions[table] = int(hw or 0)
+        self._versions[table] += 1
+        return self._versions[table]
+
     def _append(self, table: str, rows: list[dict], schema: str) -> None:
-        v = _next_version()
+        v = self._next_version(table, schema)
         full = [{**r, "_version": v, "_deleted": r.get("_deleted", False)}
                 for r in rows]
         (self.spark.createDataFrame(full, schema)
          .coalesce(1)
          .write.mode("append").parquet(self._path(table)))
+        n = self._appends_since_compact.get(table, 0) + 1
+        if table in _MERGED_TABLES and n >= AUTO_COMPACT_EVERY:
+            schema_, keys = _MERGED_TABLES[table]
+            self.compact(table, schema_, keys)
+        else:
+            self._appends_since_compact[table] = n
 
     @staticmethod
     def _final(log: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -109,17 +143,27 @@ class IndexerAPI:
 
     def compact(self, table: str, schema: str, key_cols: list[str]) -> None:
         """Offline compaction: rewrite the log as its FINAL state (the
-        explicit analog of ClickHouse's background merge / OPTIMIZE)."""
+        explicit analog of ClickHouse's background merge / OPTIMIZE).
+
+        The swap is rename-based: the compacted copy is fully written to
+        a side directory first, then swapped in with two directory
+        renames (atomic per-op on a POSIX fs). A crash between the
+        renames leaves the old log intact at ``<table>__old`` —
+        recoverable, never a window where the data exists nowhere (the
+        previous overwrite-in-place had one)."""
         final = self._final(self._read_log(table, schema), key_cols)
-        tmp = self._path(table) + "__compact"
+        path = self._path(table)
+        tmp, old = path + "__compact", path + "__old"
         final_with_meta = final.withColumn(
-            "_version", F.lit(_next_version())
+            "_version", F.lit(self._next_version(table, schema))
         ).withColumn("_deleted", F.lit(False))
-        final_with_meta.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
-            self._path(table)
-        )
-        shutil.rmtree(tmp, ignore_errors=True)
+        final_with_meta.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        self._appends_since_compact[table] = 0
 
     # -- work_queue (clickhouse_queries.js:153-231) -------------------------
     def work_queue(self) -> DataFrame:

@@ -39,7 +39,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     applies, so oracle comparisons line up.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # nanosAsLong is a session default (session.py); tolerate foreign
+        # sessions by setting it only when unset — never flipping an
+        # explicit user choice mid-session.
+        conf = "spark.sql.legacy.parquet.nanosAsLong"
+        if spark.conf.get(conf, None) is None:
+            spark.conf.set(conf, "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         # integer `div`, not `/`: int64-nanos / 1000.0 round-trips through
         # double and gains ±1 µs on large values

@@ -35,9 +35,20 @@ MINHASH_B = (
 
 
 def tx_hash(raw: Column) -> Column:
-    """sha256(raw) uppercase hex — the reference's tx-hash derivation
-    (worker.js:137 ``createHash('sha256')...digest('hex').toUpperCase()``)."""
+    """sha256(raw) uppercase hex over ALREADY-DECODED tx bytes
+    (worker.js:137 ``createHash('sha256')...digest('hex').toUpperCase()``).
+    RPC payloads arrive base64-encoded — use :func:`tx_hash_b64` for
+    those; this variant is for columns already holding the raw bytes."""
     return F.upper(F.sha2(raw, 256))
+
+
+def tx_hash_b64(raw_b64: Column) -> Column:
+    """The reference's EXACT tx-hash derivation for RPC payloads:
+    sha256 of the base64-DECODED tx bytes, uppercase hex (worker.js:137
+    ``sha256(Buffer.from(rawTx, 'base64'))`` — the decode happens before
+    the digest). Feeding real Tendermint base64 tx strings through this
+    yields hashes byte-identical to the reference's."""
+    return F.upper(F.sha2(F.unbase64(raw_b64), 256))
 
 
 def portable_hash(col: Column, seed: Column | str | int | None = None) -> Column:

@@ -66,11 +66,22 @@ def ingest_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tx_hash_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tx hashing exactly as the reference derives it: sha256 digest of the
-    raw tx payload, uppercase hex (worker.js:137). Pure codegen, no UDF."""
+    """Tx hashing exactly as the reference derives it: the wire payload
+    is BASE64 (Tendermint RPC), and the digest runs over the DECODED
+    bytes (worker.js:137 ``sha256(Buffer.from(rawTx, 'base64'))``).
+    The query synthesizes the base64 wire form and hashes through
+    ``tx_hash_b64`` — the encode→decode→digest round-trip is what the
+    oracle (sha256 of the plain payload) verifies. Pure codegen, no
+    UDF."""
+    from zigchain_indexer_clickhouse_spark.functions.hashing import tx_hash_b64
+
     o = load(spark, sf_dir, "orders")
-    raw = F.concat(F.lit("tx-"), F.col("o_orderkey").cast("string"))
-    return o.select(F.col("o_orderkey").alias("tx_id"), tx_hash(raw).alias("tx_hash"))
+    raw_b64 = F.base64(
+        F.concat(F.lit("tx-"), F.col("o_orderkey").cast("string")).cast("binary")
+    )
+    return o.select(
+        F.col("o_orderkey").alias("tx_id"), tx_hash_b64(raw_b64).alias("tx_hash")
+    )
 
 
 # --------------------------------------------------------------------------

@@ -15,7 +15,7 @@ wall-clock NOW()).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zigchain_indexer_clickhouse_spark.catalog import load
@@ -93,45 +93,77 @@ def retry_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# 58. enqueue_ranges (orchestrator.js queue filling toward the tip)
+# 58. enqueue_ranges (orchestrator.js queue filling, forward-priority)
 # --------------------------------------------------------------------------
+# Forward-priority backfill controls (orchestrator.js:29-31): when
+# BACKFILL_MODE is off, only pending ranges with
+# start_height >= max(START_HEIGHT, max_indexed - BACKFILL_WINDOW) are
+# eligible now; older ranges wait for an explicit backfill run.
+BACKFILL_WINDOW = 300
+START_HEIGHT = 1
+
+
 @register(
     "enqueue_ranges",
-    oracle="""
+    oracle=f"""
     WITH bounds AS (
-      SELECT MAX(height) AS last_idx FROM (
-        SELECT event_id AS height FROM events
-      )
+      SELECT MAX(event_id) AS last_idx FROM events
     )
     SELECT CAST(g.i AS INT) AS batch_idx,
-           CAST(last_idx + 1 + g.i * 100 AS BIGINT) AS start_height,
-           CAST(least(last_idx + (g.i + 1) * 100, last_idx + 500) AS BIGINT)
-             AS end_height
-    FROM bounds, generate_series(0, 4) g(i)
+           CAST(last_idx - 500 + 1 + g.i * 100 AS BIGINT) AS start_height,
+           CAST(last_idx - 500 + (g.i + 1) * 100 AS BIGINT) AS end_height,
+           CAST(CASE WHEN last_idx - 500 + 1 + g.i * 100
+                          >= greatest({START_HEIGHT},
+                                      last_idx - {BACKFILL_WINDOW})
+                     THEN 0 ELSE 1 END AS INT) AS priority,
+           CAST(row_number() OVER (ORDER BY
+                  CASE WHEN last_idx - 500 + 1 + g.i * 100
+                            >= greatest({START_HEIGHT},
+                                        last_idx - {BACKFILL_WINDOW})
+                       THEN 0 ELSE 1 END,
+                  last_idx - 500 + 1 + g.i * 100) AS INT) AS queue_pos
+    FROM bounds, generate_series(0, 9) g(i)
     """,
 )
 def enqueue_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Queue filling: from the last indexed height toward the sync
-    target in fixed-size batches (orchestrator.js launch loop; the
-    reference enqueues 1000-block ranges). Range generation is a
-    sequence explode off a single aggregate row — no data shuffle."""
+    """Queue filling with the reference's forward-priority policy
+    (orchestrator.js:29-31 BACKFILL_MODE/BACKFILL_WINDOW and the
+    minAllowedStart filter in launchWorkers): candidate fixed-size
+    batches around the indexed tip are tiered — ranges inside the
+    recent window (start_height >= max(START_HEIGHT, tip - WINDOW)) get
+    priority 0 and enqueue first; older ranges are the backfill tier
+    (priority 1), drained only when BACKFILL_MODE allows. queue_pos is
+    the resulting launch order (priority, then ascending start).
+    Range generation is a sequence explode off one aggregate row plus a
+    10-row window — no data shuffle."""
     last = _present(spark, sf_dir).agg(F.max("height").alias("last_idx"))
-    return (
-        last.select(
-            "last_idx", F.explode(F.sequence(F.lit(0), F.lit(4))).alias("batch_idx")
-        )
-        .select(
-            F.col("batch_idx").cast("int").alias("batch_idx"),
-            (F.col("last_idx") + 1 + F.col("batch_idx") * 100)
-            .cast("long")
-            .alias("start_height"),
-            F.least(
-                F.col("last_idx") + (F.col("batch_idx") + 1) * 100,
-                F.col("last_idx") + 500,
-            )
-            .cast("long")
-            .alias("end_height"),
-        )
+    ranges = last.select(
+        "last_idx", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("batch_idx")
+    ).select(
+        F.col("batch_idx").cast("int").alias("batch_idx"),
+        (F.col("last_idx") - 500 + 1 + F.col("batch_idx") * 100)
+        .cast("long")
+        .alias("start_height"),
+        (F.col("last_idx") - 500 + (F.col("batch_idx") + 1) * 100)
+        .cast("long")
+        .alias("end_height"),
+        F.greatest(
+            F.lit(START_HEIGHT).cast("long"),
+            (F.col("last_idx") - BACKFILL_WINDOW).cast("long"),
+        ).alias("min_allowed_start"),
+    )
+    tiered = ranges.select(
+        "batch_idx",
+        "start_height",
+        "end_height",
+        F.when(F.col("start_height") >= F.col("min_allowed_start"), 0)
+        .otherwise(1)
+        .cast("int")
+        .alias("priority"),
+    )
+    w = Window.orderBy("priority", "start_height")
+    return tiered.withColumn(
+        "queue_pos", F.row_number().over(w).cast("int")
     )
 
 

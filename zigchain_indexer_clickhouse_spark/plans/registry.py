@@ -51,6 +51,55 @@ _MODULES = (
 
 _loaded = False
 
+# Names that already hold a green row in CORRECTNESS_r01.json. The
+# driver's per-round gate stopped after the first 50 registration-order
+# entries in round 1, leaving the rest formally unverified; queries()
+# therefore yields never-verified names FIRST so a capped gate spends
+# its budget where no hard signal exists yet (VERDICT.md round 1, item
+# "Next round #1").
+_VERIFIED_R01 = frozenset({
+    "ann_cosine_topk", "ann_lsh_bucketed", "attr_flatten", "attrs_kv",
+    "attrs_map", "db_stats", "dedup_clusters", "dedup_exact",
+    "dedup_exact_substring", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_simhash", "doc_fingerprint", "duplicate_ranges",
+    "embedding_centroids", "embedding_near_dup", "event_explode",
+    "failed_block_backoff", "gap_detection", "height_partition",
+    "index_state_latest", "ingest_blocks", "lang_id", "looping_ranges",
+    "max_height", "maybe_b64_decode", "message_actions",
+    "monitor_health_report", "overlapping_ranges", "pending_work_topn",
+    "q1_pricing_summary", "q3_top_unshipped", "q5_local_volume",
+    "quality_score", "queue_status_counts", "range_split",
+    "recent_activity", "replacing_dedup", "semdedup", "sessionize",
+    "stale_detection", "tfidf_top_terms", "time_bucket_rollup",
+    "token_count", "top_users_by_value", "tx_decode", "tx_hash",
+    "tx_hash_lookup", "type_route_message", "type_route_wasm",
+})
+
+
+# Queries measured ≥2s at sf0.01 (gate profile, round 2): table writes,
+# streaming drains, iterative clustering. Deferred within their tier so
+# a time-capped gate verifies the most entries per second.
+_EXPENSIVE = frozenset({
+    "tx_hash_bucketed_lookup", "partitioned_write_readback",
+    "ingest_pipeline_full", "bucketed_colocated_join",
+    "multimodal_pipeline", "ann_ivf_coarse",
+    "stream_event_counts", "stream_dedup", "stream_type_route",
+    "stream_mv_daily", "stream_user_state", "stream_sessionize",
+    "stream_static_enrich", "stream_block_ingest", "landing_ingest",
+    "ingest_blocks", "dedup_simhash", "dedup_clusters",
+    "overlapping_ranges", "dedup_minhash_lsh", "dedup_exact_substring",
+    "tfidf_top_terms", "semdedup", "embedding_near_dup", "tx_hash",
+})
+
+
+def _priority_order(names) -> list[str]:
+    """Never-driver-verified names first (registration order within each
+    tier, cheap before expensive), round-1-verified names after."""
+    def tier(n: str) -> tuple[int, int]:
+        return (n in _VERIFIED_R01, n in _EXPENSIVE)
+
+    return sorted(names, key=lambda n: tier(n))
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -75,9 +124,9 @@ def _ensure_loaded() -> None:
 
 def queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _priority_order(_QUERIES)}
 
 
 def oracles() -> dict[str, str]:
     _ensure_loaded()
-    return dict(_ORACLES)
+    return {n: _ORACLES[n] for n in _priority_order(_ORACLES)}

@@ -43,6 +43,11 @@ def get_spark(app_name: str = "zigchain-indexer-spark", master: str | None = Non
         # before the exchange.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet carries TIMESTAMP(NANOS), which Spark rejects
+        # by default; read as raw int64 nanos session-wide (the loader
+        # truncates to microseconds). Set HERE, not inside a loader, so
+        # a read never mutates session behavior as a side effect.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # keep saveAsTable metadata out of the repo cwd (bucketed tables
         # store their data at explicit /tmp paths; this is the default
         # warehouse for anything that doesn't)

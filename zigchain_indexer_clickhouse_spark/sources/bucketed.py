@@ -16,25 +16,32 @@ The write costs one clustering pass, amortized over every consumer.
 from __future__ import annotations
 
 import hashlib
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zigchain_indexer_clickhouse_spark.catalog import load
 from zigchain_indexer_clickhouse_spark.plans.registry import register
+from zigchain_indexer_clickhouse_spark.sources.scratch import (
+    scratch_dir,
+    table_is_materialized,
+)
 
 N_BUCKETS = 8
 
 
 def _bucketed_table(spark: SparkSession, sf_dir: str, src: str, key_col: str) -> DataFrame:
-    """Write ``src`` bucketed+sorted by ``key_col`` (once per session and
-    sf_dir) and return the bucket-aware table handle."""
+    """Write ``src`` bucketed+sorted by ``key_col`` (once per Spark
+    application and sf_dir) and return the bucket-aware table handle.
+    Path and table name embed the applicationId, so concurrent
+    processes never overwrite each other's copy, and a stale metastore
+    entry whose /tmp files are gone is rebuilt instead of trusted."""
+    app = spark.sparkContext.applicationId.replace("-", "_").replace(".", "_")
     key = hashlib.md5(f"{sf_dir}|{src}".encode()).hexdigest()[:8]
-    tbl = f"{src}_bucketed_{key}"
-    if not spark.catalog.tableExists(tbl):
-        path = os.path.join(tempfile.gettempdir(), f"zic_spark_bucketed_{src}_{key}")
+    tbl = f"{src}_bucketed_{key}_{app}"
+    path = scratch_dir(spark, f"bucketed_{src}", sf_dir)
+    if not table_is_materialized(spark, tbl, path):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         (
             load(spark, sf_dir, src)
             .write.mode("overwrite")

@@ -15,14 +15,13 @@ the read-back rows; the layout itself is asserted in tests/).
 from __future__ import annotations
 
 import hashlib
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zigchain_indexer_clickhouse_spark.catalog import load
 from zigchain_indexer_clickhouse_spark.plans.registry import register
+from zigchain_indexer_clickhouse_spark.sources.scratch import scratch_dir
 
 BUCKET_SIZE = 100  # heights per partition (reference uses 100k at chain scale)
 
@@ -60,8 +59,7 @@ def partitioned_write_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
     height-partitioned, read back with a range predicate (which prunes
     to 3 of N directories), aggregate per bucket. Matches the direct
     derivation the oracle computes from the source table."""
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"zic_spark_pwrite_{key}")
+    path = scratch_dir(spark, "pwrite", sf_dir)
     e = load(spark, sf_dir, "events")
     write_height_partitioned(e, path)
     back = spark.read.parquet(path)
@@ -119,8 +117,7 @@ def tx_hash_bucketed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).withColumn("hash_bucket", F.substring("tx_hash", 1, 2))
 
-    key = hashlib.md5(f"{sf_dir}|txhash".encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"zic_spark_txhash_{key}")
+    path = scratch_dir(spark, "txhash", sf_dir)
     (
         txs.repartitionByRange("hash_bucket")
         .write.mode("overwrite")

@@ -206,11 +206,18 @@ def ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     restartable. The returned summary (table_name, n_rows) is read back
     from the WRITTEN files, so write fidelity is part of the oracle
     check ('click' stands in for the wasm type route, as in
-    type_route_wasm)."""
+    type_route_wasm).
+
+    The 5 table writes are submitted CONCURRENTLY (InheritableThread):
+    they all project the one persisted parse, so the scheduler overlaps
+    their stages instead of serializing five write barriers — at 100 TB
+    the writes are the wall-clock, and nothing orders them."""
     import os
-    import tempfile
-    import hashlib
     from functools import reduce
+
+    from pyspark import InheritableThread
+
+    from zigchain_indexer_clickhouse_spark.sources.scratch import scratch_dir
 
     e = load(spark, sf_dir, "events")
     # 10k heights per partition dir (the reference uses 100k): coarse
@@ -237,14 +244,24 @@ def ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tx_event_attrs": flat,
         "type_wasm_attrs": flat.filter(F.col("type") == "click"),
     }
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"zic_spark_ingest_{key}")
-    for name, df in tables.items():
+    base = scratch_dir(spark, "ingest", sf_dir)
+    flat.count()  # warm the cache once before the concurrent fan-out
+
+    def _write(name: str, df: DataFrame) -> None:
         # repartitionByRange lines files up with partition dirs — one
         # file per (bucket, write) instead of shuffle_partitions many
         df.repartitionByRange("height_bucket").write.mode(
             "overwrite"
         ).partitionBy("height_bucket").parquet(os.path.join(base, name))
+
+    threads = [
+        InheritableThread(target=_write, args=(name, df))
+        for name, df in tables.items()
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
     flat.unpersist()
     counts = [
         spark.read.parquet(os.path.join(base, name))
@@ -259,6 +276,13 @@ def ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Decoded-message schema (src/utils/decoder.js decodeTxMessages: each
 # tx body carries messages with a protobuf typeUrl).
 TX_MESSAGES_SCHEMA = "messages array<struct<typeUrl:string>>"
+
+# typeUrls synthesized per event: every event carries a zigchain exec
+# msg; odd event_ids add a bank send (two messages per tx body).
+def _type_urls(e_col):  # noqa: ANN001 — small expression helper
+    zig = F.concat(F.lit("/zigchain."), F.col("event_type"), F.lit(".MsgExec"))
+    bank = F.lit("/cosmos.bank.v1beta1.MsgSend")
+    return F.when(e_col % 2 == 1, F.array(zig, bank)).otherwise(F.array(zig))
 
 
 @register(
@@ -277,38 +301,31 @@ TX_MESSAGES_SCHEMA = "messages array<struct<typeUrl:string>>"
     """,
 )
 def msg_typeurl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Message-type distribution from decoded tx bodies — the
-    check_msgs/decoder surface (src/utils/decoder.js decodeTxMessages,
-    src/tools/check_msgs.js): serialize each tx's message list to JSON,
-    parse with an explicit schema, explode, count per typeUrl. Round
-    trips the JSON path so the connector is what's being measured."""
+    """Message-type distribution from BINARY protobuf tx bodies — the
+    decoder surface (src/utils/decoder.js decodeTxMessages: each
+    message is a protobuf ``Any`` whose field 1 is the typeUrl).
+
+    The pipeline round-trips the real wire format: synthesize each
+    message as Any bytes (``encode_any``), explode the per-tx message
+    list, then recover the typeUrl with the pure-expression varint/tag
+    walker (``any_type_url`` — functions/protobuf.py) and aggregate.
+    No protobuf runtime, no Python row UDFs: the decode is a hex-string
+    scan inside whole-stage codegen, so it runs at column-scan speed at
+    any scale. The oracle derives the same counts without the byte
+    round-trip, so any encode/decode infidelity fails the hash."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        any_type_url,
+        encode_any,
+    )
+
     e = load(spark, sf_dir, "events")
-    msgs = F.when(
-        F.col("event_id") % 2 == 1,
-        F.array(
-            F.struct(
-                F.concat(F.lit("/zigchain."), F.col("event_type"), F.lit(".MsgExec")).alias(
-                    "typeUrl"
-                )
-            ),
-            F.struct(F.lit("/cosmos.bank.v1beta1.MsgSend").alias("typeUrl")),
-        ),
-    ).otherwise(
-        F.array(
-            F.struct(
-                F.concat(F.lit("/zigchain."), F.col("event_type"), F.lit(".MsgExec")).alias(
-                    "typeUrl"
-                )
-            )
-        )
+    blobs = F.transform(_type_urls(F.col("event_id")), encode_any)
+    exploded = e.select(
+        "event_id", F.explode(blobs.alias("msgs")).alias("msg_bytes")
     )
-    raw = e.select(
-        "event_id", F.to_json(F.struct(msgs.alias("messages"))).alias("json")
-    )
-    parsed = raw.select(
-        "event_id", F.from_json("json", TX_MESSAGES_SCHEMA).alias("b")
-    ).select("event_id", F.explode("b.messages").alias("m"))
-    return parsed.groupBy(F.col("m.typeUrl").alias("type_url")).agg(
+    return exploded.groupBy(
+        any_type_url(F.col("msg_bytes")).alias("type_url")
+    ).agg(
         F.count("*").alias("n_msgs"),
         F.countDistinct("event_id").alias("n_txs"),
     )

@@ -55,12 +55,18 @@ def _stream_dir(sf_dir: str) -> str:
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        try:
+            os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        except FileExistsError:
+            pass  # concurrent process won the race; same target either way
     return d
 
 
 def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanosAsLong is a session default (session.py); set only if unset.
+    conf = "spark.sql.legacy.parquet.nanosAsLong"
+    if spark.conf.get(conf, None) is None:
+        spark.conf.set(conf, "true")
     raw = (
         spark.readStream.schema(_EVENTS_SCHEMA)
         .format("parquet")
@@ -305,9 +311,15 @@ def stream_block_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tip, extract, INSERT into every table). Spark-native live mode:
     readStream over the landing zone; each micro-batch builds block
     JSON, parses ONCE, and fans out to blocks/txs/tx_event_attrs via
-    ``foreachBatch`` — the canonical multi-sink streaming pattern
-    (one sink per table from a single parsed batch, append mode,
-    idempotent per batchId with checkpointing).
+    ``foreachBatch`` — the canonical multi-sink streaming pattern.
+
+    foreachBatch is AT-LEAST-ONCE: a crashed-then-retried micro-batch
+    re-invokes the function with the same batch_id. The fan-out is made
+    idempotent by writing each table into a batchId-scoped partition
+    directory with mode("overwrite") — a retry replaces its own
+    previous (possibly partial) output instead of appending a second
+    copy. This is the parquet-sink equivalent of the txn ledger a
+    Delta/Iceberg sink would keep per (queryId, batchId).
 
     At 100 TB/day the same topology holds: availableNow drains a
     backlog in bounded batches; continuous triggers tail the tip; the
@@ -319,9 +331,9 @@ def stream_block_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_block_documents,
         parse_block_results,
     )
+    from zigchain_indexer_clickhouse_spark.sources.scratch import scratch_dir
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), f"zic_spark_stream_ingest_{key}")
+    base = scratch_dir(spark, "stream_ingest", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
 
     def _fan_out(batch_df: DataFrame, batch_id: int) -> None:
@@ -343,9 +355,12 @@ def stream_block_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("txs", txs),
             ("tx_event_attrs", flat),
         ):
+            # batchId-scoped overwrite = idempotent under retry
             df.repartitionByRange("height_bucket").write.mode(
-                "append"
-            ).partitionBy("height_bucket").parquet(os.path.join(base, name))
+                "overwrite"
+            ).partitionBy("height_bucket").parquet(
+                os.path.join(base, name, f"batch_id={batch_id}")
+            )
         flat.unpersist()
 
     s = _read_event_stream(spark, sf_dir)
