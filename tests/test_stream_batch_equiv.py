@@ -1,0 +1,146 @@
+"""Streaming-vs-batch equivalence: each streaming operator must produce
+exactly what its batch twin computes over the same data (VERDICT.md
+round 1, next-round #7). This upgrades the streaming checks from
+"produced rows" to semantic correctness — the rows-only driver gate
+can't see a wrong aggregate, these tests can.
+
+All drains use availableNow over the sf0.001 events table, so the
+stream consumes the identical input the batch plan scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from zigchain_indexer_clickhouse_spark.catalog import load
+from zigchain_indexer_clickhouse_spark.plans import registry
+
+_Q = registry.queries()
+
+
+def _rows(df, *cols):
+    """Canonical sorted-tuple form for set comparison."""
+    out = df.select(*cols) if cols else df
+    return sorted(tuple(r) for r in out.collect())
+
+
+def test_stream_event_counts_matches_batch_rollup(spark, sf_dir):
+    got = _Q["stream_event_counts"](spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    want = (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("bucket"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_mv_daily_matches_batch_daily(spark, sf_dir):
+    got = _Q["stream_mv_daily"](spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    want = e.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count("*").alias("event_count"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_gas"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("error_count"),
+    ).select(
+        F.col("w.start").cast("date").alias("date"),
+        "event_count",
+        "total_gas",
+        "error_count",
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+    got = _Q["stream_dedup"](spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    # event_id is the dedup key; the batch twin keeps one row per key
+    w = Window.partitionBy("event_id").orderBy("ts")
+    want = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_sessionize_matches_batch_sessionize(spark, sf_dir):
+    """Session boundaries must agree between the native session_window
+    (streaming) and the lag+cumsum plan (batch `sessionize`): same
+    per-session event counts and value sums, keyed by (user, start).
+
+    Append-mode streaming only EMITS sessions the final watermark
+    (max ts − 1 h) has closed — sessions touching the last
+    1h + 30min-gap horizon stay in state when availableNow stops. So
+    the equivalence is: emitted ⊆ batch, and every batch session
+    closed well before the horizon is emitted."""
+    cols = ("user_id", "session_start", "n_events", "session_value")
+    got = set(_rows(_Q["stream_sessionize"](spark, sf_dir), *cols))
+    batch_df = _Q["sessionize"](spark, sf_dir)
+    batch = set(_rows(batch_df, *cols))
+    assert got <= batch  # nothing emitted that batch doesn't compute
+
+    max_ts = (
+        load(spark, sf_dir, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+    closed = set(
+        _rows(batch_df.filter(F.col("session_end") < horizon), *cols)
+    )
+    assert closed <= got  # every safely-closed session was emitted
+    assert len(closed) > 0  # and the assertion isn't vacuous
+
+
+def test_stream_user_state_matches_batch_agg(spark, sf_dir):
+    got = _Q["stream_user_state"](spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    want = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    # applyInPandasWithState rounds the running float total; allow 1e-6
+    got_m = {r["user_id"]: (r["n_events"], r["total_value"]) for r in got.collect()}
+    want_m = {r["user_id"]: (r["n_events"], r["total_value"]) for r in want.collect()}
+    assert got_m.keys() == want_m.keys()
+    for k, (n, v) in want_m.items():
+        assert got_m[k][0] == n
+        assert abs(got_m[k][1] - v) < 1e-6
+
+
+def test_stream_static_enrich_matches_batch_join(spark, sf_dir):
+    got = _Q["stream_static_enrich"](spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    profile = e.groupBy("user_id").agg(
+        F.count("*").alias("lifetime_events"),
+        F.round(F.sum("value"), 2).alias("lifetime_value"),
+    )
+    want = e.join(profile, "user_id").select(
+        "event_id", "user_id", "event_type", "lifetime_events", "lifetime_value"
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_block_ingest_matches_batch_pipeline(spark, sf_dir):
+    """The streaming fan-out must land the same row counts per table as
+    the batch ingest pipeline over the same events."""
+    got = {
+        r["table_name"]: r["n_rows"]
+        for r in _Q["stream_block_ingest"](spark, sf_dir).collect()
+    }
+    batch = {
+        r["table_name"]: r["n_rows"]
+        for r in _Q["ingest_pipeline_full"](spark, sf_dir).collect()
+    }
+    for t in ("blocks", "txs", "tx_event_attrs"):
+        assert got[t] == batch[t], t

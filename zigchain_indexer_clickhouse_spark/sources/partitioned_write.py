@@ -102,26 +102,36 @@ def partitioned_write_readback(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tx_hash_bucketed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookups on a HASH-BUCKETED layout — the storage design the
     reference approximates with a bloom_filter skip index on tx_hash
-    (models.js:125,233,282). The tx table is written partitioned by the
-    first hash byte (256 directories); a lookup then touches exactly
-    one directory via PartitionFilters instead of scanning every file's
+    (models.js:125,233,282). The tx table is written partitioned by a
+    hash-prefix directory key; a lookup then touches exactly one
+    directory via PartitionFilters instead of scanning every file's
     bloom footer. At 100 TB that is the difference between a metadata
-    op and a full-index probe; the write costs one range shuffle."""
+    op and a full-index probe; the write costs one range shuffle.
+
+    Directory fan-out is the first hex NIBBLE (16 dirs) — at test scale
+    256 dirs of tiny files cost more to create than they prune; at real
+    scale the same layout widens to the first byte (256) by taking two
+    characters. The 2-char ``hash_bucket`` COLUMN is kept as the
+    finer-grained logical bucket either way."""
     o = load(spark, sf_dir, "orders")
     from zigchain_indexer_clickhouse_spark.functions.hashing import tx_hash
 
-    txs = o.select(
-        F.col("o_orderkey").alias("tx_id"),
-        tx_hash(F.concat(F.lit("tx-"), F.col("o_orderkey").cast("string"))).alias(
-            "tx_hash"
-        ),
-    ).withColumn("hash_bucket", F.substring("tx_hash", 1, 2))
+    txs = (
+        o.select(
+            F.col("o_orderkey").alias("tx_id"),
+            tx_hash(F.concat(F.lit("tx-"), F.col("o_orderkey").cast("string"))).alias(
+                "tx_hash"
+            ),
+        )
+        .withColumn("hash_bucket", F.substring("tx_hash", 1, 2))
+        .withColumn("hash_dir", F.substring("tx_hash", 1, 1))
+    )
 
     path = scratch_dir(spark, "txhash", sf_dir)
     (
-        txs.repartitionByRange("hash_bucket")
+        txs.repartitionByRange("hash_dir")
         .write.mode("overwrite")
-        .partitionBy("hash_bucket")
+        .partitionBy("hash_dir")
         .parquet(path)
     )
 
@@ -129,12 +139,12 @@ def tx_hash_bucketed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_hashes = [
         hashlib.sha256(f"tx-{k}".encode()).hexdigest().upper() for k in probes
     ]
-    probe_buckets = [h[:2] for h in probe_hashes]
-    # bucket predicate prunes to ≤3 directories (PartitionFilters);
+    probe_dirs = [h[:1] for h in probe_hashes]
+    # dir predicate prunes to ≤3 directories (PartitionFilters);
     # the hash predicate then pushes into those files' row groups
     return (
         spark.read.parquet(path)
-        .filter(F.col("hash_bucket").isin(probe_buckets))
+        .filter(F.col("hash_dir").isin(probe_dirs))
         .filter(F.col("tx_hash").isin(probe_hashes))
-        .select("tx_id", "tx_hash", F.col("hash_bucket").cast("string").alias("hash_bucket"))
+        .select("tx_id", "tx_hash", "hash_bucket")
     )
