@@ -37,6 +37,7 @@ _MODULES = (
     "zigchain_indexer_clickhouse_spark.operators.text_analysis",
     "zigchain_indexer_clickhouse_spark.operators.multimodal",
     "zigchain_indexer_clickhouse_spark.operators.curation",
+    "zigchain_indexer_clickhouse_spark.operators.data_mix",
     "zigchain_indexer_clickhouse_spark.operators.matviews",
     "zigchain_indexer_clickhouse_spark.operators.funnel",
     "zigchain_indexer_clickhouse_spark.operators.olap_extra",
