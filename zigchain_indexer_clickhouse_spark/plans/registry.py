@@ -52,12 +52,13 @@ _MODULES = (
 
 _loaded = False
 
-# Names that already hold a green row in CORRECTNESS_r01.json. The
-# driver's per-round gate stopped after the first 50 registration-order
-# entries in round 1, leaving the rest formally unverified; queries()
-# therefore yields never-verified names FIRST so a capped gate spends
-# its budget where no hard signal exists yet (VERDICT.md round 1, item
-# "Next round #1").
+# Names that already hold a green row in CORRECTNESS_r01.json (baked-in
+# fallback; _verified_names() below extends it from every
+# CORRECTNESS_r*.json found in the repo root). The driver's per-round
+# gate stopped after the first 50 registration-order entries in round
+# 1, leaving the rest formally unverified; queries() therefore yields
+# never-verified names FIRST so a capped gate spends its budget where
+# no hard signal exists yet (VERDICT.md round 1, item "Next round #1").
 _VERIFIED_R01 = frozenset({
     "ann_cosine_topk", "ann_lsh_bucketed", "attr_flatten", "attrs_kv",
     "attrs_map", "db_stats", "dedup_clusters", "dedup_exact",
@@ -93,11 +94,39 @@ _EXPENSIVE = frozenset({
 })
 
 
+_verified_cache: frozenset[str] | None = None
+
+
+def _verified_names() -> frozenset[str]:
+    """Union of every query name holding a row in any round's
+    CORRECTNESS_r*.json artifact (plus the baked-in round-1 set, in
+    case the artifacts aren't shipped with the source tree)."""
+    global _verified_cache
+    if _verified_cache is not None:
+        return _verified_cache
+    import json
+    from pathlib import Path
+
+    names = set(_VERIFIED_R01)
+    root = Path(__file__).resolve().parents[2]
+    for f in root.glob("CORRECTNESS_r*.json"):
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            names.update(k for k, v in data.items() if isinstance(v, dict))
+    _verified_cache = frozenset(names)
+    return _verified_cache
+
+
 def _priority_order(names) -> list[str]:
     """Never-driver-verified names first (registration order within each
-    tier, cheap before expensive), round-1-verified names after."""
+    tier, cheap before expensive), previously-verified names after."""
+    verified = _verified_names()
+
     def tier(n: str) -> tuple[int, int]:
-        return (n in _VERIFIED_R01, n in _EXPENSIVE)
+        return (n in verified, n in _EXPENSIVE)
 
     return sorted(names, key=lambda n: tier(n))
 

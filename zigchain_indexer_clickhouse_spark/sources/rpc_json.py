@@ -223,9 +223,16 @@ def ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10k heights per partition dir (the reference uses 100k): coarse
     # enough that a write is a handful of directories, fine enough to
     # prune a height-range query to ~0.1% of files at chain scale.
+    # Persist the parse ALREADY range-partitioned on the layout key:
+    # the two widest writes (tx_event_attrs, type_wasm_attrs) then
+    # stream straight from cache to files with NO shuffle of their own
+    # — at 100 TB those two carry ~all the bytes, so this halves the
+    # shuffled volume of the fan-out. The aggregated tables re-shuffle
+    # on their (tiny) group keys regardless.
     flat = (
         parse_block_results(build_block_documents(e))
         .withColumn("height_bucket", F.floor(F.col("height") / 10000).cast("long"))
+        .repartitionByRange("height_bucket")
         .persist()
     )
     tx_events = flat.groupBy(
@@ -247,12 +254,20 @@ def ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir(spark, "ingest", sf_dir)
     flat.count()  # warm the cache once before the concurrent fan-out
 
+    # The wide projections of `flat` inherit its range partitioning —
+    # writing them through another repartitionByRange would shuffle the
+    # bulk of the data a second time for an identical layout.
+    _PRE_PARTITIONED = {"tx_event_attrs", "type_wasm_attrs"}
+
     def _write(name: str, df: DataFrame) -> None:
-        # repartitionByRange lines files up with partition dirs — one
-        # file per (bucket, write) instead of shuffle_partitions many
-        df.repartitionByRange("height_bucket").write.mode(
-            "overwrite"
-        ).partitionBy("height_bucket").parquet(os.path.join(base, name))
+        if name not in _PRE_PARTITIONED:
+            # aggregated outputs are tiny: line files up with partition
+            # dirs — one file per (bucket, write) instead of
+            # shuffle_partitions many
+            df = df.repartitionByRange("height_bucket")
+        df.write.mode("overwrite").partitionBy("height_bucket").parquet(
+            os.path.join(base, name)
+        )
 
     threads = [
         InheritableThread(target=_write, args=(name, df))
