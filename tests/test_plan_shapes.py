@@ -198,6 +198,7 @@ _BNLJ_ALLOWED = {
     "monitor_health_report",
     "tfidf_top_terms",
     "q11_value_concentration",
+    "unigram_lm_score",  # 1-row corpus-total broadcast crossed in
 }
 
 

@@ -1,0 +1,328 @@
+"""Corpus-quality operators for training-data pipelines
+(SURVEY.md §2.3 #128-130): unigram-LM quality scoring, fixed-window
+segment-level dedup, and fuzzy (MinHash) benchmark contamination.
+
+These extend curation.py's filters with the three checks large-corpus
+builders run after exact dedup: a language-model quality score (the
+CCNet recipe: score each document under a corpus LM), sub-document
+dedup at segment granularity (the line/paragraph-dedup analog for
+token-stream corpora), and NEAR-duplicate benchmark contamination
+(contamination_check in curation.py is exact 5-gram overlap; evals
+leak into training sets slightly EDITED, which only fuzzy matching
+catches).
+
+All hash math is portable (md5-based, see functions/hashing.py) and all
+score arithmetic is integer, so the DuckDB oracle replays every result
+bit-exactly — no libm log() drift, no float summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zigchain_indexer_clickhouse_spark.catalog import load
+from zigchain_indexer_clickhouse_spark.functions.hashing import (
+    portable_hash,
+    portable_hash_sql,
+)
+from zigchain_indexer_clickhouse_spark.operators.dedup import (
+    JACCARD_MIN,
+    hashed_shingle_sets,
+    lsh_band_rows,
+    minhash_perm_sql,
+    MINHASH_K,
+    LSH_BANDS,
+)
+from zigchain_indexer_clickhouse_spark.plans.registry import register
+
+SEGMENT_TOKENS = 16
+# Every 23rd document stands in for a benchmark/eval set.
+BENCH_MOD = 23
+
+
+# --------------------------------------------------------------------------
+# 128. unigram_lm_score — CCNet-style corpus-LM document scoring
+# --------------------------------------------------------------------------
+@register(
+    "unigram_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    per_doc AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(v.cnt) AS sum_cnt
+      FROM tok t JOIN vocab v USING (tok) GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum_cnt * 1000000000 // (n_tokens * total)
+                AS BIGINT) AS score_ppb
+    FROM per_doc, tot
+    """,
+)
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (the CCNet recipe, arXiv:1911.00359,
+    with a unigram model standing in for the KenLM 5-gram): train a
+    LM on the corpus itself, score each document by its mean token
+    probability, and bucket/filter on the score downstream. Documents
+    of common, fluent tokens score high; gibberish and boilerplate-of-
+    rare-symbols score low.
+
+    score_ppb = mean token probability in parts-per-billion
+              = (Σ_t count(t)) · 1e9 ÷ (n_tokens · total_tokens)
+    — all-integer (exact in the oracle; the single product stays under
+    2^63 up to ~1e9-token corpora; beyond that, switch the final ratio
+    to double and round).
+
+    Plan: one agg on token for the LM, one equi-join token→count (the
+    LM is corpus-sized — a real join, not a broadcast), one agg back to
+    doc_id, then a 1-row total broadcast-crossed in. Three shuffles on
+    narrow (token|doc_id, long) rows; text itself never shuffles."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    per_doc = (
+        tok.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("cnt").alias("sum_cnt"))
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST(sum_cnt * 1000000000 DIV (n_tokens * total) AS BIGINT)"
+            ).alias("score_ppb"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 129. segment_dedup — fixed-window sub-document dedup (line-dedup analog)
+# --------------------------------------------------------------------------
+def _segment_oracle() -> str:
+    h = portable_hash_sql("seg")
+    s = SEGMENT_TOKENS
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id, text FROM documents
+      WHERE doc_id % 2 = 0
+    ),
+    tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM corpus),
+    seg AS (
+      SELECT doc_id,
+             array_to_string(toks[(g.i * {s} + 1):((g.i + 1) * {s})], ' ') AS seg
+      FROM tok, generate_series(0, 4000) g(i)
+      WHERE g.i * {s} < len(toks)
+    ),
+    sh AS (SELECT doc_id, {h} AS segh FROM seg),
+    cnt AS (SELECT segh, COUNT(*) AS c FROM sh GROUP BY segh)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segments,
+           CAST(SUM(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS dup_ratio_bp
+    FROM sh JOIN cnt USING (segh)
+    GROUP BY sh.doc_id
+    """
+
+
+@register("segment_dedup", oracle=_segment_oracle())
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup at fixed {SEGMENT_TOKENS}-token segment
+    granularity — the token-stream analog of line/paragraph dedup
+    (C4/RefinedWeb drop repeated lines; token corpora drop repeated
+    windows). Corpus = documents + exact copies of the even half, so
+    known duplicated segments exist. Per doc: segment count, how many
+    of its segments appear elsewhere too, and the duplicated ratio in
+    basis points (integer, oracle-exact).
+
+    Plan: segments are built in expression land (sequence → slice →
+    join), hashed BEFORE leaving the doc row, then one agg on the
+    60-bit segment hash + one equi-join back. Only (doc_id, hash)
+    longs ride the shuffles — at 100 TB the segment text never moves,
+    the same discipline as dedup_exact."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionAll(
+        d.filter(F.col("doc_id") % 2 == 0).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    toks = corpus.select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    )
+    s = SEGMENT_TOKENS
+    segs = F.transform(
+        F.sequence(
+            F.lit(0), F.expr(f"CAST((size(toks) - 1) DIV {s} AS INT)")
+        ),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i * s + 1, F.lit(s))),
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(segs, lambda seg: portable_hash(seg))
+        ).alias("segh"),
+    )
+    cnt = sh.groupBy("segh").agg(F.count("*").alias("c"))
+    return (
+        sh.join(cnt, "segh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum((F.col("c") > 1).cast("long")).alias("n_dup_segments"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_dup_segments",
+            F.expr(
+                "CAST(n_dup_segments * 10000 DIV n_segments AS BIGINT)"
+            ).alias("dup_ratio_bp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 130. contamination_fuzzy — MinHash near-dup benchmark contamination
+# --------------------------------------------------------------------------
+def _fuzzy_oracle() -> str:
+    base = portable_hash_sql("shingle")
+    perms = " ".join(
+        f"WHEN s.j = {j} THEN {minhash_perm_sql('bh', j)}"
+        for j in range(MINHASH_K)
+    )
+    return f"""
+    WITH bench AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {BENCH_MOD} <> 0
+      UNION ALL
+      SELECT doc_id + 10000 AS doc_id,
+             substring(text, instr(text, ' ') + 1) AS text
+      FROM bench
+    ),
+    pool AS (
+      SELECT doc_id, text, 1 AS is_bench FROM bench
+      UNION ALL
+      SELECT doc_id, text, 0 AS is_bench FROM corpus
+    ),
+    tok AS (SELECT doc_id, is_bench, string_split(trim(text), ' ') AS toks
+            FROM pool WHERE len(string_split(trim(text), ' ')) >= 3),
+    shd AS (
+      SELECT DISTINCT doc_id, is_bench,
+             toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
+      FROM tok, generate_series(1, 4000) g(i)
+      WHERE g.i <= len(toks) - 2
+    ),
+    shh AS (SELECT DISTINCT doc_id, is_bench, {base} AS bh FROM shd),
+    sig AS (
+      SELECT doc_id, is_bench, s.j AS j, MIN(CASE {perms} END) AS mh
+      FROM shh, generate_series(0, {MINHASH_K - 1}) s(j)
+      GROUP BY doc_id, is_bench, s.j
+    ),
+    sigl AS (SELECT doc_id, is_bench, list(mh ORDER BY j) AS sig
+             FROM sig GROUP BY doc_id, is_bench),
+    bands AS (
+      SELECT doc_id, is_bench,
+             CAST(b.b AS VARCHAR) || ':' || CAST(sig[2*b.b+1] AS VARCHAR)
+               || ':' || CAST(sig[2*b.b+2] AS VARCHAR) AS band_key
+      FROM sigl, generate_series(0, {LSH_BANDS - 1}) b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+      FROM bands c JOIN bands b
+        ON c.band_key = b.band_key AND c.is_bench = 0 AND b.is_bench = 1
+    ),
+    jac AS (
+      SELECT c.doc_id, c.bench_id,
+             COUNT(CASE WHEN y.bh IS NOT NULL THEN 1 END) * 1.0
+               / (COUNT(DISTINCT x.bh)
+                  + (SELECT COUNT(*) FROM shh z
+                     WHERE z.doc_id = c.bench_id AND z.is_bench = 1)
+                  - COUNT(CASE WHEN y.bh IS NOT NULL THEN 1 END)) AS j
+      FROM cand c
+      JOIN shh x ON x.doc_id = c.doc_id AND x.is_bench = 0
+      LEFT JOIN shh y ON y.doc_id = c.bench_id AND y.is_bench = 1
+                     AND y.bh = x.bh
+      GROUP BY c.doc_id, c.bench_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+           ROUND(MAX(j), 4) AS max_jaccard
+    FROM jac WHERE j >= {JACCARD_MIN}
+    GROUP BY doc_id
+    """
+
+
+@register("contamination_fuzzy", oracle=_fuzzy_oracle())
+def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate benchmark contamination: evals leak into training
+    corpora lightly edited (whitespace, a dropped sentence), which the
+    exact 5-gram check (contamination_check, curation.py) misses. Here
+    every {BENCH_MOD}th document plays the benchmark; the corpus holds
+    the rest plus a first-token-dropped copy of each benchmark doc
+    (known near-miss positives). MinHash-LSH generates corpus×bench
+    candidates by band-bucket EQUI-join — never all pairs — and exact
+    Jaccard ≥ {JACCARD_MIN} on the hashed shingle sets confirms.
+    Output: contaminated corpus doc → how many benchmark docs it
+    matches, and the worst overlap.
+
+    Plan: shares hashed_shingle_sets / lsh_band_rows with
+    dedup_minhash_lsh (dedup.py) — one md5 per shingle, arithmetic
+    perms, band join carries only (doc_id, band_key). The verify join
+    touches candidate pairs only. Benchmark sets are small (thousands
+    of docs), so the bench band side broadcasts at real scale."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % BENCH_MOD == 0)
+    corpus = d.filter(F.col("doc_id") % BENCH_MOD != 0).unionAll(
+        bench.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    bench_h = hashed_shingle_sets(bench).persist()
+    corpus_h = hashed_shingle_sets(corpus).persist()
+    bench_bands = lsh_band_rows(bench_h).withColumnRenamed("doc_id", "bench_id")
+    corpus_bands = lsh_band_rows(corpus_h)
+    cand = (
+        corpus_bands.join(F.broadcast(bench_bands), "band_key")
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
+    jac = (
+        cand.join(corpus_h, "doc_id")
+        .join(
+            F.broadcast(
+                bench_h.select(
+                    F.col("doc_id").alias("bench_id"), F.col("bh").alias("bh_b")
+                )
+            ),
+            "bench_id",
+        )
+        .select(
+            "doc_id",
+            "bench_id",
+            (
+                F.size(F.array_intersect("bh", "bh_b"))
+                / F.size(F.array_union("bh", "bh_b"))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= JACCARD_MIN)
+    )
+    return jac.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bench_matches"),
+        F.round(F.max("j"), 4).alias("max_jaccard"),
+    )

@@ -109,6 +109,54 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 34. dedup_minhash_lsh — shingle → minhash → banded LSH → Jaccard verify
 # --------------------------------------------------------------------------
+def hashed_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, bh: array<long>) hashed 3-word shingle
+    SETS. One md5 per shingle, then downstream works on the hashed set —
+    the wide string arrays never leave this projection. Shared by
+    dedup_minhash_lsh and contamination_fuzzy (corpus_quality.py)."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 3),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, F.lit(3))),
+        )
+    )
+    return toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(shingles, lambda s: portable_hash(s))
+        ).alias("bh"),
+    )
+
+
+def lsh_band_rows(hashed: DataFrame) -> DataFrame:
+    """(doc_id, bh) → exploded (doc_id, band_key) LSH band rows:
+    k={MINHASH_K} affine minhash permutations folded into {LSH_BANDS}
+    bands of 2. ~8x fewer digest evaluations than hashing per
+    (shingle, seed) — the perms are cheap integer arithmetic."""
+
+    def _minhash(j: int):
+        # NB: the lambda must take exactly ONE parameter — a 2-arg lambda
+        # makes F.transform pass (element, index) and the index silently
+        # replaces the seed
+        return F.array_min(F.transform(F.col("bh"), lambda h: minhash_perm(h, j)))
+
+    sig_cols = [_minhash(j).alias(f"mh{j}") for j in range(MINHASH_K)]
+    sigs = hashed.select("doc_id", *sig_cols)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":", F.lit(b), F.col(f"mh{2 * b}").cast("string"),
+                F.col(f"mh{2 * b + 1}").cast("string"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+
+
 def _minhash_oracle() -> str:
     base = portable_hash_sql("shingle")
     perms = " ".join(
@@ -173,50 +221,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order functions; no Python in the pipeline.
     """
     c = _corpus(spark, sf_dir, near=True)
-    docs = c.select("doc_id", F.split(F.trim("text"), " ").alias("toks")).filter(
-        F.size("toks") >= 3
-    )
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size("toks") - 3),
-            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, F.lit(3))),
-        )
-    )
-    docs = docs.select("doc_id", shingles.alias("sh"))
-
-    # one md5 per shingle, then k cheap affine permutations — ~8x fewer
-    # digest evaluations than hashing per (shingle, seed). Downstream
-    # (signatures AND the Jaccard verify) works on the hashed shingle
-    # SET, so the wide string arrays never leave this projection.
-    hashed = docs.select(
-        "doc_id",
-        F.array_distinct(F.transform(F.col("sh"), lambda s: portable_hash(s))).alias(
-            "bh"
-        ),
-    )
-    # the hashed shingle sets feed three branches (signatures + both
-    # sides of the Jaccard verify join) — persist so the md5+shingle
-    # subtree computes once, not three times (repeat runs hit the cache)
-    hashed = hashed.persist()
-
-    def _minhash(j: int):
-        # NB: the lambda must take exactly ONE parameter — a 2-arg lambda
-        # makes F.transform pass (element, index) and the index silently
-        # replaces the seed
-        return F.array_min(F.transform(F.col("bh"), lambda h: minhash_perm(h, j)))
-
-    sig_cols = [_minhash(j).alias(f"mh{j}") for j in range(MINHASH_K)]
-    sigs = hashed.select("doc_id", *sig_cols)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ":", F.lit(b), F.col(f"mh{2 * b}").cast("string"),
-                F.col(f"mh{2 * b + 1}").cast("string"),
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
-    bands = sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
+    hashed = hashed_shingle_sets(c).persist()
+    bands = lsh_band_rows(hashed)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band_key") == F.col("b.band_key"))

@@ -38,6 +38,8 @@ _MODULES = (
     "zigchain_indexer_clickhouse_spark.operators.multimodal",
     "zigchain_indexer_clickhouse_spark.operators.curation",
     "zigchain_indexer_clickhouse_spark.operators.data_mix",
+    "zigchain_indexer_clickhouse_spark.operators.engine_modifiers",
+    "zigchain_indexer_clickhouse_spark.operators.corpus_quality",
     "zigchain_indexer_clickhouse_spark.operators.matviews",
     "zigchain_indexer_clickhouse_spark.operators.funnel",
     "zigchain_indexer_clickhouse_spark.operators.olap_extra",
