@@ -41,6 +41,7 @@ _MODULES = (
     "zigchain_indexer_clickhouse_spark.operators.engine_modifiers",
     "zigchain_indexer_clickhouse_spark.operators.corpus_quality",
     "zigchain_indexer_clickhouse_spark.operators.ch_idioms",
+    "zigchain_indexer_clickhouse_spark.operators.clustering",
     "zigchain_indexer_clickhouse_spark.operators.matviews",
     "zigchain_indexer_clickhouse_spark.operators.funnel",
     "zigchain_indexer_clickhouse_spark.operators.olap_extra",
@@ -94,6 +95,7 @@ _EXPENSIVE = frozenset({
     "ingest_blocks", "dedup_simhash", "dedup_clusters",
     "overlapping_ranges", "dedup_minhash_lsh", "dedup_exact_substring",
     "tfidf_top_terms", "semdedup", "embedding_near_dup", "tx_hash",
+    "kmeans_lloyd",
 })
 
 
