@@ -144,3 +144,12 @@ def test_stream_block_ingest_matches_batch_pipeline(spark, sf_dir):
     }
     for t in ("blocks", "txs", "tx_event_attrs"):
         assert got[t] == batch[t], t
+
+
+def test_stream_agg_states_matches_batch_merge(spark, sf_dir):
+    """The streaming partial-state table, merged to monthly, must equal
+    the batch agg_states_merge operator (#127) exactly — the streaming
+    side of the -State/-Merge mergeability property."""
+    got = _Q["stream_agg_states"](spark, sf_dir)
+    want = _Q["agg_states_merge"](spark, sf_dir)
+    assert _rows(got) == _rows(want)

@@ -383,3 +383,50 @@ def stream_block_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name in ("blocks", "txs", "tx_event_attrs")
     ]
     return reduce(lambda a, b: a.unionAll(b), counts)
+
+
+# --------------------------------------------------------------------------
+# 137. stream_agg_states — streaming partial states + merge-on-read
+# --------------------------------------------------------------------------
+@register("stream_agg_states")
+def stream_agg_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_states_merge (#127, engine_modifiers.py):
+    the stream maintains AggregatingMergeTree-style DAILY partial
+    states — count/sum/min/max per (event_type, day) in update mode,
+    watermark-bounded state — and the read path merges states to the
+    monthly answer with a second (batch) aggregate over the state
+    table. tests/test_stream_batch_equiv.py asserts the merged output
+    equals the batch operator's.
+
+    At scale the update-mode sink is the state table (one row per
+    type×day — storage ∝ days, not events); the monthly merge never
+    touches raw events. Registered rows-only (streaming state isn't a
+    single DuckDB query)."""
+    s = _read_event_stream(spark, sf_dir)
+    daily = (
+        s.withWatermark("ts", "1 day")
+        .groupBy(
+            "event_type",
+            F.window("ts", "1 day").alias("w"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("value").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            F.date_format(F.col("w.start"), "yyyy-MM").alias("month"),
+            "cnt", "sum_v", "min_v", "max_v",
+        )
+    )
+    states = _run_append_to_memory(daily, "stream_agg_states", mode="update")
+    # -Merge read: re-aggregate the states (associative/commutative)
+    return states.groupBy("event_type", "month").agg(
+        F.sum("cnt").cast("long").alias("n_events"),
+        F.round(F.sum("sum_v"), 2).alias("sum_value"),
+        F.round(F.min("min_v"), 4).alias("min_value"),
+        F.round(F.max("max_v"), 4).alias("max_value"),
+    )
