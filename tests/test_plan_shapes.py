@@ -199,6 +199,7 @@ _BNLJ_ALLOWED = {
     "tfidf_top_terms",
     "q11_value_concentration",
     "unigram_lm_score",  # 1-row corpus-total broadcast crossed in
+    "bm25_rank",  # 1-row df-vector + 1-row corpus-stats broadcasts
 }
 
 
