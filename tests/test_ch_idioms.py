@@ -101,3 +101,23 @@ def test_scd2_intervals_tile_history(spark, sf_dir):
         assert ivs[-1].valid_to is None and ivs[-1].is_current == 1
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from
+
+
+def test_mv_incremental_refresh_subset_of_full_mv(spark, sf_dir):
+    """Refreshed rows must equal the full MV's rows for exactly the
+    affected days (and only those)."""
+    from zigchain_indexer_clickhouse_spark.operators.matviews import (
+        mv_daily_block_stats,
+        mv_incremental_refresh,
+    )
+
+    full = {r.date: r for r in mv_daily_block_stats(spark, sf_dir).collect()}
+    part = mv_incremental_refresh(spark, sf_dir).collect()
+    assert part and len(part) <= len(full)
+    for r in part:
+        f = full[r.date]
+        assert (r.block_count, r.total_txs, r.total_events) == (
+            f.block_count,
+            f.total_txs,
+            f.total_events,
+        )

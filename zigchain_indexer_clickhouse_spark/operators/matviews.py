@@ -368,3 +368,78 @@ def partition_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(part.cast("date") < F.lit("1995-01-01").cast("date"), 1).otherwise(0)
         ).cast("int").alias("expired"),
     )
+
+
+# --------------------------------------------------------------------------
+# 143. mv_incremental_refresh — diff-driven partition-scoped MV rebuild
+# --------------------------------------------------------------------------
+def _mv_refresh_oracle() -> str:
+    from zigchain_indexer_clickhouse_spark.operators.ch_idioms import (
+        _SNAP_A_COND,
+    )
+
+    return f"""
+    WITH snap_a AS (
+      SELECT CAST(floor(event_id / 10) AS BIGINT) AS h,
+             COUNT(*) AS n, MAX(ts) AS ca
+      FROM events WHERE {_SNAP_A_COND} GROUP BY 1
+    ),
+    snap_b AS (
+      SELECT CAST(floor(event_id / 10) AS BIGINT) AS h,
+             COUNT(*) AS n, MAX(ts) AS ca
+      FROM events GROUP BY 1
+    ),
+    diff AS (
+      SELECT b.h FROM snap_b b LEFT JOIN snap_a a ON a.h = b.h
+      WHERE a.h IS NULL OR a.n <> b.n OR a.ca <> b.ca
+    ),
+    blocks AS ({_BLOCKS_SQL}),
+    days AS (
+      SELECT DISTINCT CAST(created_at AS DATE) AS date FROM blocks
+      WHERE height IN (SELECT h FROM diff)
+    )
+    SELECT CAST(b.created_at AS DATE) AS date,
+           COUNT(*) AS block_count,
+           CAST(SUM(txs_results_count) AS BIGINT) AS total_txs,
+           CAST(SUM(finalize_events_count) AS BIGINT) AS total_events
+    FROM blocks b
+    WHERE CAST(b.created_at AS DATE) IN (SELECT date FROM days)
+    GROUP BY 1
+    """
+
+
+@register("mv_incremental_refresh", oracle=_mv_refresh_oracle())
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MV maintenance, composed end-to-end: the snapshot
+    diff (#134, ch_idioms.py) names the changed/added heights, those
+    heights name their affected DAYS, and only those days' MV rows
+    (mv_daily_block_stats, #68) recompute. The full-refresh trap at
+    100 TB is rebuilding every partition for a one-block change; this
+    plan touches partitions ∝ the change set.
+
+    Plan: the change set collapses to a distinct-day projection (tiny
+    — broadcast), which prunes the blocks scan via a broadcast
+    semi-join BEFORE the aggregate; with date-partitioned storage the
+    same predicate becomes literal partition pruning. The recompute
+    itself is the MV's own two-agg shape, just filtered."""
+    from zigchain_indexer_clickhouse_spark.operators.ch_idioms import (
+        snapshot_diff,
+    )
+
+    blocks = _blocks(spark, sf_dir).persist()
+    changed = snapshot_diff(spark, sf_dir).select("height")
+    days = (
+        blocks.join(changed, "height", "leftsemi")
+        .select(F.to_date("created_at").alias("date"))
+        .distinct()
+    )
+    return (
+        blocks.withColumn("date", F.to_date("created_at"))
+        .join(F.broadcast(days), "date", "leftsemi")
+        .groupBy("date")
+        .agg(
+            F.count("*").alias("block_count"),
+            F.sum("txs_results_count").cast("long").alias("total_txs"),
+            F.sum("finalize_events_count").cast("long").alias("total_events"),
+        )
+    )
