@@ -609,32 +609,37 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
     )
     base = e1.unionAll(e2).unionAll(e3)
+    # every round reads the edge set twice — persist it once instead of
+    # re-deriving the doc scan + unions + distinct per round
     edges = base.unionAll(
         base.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    ).distinct().persist()
 
     labels = edges.select(F.col("a").alias("n")).distinct().select(
         "n", F.col("n").alias("label")
     )
     prev_sum, cached = None, None
     for _ in range(20):  # diameter cap; each round is 2 shuffles
+        # persist BEFORE the convergence collect: the checksum job then
+        # POPULATES the cache, so next round reuses this round's
+        # join+agg instead of recomputing it (persist-after-collect
+        # caches nothing and doubles every round's work)
         neighbor_min = (
             edges.join(labels, edges.a == labels.n)
             .select(F.col("b").alias("n"), "label")
             .unionAll(labels)
             .groupBy("n")
             .agg(F.min("label").alias("label"))
-        )
+        ).persist()
         # convergence: sum of labels is strictly decreasing until fixed
         cur_sum = neighbor_min.agg(F.sum("label")).collect()[0][0]
         labels = neighbor_min
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-        labels = labels.persist()
         if cached is not None:
             cached.unpersist()  # only the frontier stays cached
         cached = labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
 
     return labels.select(
         F.col("n").cast("long").alias("doc_id"),
