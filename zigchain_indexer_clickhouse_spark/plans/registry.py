@@ -98,7 +98,7 @@ _EXPENSIVE = frozenset({
     "ingest_blocks", "dedup_simhash", "dedup_clusters",
     "overlapping_ranges", "dedup_minhash_lsh", "dedup_exact_substring",
     "tfidf_top_terms", "semdedup", "embedding_near_dup", "tx_hash",
-    "kmeans_lloyd", "contamination_fuzzy",
+    "kmeans_lloyd", "contamination_fuzzy", "schema_evolution_read",
 })
 
 

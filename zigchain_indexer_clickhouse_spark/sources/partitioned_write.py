@@ -15,6 +15,7 @@ the read-back rows; the layout itself is asserted in tests/).
 from __future__ import annotations
 
 import hashlib
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -147,4 +148,61 @@ def tx_hash_bucketed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hash_dir").isin(probe_dirs))
         .filter(F.col("tx_hash").isin(probe_hashes))
         .select("tx_id", "tx_hash", "hash_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# 144. schema_evolution_read — mergeSchema over mixed-generation files
+# --------------------------------------------------------------------------
+@register(
+    "schema_evolution_read",
+    oracle="""
+    SELECT CAST(o_orderkey % 2 AS INT) AS generation,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing_status,
+           ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a long-lived table accretes files from
+    MULTIPLE writer generations (the reference's indexer evolved its
+    tables the same way — init_clickhouse.js ALTERs columns in). Here
+    generation v1 files carry 3 columns, v2 files add
+    o_orderstatus/o_orderpriority; ``mergeSchema`` unifies them on
+    read, with v1 rows surfacing NULL for the evolved columns — which
+    the query then counts per generation.
+
+    At 100 TB you do NOT rewrite old files when a column lands;
+    mergeSchema (or a metastore schema) makes old+new coexist and
+    Catalyst still prunes columns per file. Footer-only schema merge —
+    the data pages of unprojected columns are never read.
+
+    Plan: two scratch writes (the harness's stand-in for years of
+    ingest), one unified scan, one small agg."""
+    o = load(spark, sf_dir, "orders")
+    base = scratch_dir(spark, "schema_evo", sf_dir)
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "o_orderstatus", "o_orderpriority",
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "gen=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "gen=v2"))
+    unified = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "gen=v1"), os.path.join(base, "gen=v2")
+    )
+    return (
+        unified.groupBy((F.col("o_orderkey") % 2).cast("int").alias("generation"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_orderstatus").isNull().cast("long"))
+            .cast("long")
+            .alias("n_missing_status"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
     )
