@@ -88,3 +88,26 @@ def test_exact_substring_finds_all_near_copies(spark, sf_dir):
         d for (d,) in eligible if (d, d + 10000) not in found
     ]
     assert not missing, f"near-copy pairs not detected for docs {missing[:5]}"
+
+
+def test_near_dup_clusters_invariants(spark, sf_dir):
+    """Composed pipeline (#145): every corpus doc labeled exactly once,
+    exactly one keeper per cluster (the min id), and every planted
+    near-copy (doc_id+10000) clusters WITH its original."""
+    from zigchain_indexer_clickhouse_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    rows = near_dup_clusters(spark, sf_dir).collect()
+    by_cluster = {}
+    label = {}
+    for r in rows:
+        label[r.doc_id] = r.cluster_id
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [m for m in members if m.is_keeper]
+        assert len(keepers) == 1 and keepers[0].doc_id == cid
+        assert cid == min(m.doc_id for m in members)
+    for did, cid in label.items():
+        if did >= 10000:
+            assert label[did - 10000] == cid, (did, cid)

@@ -609,15 +609,35 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("a"), (F.col("doc_id") + 1).alias("b"))
     )
     base = e1.unionAll(e2).unionAll(e3)
+    labels = propagate_components(base)
+    return labels.select(
+        F.col("n").cast("long").alias("doc_id"),
+        F.col("label").cast("long").alias("cluster_id"),
+    )
+
+
+def propagate_components(
+    base: DataFrame, nodes: DataFrame | None = None
+) -> DataFrame:
+    """Min-label propagation over an undirected edge set ``base``
+    (columns a, b) → (n, label) component labels. ``nodes`` optionally
+    adds isolated vertices (they keep their own id as label —
+    singleton clusters). Shared by dedup_clusters (#94, synthetic
+    edges) and near_dup_clusters (#145, real MinHash pairs).
+
+    O(diameter) rounds; each round is one join + one groupBy, both
+    hash-partitioned on the node id. Convergence detected by the
+    label-sum checksum (strictly decreasing until fixed)."""
     # every round reads the edge set twice — persist it once instead of
-    # re-deriving the doc scan + unions + distinct per round
+    # re-deriving the upstream pair pipeline per round
     edges = base.unionAll(
         base.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()
 
-    labels = edges.select(F.col("a").alias("n")).distinct().select(
-        "n", F.col("n").alias("label")
-    )
+    labels = edges.select(F.col("a").alias("n")).distinct()
+    if nodes is not None:
+        labels = labels.unionAll(nodes.select(F.col("n"))).distinct()
+    labels = labels.select("n", F.col("n").alias("label"))
     prev_sum, cached = None, None
     for _ in range(20):  # diameter cap; each round is 2 shuffles
         # persist BEFORE the convergence collect: the checksum job then
@@ -640,8 +660,71 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    edges.unpersist()
+    return labels
 
+
+# --------------------------------------------------------------------------
+# 145. near_dup_clusters — the composed near-dup pipeline, end to end
+# --------------------------------------------------------------------------
+def _near_dup_clusters_oracle() -> str:
+    # the verified-pair pipeline (#34's oracle) nested as the edge
+    # source of the recursive component closure (#94's oracle shape),
+    # with every corpus doc as a (possibly singleton) node
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle()})
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (
+      SELECT doc_id AS n FROM ({_CORPUS_NEAR})
+    ),
+    reach AS (
+      SELECT n AS src, n AS dst FROM nodes
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT)
+             AS is_keeper
+    FROM comp
+    """
+
+
+@register("near_dup_clusters", oracle=_near_dup_clusters_oracle())
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED near-dup pipeline — what a corpus build actually
+    runs: shingle → MinHash → LSH bands → Jaccard-verified pairs
+    (#34), connected components over those pairs (#94's propagation),
+    singleton clusters for untouched docs, and the keep/drop decision
+    (keeper = min doc_id of the cluster). One operator = the whole
+    near-dedup stage's output contract: every doc labeled, exactly one
+    keeper per cluster.
+
+    Scale story is the sum of its parts, all equi-join/agg: candidates
+    from band buckets (never all pairs), verification on candidate
+    pairs only, components in O(diameter) label-propagation rounds
+    with per-round scalar collects. The oracle nests #34's pair SQL
+    inside #94's recursive closure — an independent end-to-end
+    cross-check of the composition."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    corpus_nodes = _corpus(spark, sf_dir, near=True).select(
+        F.col("doc_id").alias("n")
+    )
+    labels = propagate_components(
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+        nodes=corpus_nodes,
+    )
     return labels.select(
         F.col("n").cast("long").alias("doc_id"),
         F.col("label").cast("long").alias("cluster_id"),
+        (F.col("n") == F.col("label")).cast("int").alias("is_keeper"),
     )

@@ -99,6 +99,7 @@ _EXPENSIVE = frozenset({
     "overlapping_ranges", "dedup_minhash_lsh", "dedup_exact_substring",
     "tfidf_top_terms", "semdedup", "embedding_near_dup", "tx_hash",
     "kmeans_lloyd", "contamination_fuzzy", "schema_evolution_read",
+    "near_dup_clusters",
 })
 
 
