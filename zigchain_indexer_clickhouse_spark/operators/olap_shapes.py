@@ -41,18 +41,25 @@ from zigchain_indexer_clickhouse_spark.plans.registry import register
       WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
     ),
     cost AS (
+      -- integer-scaled unit cost (floor of an identical IEEE product):
+      -- ROUND(double, 4) half-way cases disagree between engines
+      -- (BigDecimal HALF_UP vs libm), and the best-cost EQUALITY join
+      -- amplifies a 1-ulp flip into a row diff — floor on the same
+      -- double is bit-deterministic everywhere
       SELECT l_partkey, l_suppkey,
-             ROUND(MIN(l_extendedprice / l_quantity), 4) AS unit_cost
+             CAST(MIN(floor(l_extendedprice / l_quantity * 10000))
+                  AS BIGINT) AS unit_cost_x10k
       FROM lineitem
       JOIN fp ON p_partkey = l_partkey
       JOIN rs ON s_suppkey = l_suppkey
       GROUP BY 1, 2
     ),
-    best AS (SELECT l_partkey, MIN(unit_cost) AS best_cost FROM cost GROUP BY 1)
+    best AS (SELECT l_partkey, MIN(unit_cost_x10k) AS best_cost
+             FROM cost GROUP BY 1)
     SELECT c.l_partkey AS p_partkey, c.l_suppkey AS s_suppkey,
-           rs.s_name, rs.n_name, c.unit_cost
+           rs.s_name, rs.n_name, c.unit_cost_x10k
     FROM cost c
-    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.best_cost
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost_x10k = b.best_cost
     JOIN rs ON rs.s_suppkey = c.l_suppkey
     ORDER BY p_partkey, s_suppkey LIMIT 100
     """,
@@ -85,18 +92,23 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(rs.select("s_suppkey")), l.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-                "unit_cost"
+            # floor-scaled integer cost, not ROUND: half-way doubles
+            # round differently across engines, and the best-cost
+            # equality join turns that 1-ulp flip into a row diff
+            F.min(
+                F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 10000)
             )
+            .cast("long")
+            .alias("unit_cost_x10k")
         )
     )
     best = cost.groupBy(F.col("l_partkey").alias("bp")).agg(
-        F.min("unit_cost").alias("best_cost")
+        F.min("unit_cost_x10k").alias("best_cost")
     )
     return (
         cost.join(
             F.broadcast(best),
-            (cost.l_partkey == best.bp) & (cost.unit_cost == best.best_cost),
+            (cost.l_partkey == best.bp) & (cost.unit_cost_x10k == best.best_cost),
         )
         .join(F.broadcast(rs), cost.l_suppkey == rs.s_suppkey)
         .select(
@@ -104,7 +116,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("s_suppkey"),
             "s_name",
             "n_name",
-            "unit_cost",
+            "unit_cost_x10k",
         )
         .orderBy("p_partkey", "s_suppkey")
         .limit(100)
