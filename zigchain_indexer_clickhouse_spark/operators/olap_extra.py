@@ -766,15 +766,19 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_top_supplier",
     oracle="""
     WITH rev AS (
+      -- per-row cents floor + integer SUM: order-independent and
+      -- bit-identical across engines, so the =MAX equality can never
+      -- flip on a summation-order ulp (the q2 failure class)
       SELECT l_suppkey AS supplier_no,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS total_revenue_c
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_c
     FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
-    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    WHERE r.total_revenue_c = (SELECT MAX(total_revenue_c) FROM rev)
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,16 +791,20 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
     )
+    # per-row cents floor + integer SUM (see oracle note): the =MAX
+    # equality never flips on a summation-order ulp
     rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_revenue")
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("total_revenue_c")
     )
-    mx = rev.agg(F.max("total_revenue").alias("mx"))
-    top = rev.join(F.broadcast(mx), rev.total_revenue == mx.mx).select(
-        "supplier_no", "total_revenue"
+    mx = rev.agg(F.max("total_revenue_c").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev.total_revenue_c == mx.mx).select(
+        "supplier_no", "total_revenue_c"
     )
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return s.join(
         F.broadcast(top), s.s_suppkey == top.supplier_no
-    ).select("s_suppkey", "s_name", "total_revenue")
+    ).select("s_suppkey", "s_name", "total_revenue_c")

@@ -188,14 +188,18 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'EUROPE'
     ),
     val AS (
-      SELECT l_suppkey, ROUND(SUM(l_extendedprice * l_quantity), 2) AS value
+      -- per-row cents floor + integer SUM (order-independent; the
+      -- threshold compare below can't flip on a summation-order ulp)
+      SELECT l_suppkey,
+             SUM(CAST(floor(l_extendedprice * l_quantity * 100)
+                      AS BIGINT)) AS value_c
       FROM lineitem JOIN rs ON s_suppkey = l_suppkey
       GROUP BY 1
     )
-    SELECT l_suppkey AS s_suppkey, value,
-           ROUND(value / total, 6) AS share
-    FROM val, (SELECT SUM(value) AS total FROM val) t
-    WHERE value > 0.01 * total
+    SELECT l_suppkey AS s_suppkey, value_c,
+           CAST(value_c * 1000000 // total_c AS BIGINT) AS share_ppm
+    FROM val, (SELECT SUM(value_c) AS total_c FROM val) t
+    WHERE value_c * 1000 > total_c
     """,
 )
 def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,23 +218,29 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     l = load(spark, sf_dir, "lineitem")
+    # per-row cents floor + integer SUM (see oracle note): the share
+    # threshold is an exact integer compare at any scale
     val = (
         l.join(F.broadcast(rs), l.l_suppkey == rs.s_suppkey)
         .groupBy("l_suppkey")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2).alias(
-                "value"
-            )
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * F.col("l_quantity") * 100
+                ).cast("long")
+            ).alias("value_c")
         )
     )
-    total = val.agg(F.sum("value").alias("total"))
+    total = val.agg(F.sum("value_c").alias("total_c"))
     return (
         val.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > 0.01 * F.col("total"))
+        .filter(F.col("value_c") * 1000 > F.col("total_c"))
         .select(
             F.col("l_suppkey").alias("s_suppkey"),
-            "value",
-            F.round(F.col("value") / F.col("total"), 6).alias("share"),
+            "value_c",
+            F.expr("CAST(value_c * 1000000 DIV total_c AS BIGINT)").alias(
+                "share_ppm"
+            ),
         )
     )
 
