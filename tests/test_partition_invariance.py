@@ -1,0 +1,41 @@
+"""Partition-layout invariance: results must not depend on shuffle
+partition count or core count. Float-aggregate queries that feed an
+EQUALITY or THRESHOLD compare are the risk class — a summation-order
+ulp under one layout and not another flips whole rows (the q2/q15/q11
+bug class fixed in round 2 by integer-exact compares).
+
+This runs the once-fragile queries (plus two representative money
+aggregates) under a deliberately awkward layout — 7 shuffle
+partitions — and asserts row-identical results with the default-layout
+run in the same session. A full-gate variant (all 150 queries, 5
+cores × 7 partitions vs DuckDB) is run per round out-of-band; this is
+the fast permanent guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from zigchain_indexer_clickhouse_spark.plans import registry
+
+_PROBED = [
+    "q2_min_cost_supplier",
+    "q15_top_supplier",
+    "q11_value_concentration",
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "embedding_centroids",
+]
+
+
+@pytest.mark.parametrize("name", _PROBED)
+def test_result_invariant_to_shuffle_partitions(spark, sf_dir, name):
+    fn = registry.queries()[name]
+    default_rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        odd_rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert default_rows == odd_rows
