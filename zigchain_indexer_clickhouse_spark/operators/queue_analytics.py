@@ -478,3 +478,57 @@ def monitor_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         queue.unionAll(gaps).unionAll(stuck).unionAll(dups)
         .unionAll(loops).unionAll(recent).unionAll(totals)
     )
+
+
+# --------------------------------------------------------------------------
+# 146. failed_error_breakdown (monitor_indexer.js:66-72)
+# --------------------------------------------------------------------------
+@register(
+    "failed_error_breakdown",
+    oracle="""
+    WITH fb AS (
+      SELECT o_orderkey AS height,
+             CASE WHEN o_orderkey % 8 >= 5 THEN 'failed_permanently'
+                  ELSE 'pending' END AS status,
+             CASE CAST(o_orderkey % 3 AS INT)
+               WHEN 0 THEN 'rpc_timeout'
+               WHEN 1 THEN 'decode_error'
+               ELSE 'db_error' END AS error_type
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT status, error_type, COUNT(*) AS n_blocks,
+           CAST(MIN(height) AS BIGINT) AS min_height,
+           CAST(MAX(height) AS BIGINT) AS max_height
+    FROM fb GROUP BY status, error_type
+    """,
+)
+def failed_error_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failed-blocks triage report (monitor_indexer.js:66-72):
+    ``SELECT status, error_type, COUNT(*), MIN(height), MAX(height)
+    FROM failed_blocks GROUP BY status, error_type`` — the monitor's
+    per-error-class summary. Status follows failed_block_backoff's
+    permanent-failure rule; error classes are a deterministic stand-in
+    cycle (the harness has no real error strings). One
+    map-side-combinable agg over ≤ statuses×classes groups."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    status = F.when((F.col("o_orderkey") % 8) >= 5, "failed_permanently").otherwise(
+        "pending"
+    )
+    error_type = (
+        F.when(F.col("o_orderkey") % 3 == 0, "rpc_timeout")
+        .when(F.col("o_orderkey") % 3 == 1, "decode_error")
+        .otherwise("db_error")
+    )
+    return (
+        o.select(
+            F.col("o_orderkey").alias("height"),
+            status.alias("status"),
+            error_type.alias("error_type"),
+        )
+        .groupBy("status", "error_type")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.min("height").cast("long").alias("min_height"),
+            F.max("height").cast("long").alias("max_height"),
+        )
+    )
