@@ -532,3 +532,34 @@ def failed_error_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("height").cast("long").alias("max_height"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 147. catalog_verify (init_clickhouse.js:465-495 verifyTables, as a query)
+# --------------------------------------------------------------------------
+def _catalog_verify_oracle() -> str:
+    from zigchain_indexer_clickhouse_spark.catalog import TABLES
+
+    rows = " UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, 'ok' AS status" for t in TABLES
+    )
+    return rows
+
+
+@register("catalog_verify", oracle=_catalog_verify_oracle())
+def catalog_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's startup table verification
+    (init_clickhouse.js:465-495 verifyTables: enumerate system.tables,
+    flag missing/drifted) surfaced as a gate query: one row per
+    catalog table with its status. Against the driver's testdata every
+    table must be 'ok'; a missing parquet or dropped column shows up
+    as 'missing' / 'schema-drift: ...' and hash-fails the gate.
+
+    Metadata-cost at any scale: schema inspection reads parquet
+    FOOTERS only (see catalog.verify_catalog), no data pages."""
+    from zigchain_indexer_clickhouse_spark.catalog import verify_catalog
+
+    report = verify_catalog(spark, sf_dir)
+    return spark.createDataFrame(
+        sorted(report.items()), "table_name string, status string"
+    )
