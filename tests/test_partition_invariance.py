@@ -25,6 +25,12 @@ _PROBED = [
     "q1_pricing_summary",
     "q9_product_profit",
     "embedding_centroids",
+    # window/ordering class: row_number & carry-forward must tie-break
+    # deterministically regardless of layout
+    "sessionize",
+    "asof_join",
+    "time_fill_interpolate",
+    "limit_by",
 ]
 
 
