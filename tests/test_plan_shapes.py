@@ -101,6 +101,18 @@ def test_near_dup_candidates_via_equijoin(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ngram_jaccard_candidates_from_lsh_not_metadata(spark, sf_dir):
+    """#36's candidate pairs must come from the LSH band-bucket
+    equi-join, NOT a (lang, source) metadata-block self-join — one
+    (en, web) block at corpus scale is ~the corpus, O(block²) pairs
+    (VERDICT r2 item #2). The metadata columns must not even be read."""
+    plan = _plan(spark, sf_dir, "dedup_ngram_jaccard")
+    assert "band_key" in plan  # candidates via the band equi-join
+    # no lang/source anywhere: not in join keys, not in ReadSchema
+    assert "lang" not in plan
+    assert "source" not in plan.replace("sources", "")
+
+
 def test_bucketed_join_has_no_prejoin_exchange(spark, sf_dir):
     """bucketed_colocated_join: both facts written bucketBy(orderkey),
     so the SMJ consumes bucket files directly — the ONLY exchange in

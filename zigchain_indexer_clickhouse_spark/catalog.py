@@ -33,10 +33,13 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Plain parquet scan — pushdown-friendly.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
-    rejects by default; it is read as raw nanos (``nanosAsLong``) and
-    truncated to a microsecond timestamp — the same truncation DuckDB
-    applies, so oracle comparisons line up.
+    ``events.ts`` has shipped in two generations: parquet
+    TIMESTAMP(NANOS) (which Spark rejects by default — read as raw
+    nanos via ``nanosAsLong`` and truncated to microseconds, the same
+    truncation DuckDB applies) and plain microsecond TIMESTAMP_NTZ
+    (readable as-is). The loader branches on the footer schema so both
+    generations come back identical — the schema_evolution_read story
+    applied to the catalog itself.
     """
     if name == "events":
         # nanosAsLong is a session default (session.py); tolerate foreign
@@ -46,9 +49,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if spark.conf.get(conf, None) is None:
             spark.conf.set(conf, "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer `div`, not `/`: int64-nanos / 1000.0 round-trips through
-        # double and gains ±1 µs on large values
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "bigint":
+            # nanos-as-long generation: integer `div`, not `/` —
+            # int64-nanos / 1000.0 round-trips through double and gains
+            # ±1 µs on large values
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -157,13 +157,19 @@ def lsh_band_rows(hashed: DataFrame) -> DataFrame:
     return sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
 
 
-def _minhash_oracle() -> str:
+def _minhash_cand_ctes() -> str:
+    """The shared candidate-generation CTE chain: near corpus → 3-word
+    shingles → portable-hashed shingle sets → minhash signature → LSH
+    band keys → band-bucket candidate pairs. Reused verbatim by the
+    #34 oracle and the #36 (dedup_ngram_jaccard) oracle so both verify
+    passes see the identical candidate space the Spark side builds
+    from ``lsh_band_rows``."""
     base = portable_hash_sql("shingle")
     perms = " ".join(
         f"WHEN s.j = {j} THEN {minhash_perm_sql('bh', j)}" for j in range(MINHASH_K)
     )
     return f"""
-    WITH corpus AS ({_CORPUS_NEAR}),
+    corpus AS ({_CORPUS_NEAR}),
     tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM corpus),
     shd AS (
       SELECT DISTINCT doc_id,
@@ -188,7 +194,28 @@ def _minhash_oracle() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
       FROM bands a JOIN bands c
         ON a.band_key = c.band_key AND a.doc_id < c.doc_id
-    ),
+    )"""
+
+
+def lsh_candidate_pairs(hashed: DataFrame) -> DataFrame:
+    """(doc_id, bh) hashed shingle sets → distinct (doc_a, doc_b)
+    candidate pairs via the LSH band-bucket equi-join — O(n·bands)
+    band rows, pairs only where a full band collides. The one and only
+    candidate generator for the near-dup family (#34 verifies with
+    shingle Jaccard, #36 with bigram Jaccard)."""
+    bands = lsh_band_rows(hashed)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_cand_ctes()},
     nsh AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter
@@ -222,14 +249,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     c = _corpus(spark, sf_dir, near=True)
     hashed = hashed_shingle_sets(c).persist()
-    bands = lsh_band_rows(hashed)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(hashed)
     sh_a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("bh").alias("sh_a"))
     sh_b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("bh").alias("sh_b"))
     verified = (
@@ -388,31 +408,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# 36. dedup_ngram_jaccard — blocked n-gram Jaccard verify
+# 36. dedup_ngram_jaccard — n-gram Jaccard verify over LSH candidates
 # --------------------------------------------------------------------------
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH tok AS (
-      SELECT doc_id, lang, source, string_split(trim(text), ' ') AS toks
-      FROM documents
-    ),
-    bg AS (
+def _ngram_jaccard_oracle() -> str:
+    bgh = portable_hash_sql("bigram")
+    return f"""
+    WITH {_minhash_cand_ctes()},
+    bgd AS (
       SELECT DISTINCT doc_id, toks[g.i] || ' ' || toks[g.i+1] AS bigram
       FROM tok, generate_series(1, 4000) g(i)
       WHERE g.i <= len(toks) - 1
     ),
-    cand AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM tok a JOIN tok b
-        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    ),
+    bg AS (SELECT DISTINCT doc_id, {bgh} AS bh2 FROM bgd),
     nbg AS (SELECT doc_id, COUNT(*) AS n FROM bg GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, COUNT(*) AS ninter
       FROM cand c
       JOIN bg x ON x.doc_id = c.doc_a
-      JOIN bg y ON y.doc_id = c.doc_b AND x.bigram = y.bigram
+      JOIN bg y ON y.doc_id = c.doc_b AND x.bh2 = y.bh2
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b, jaccard FROM (
@@ -424,36 +437,43 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nbg nb ON nb.doc_id = c.doc_b
       LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
     ) WHERE jaccard >= {NGRAM_JACCARD_MIN}
-    """,
-)
+    """
+
+
+@register("dedup_ngram_jaccard", oracle=_ngram_jaccard_oracle())
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-bigram Jaccard similarity over metadata-blocked candidate
-    pairs (same lang+source) — the cheap verify pass used downstream of
-    LSH. Blocking keeps the pair space O(Σ block²) instead of O(n²)."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", F.split(F.trim("text"), " ").alias("toks")
+    """Word-bigram Jaccard verify pass over LSH band candidates — the
+    cheap second-stage check a corpus pipeline runs downstream of
+    MinHash LSH, scoring with a FINER feature set (word bigrams) than
+    the 3-word shingles that generated the candidates.
+
+    Candidates come from ``lsh_candidate_pairs`` — the same band-bucket
+    equi-join `dedup_minhash_lsh` uses, O(n·bands) band rows and pairs
+    only on full-band collisions — NOT from metadata blocking: a
+    (lang, source) self-join is O(block²), and at corpus scale a single
+    (en, web) block IS the corpus (VERDICT r2 "What's wrong" #1). The
+    verify join carries only ids + hashed bigram sets, never text."""
+    c = _corpus(spark, sf_dir, near=True)
+    hashed = hashed_shingle_sets(c).persist()
+    cand = lsh_candidate_pairs(hashed)
+    toks = c.select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
     ).filter(F.size("toks") >= 2)
     bigrams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size("toks") - 2),
-            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, F.lit(2))),
+            lambda i: portable_hash(
+                F.concat_ws(" ", F.slice(F.col("toks"), i + 1, F.lit(2)))
+            ),
         )
     )
-    docs = d.select("doc_id", "lang", "source", bigrams.alias("bg"))
-    a = docs.select(
-        F.col("lang"), F.col("source"), F.col("doc_id").alias("doc_a"),
-        F.col("bg").alias("bg_a"),
-    )
-    b = docs.select(
-        F.col("lang").alias("lang_b"), F.col("source").alias("source_b"),
-        F.col("doc_id").alias("doc_b"), F.col("bg").alias("bg_b"),
-    )
-    pairs = a.join(
-        b,
-        (a.lang == b.lang_b) & (a.source == b.source_b) & (F.col("doc_a") < F.col("doc_b")),
-    )
+    bg = toks.select("doc_id", bigrams.alias("bg")).persist()
+    bg_a = bg.select(F.col("doc_id").alias("doc_a"), F.col("bg").alias("bg_a"))
+    bg_b = bg.select(F.col("doc_id").alias("doc_b"), F.col("bg").alias("bg_b"))
     return (
-        pairs.select(
+        cand.join(bg_a, "doc_a")
+        .join(bg_b, "doc_b")
+        .select(
             "doc_a",
             "doc_b",
             F.round(

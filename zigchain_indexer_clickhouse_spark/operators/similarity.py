@@ -231,6 +231,53 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 103. semdedup — semantic dedup: within-cluster cosine prune (SemDeDup)
 # --------------------------------------------------------------------------
 SEMDEDUP_COS = 0.999
+SEMDEDUP_CAP = 64  # max cluster size before a hyperplane split
+SEMDEDUP_SPLIT_LEVELS = 2  # max split rounds (cap → cap/2^levels typical)
+
+
+def capped_cluster_keys(corpus: DataFrame) -> DataFrame:
+    """(vec_id, label, v) → + ``ckey``: the label refined by up to
+    {SEMDEDUP_SPLIT_LEVELS} deterministic hyperplane sign bits, applied
+    ONLY to clusters larger than {SEMDEDUP_CAP}. This is the SemDeDup
+    pairwise guard: the within-cluster join is O(Σ cluster²), so one
+    skewed mega-cluster goes quadratic — capping splits it by the same
+    md5-derived hyperplanes `ann_lsh_bucketed` uses, halving (in
+    expectation) each round, while small clusters keep their key (no
+    recall loss where the join was already cheap). Identical vectors
+    share every sign bit, so true duplicate sets are never separated.
+    Each level is one window count over the current key — L extra
+    shuffles total, all on narrow (id, key, bit) projections."""
+    planes = _hyperplanes()
+    out = corpus.withColumn("ckey", F.col("label").cast("string"))
+    for lvl in range(SEMDEDUP_SPLIT_LEVELS):
+        lit_plane = F.array(*[F.lit(x) for x in planes[lvl]])
+        bit = F.when(_dot(F.col("v"), lit_plane) > 0, F.lit(1)).otherwise(F.lit(0))
+        w = Window.partitionBy("ckey")
+        out = out.withColumn("csize", F.count("*").over(w)).withColumn(
+            "ckey",
+            F.when(
+                F.col("csize") > SEMDEDUP_CAP,
+                F.concat_ws(":", "ckey", bit.cast("string")),
+            ).otherwise(F.col("ckey")),
+        )
+    return out.drop("csize")
+
+
+def _semdedup_split_ctes() -> str:
+    """DuckDB twin of ``capped_cluster_keys``: same planes, same
+    cap, same level-by-level window refinement."""
+    planes = _hyperplanes()
+    ctes = ["l0 AS (SELECT vec_id, label, v, CAST(label AS VARCHAR) AS ckey FROM corpus)"]
+    for lvl in range(SEMDEDUP_SPLIT_LEVELS):
+        plane = ", ".join(repr(x) for x in planes[lvl])
+        ctes.append(f"""l{lvl + 1} AS (
+      SELECT vec_id, label, v,
+             CASE WHEN COUNT(*) OVER (PARTITION BY ckey) > {SEMDEDUP_CAP}
+                  THEN ckey || ':' || (CASE WHEN list_dot_product(v,
+                         [{plane}]::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
+                  ELSE ckey END AS ckey
+      FROM l{lvl})""")
+    return ",\n    ".join(ctes)
 
 
 @register(
@@ -241,10 +288,11 @@ SEMDEDUP_COS = 0.999
       UNION ALL
       SELECT vec_id + 100000, label, embedding::DOUBLE[] FROM embeddings
     ),
+    {_semdedup_split_ctes()},
     dups AS (
       SELECT b.vec_id AS vec_b, MIN(a.vec_id) AS keeper
-      FROM corpus a JOIN corpus b
-        ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM l{SEMDEDUP_SPLIT_LEVELS} a JOIN l{SEMDEDUP_SPLIT_LEVELS} b
+        ON a.ckey = b.ckey AND a.vec_id < b.vec_id
       WHERE ROUND(list_dot_product(a.v, b.v)
                   / (sqrt(list_dot_product(a.v, a.v))
                      * sqrt(list_dot_product(b.v, b.v))), 6) >= {SEMDEDUP_COS}
