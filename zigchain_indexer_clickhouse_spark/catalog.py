@@ -33,13 +33,23 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Plain parquet scan — pushdown-friendly.
 
-    ``events.ts`` has shipped in two generations: parquet
+    Timestamp columns have shipped in three generations: parquet
     TIMESTAMP(NANOS) (which Spark rejects by default — read as raw
     nanos via ``nanosAsLong`` and truncated to microseconds, the same
-    truncation DuckDB applies) and plain microsecond TIMESTAMP_NTZ
-    (readable as-is). The loader branches on the footer schema so both
-    generations come back identical — the schema_evolution_read story
-    applied to the catalog itself.
+    truncation DuckDB applies), TIMESTAMP(MICROS, isAdjustedToUTC=true)
+    (plain TimestampType), and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (which Spark 4 infers as TIMESTAMP_NTZ — a type that rejects
+    ``cast(ts as bigint)`` and shifts date_trunc/window semantics off
+    the session zone). Reading with ``inferTimestampNTZ.enabled=false``
+    pins the third generation back to TimestampType, so every
+    generation comes back identical — the schema_evolution_read story
+    applied to the catalog itself. (DuckDB reads the same columns as
+    naive timestamps; under a UTC session the two agree exactly.)
+
+    Parquet schema inference is EAGER (resolved when ``read.parquet``
+    returns, verified in tests/test_catalog.py), so the conf is set
+    only for the duration of the footer read and restored immediately —
+    a foreign session's own reads keep their configured behavior.
     """
     if name == "events":
         # nanosAsLong is a session default (session.py); tolerate foreign
@@ -48,7 +58,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         conf = "spark.sql.legacy.parquet.nanosAsLong"
         if spark.conf.get(conf, None) is None:
             spark.conf.set(conf, "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_ltz(spark, f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             # nanos-as-long generation: integer `div`, not `/` —
             # int64-nanos / 1000.0 round-trips through double and gains
@@ -57,7 +67,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return df
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_ltz(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _read_ltz(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with TIMESTAMP_NTZ inference off: micros columns
+    written without isAdjustedToUTC come back as plain TimestampType,
+    matching the older data generations and DuckDB-under-UTC. The conf
+    flip is scoped to the (eager) schema-inference call and restored."""
+    conf = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    prev = spark.conf.get(conf, "true")
+    if prev == "false":
+        return spark.read.parquet(path)
+    spark.conf.set(conf, "false")
+    try:
+        return spark.read.parquet(path)
+    finally:
+        spark.conf.set(conf, prev)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

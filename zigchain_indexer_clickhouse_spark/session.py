@@ -48,6 +48,13 @@ def get_spark(app_name: str = "zigchain-indexer-spark", master: str | None = Non
         # truncates to microseconds). Set HERE, not inside a loader, so
         # a read never mutates session behavior as a side effect.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the 2026-08 testdata generation writes TIMESTAMP(MICROS,
+        # isAdjustedToUTC=false), which Spark 4 would infer as
+        # TIMESTAMP_NTZ; keep the older TimestampType reading so ts
+        # arithmetic (cast-to-long epoch math) and DuckDB-under-UTC
+        # comparisons stay identical across generations. The catalog
+        # loader also scopes this per-read for foreign sessions.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # keep saveAsTable metadata out of the repo cwd (bucketed tables
         # store their data at explicit /tmp paths; this is the default
         # warehouse for anything that doesn't)
