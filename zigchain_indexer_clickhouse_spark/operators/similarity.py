@@ -251,7 +251,12 @@ def capped_cluster_keys(corpus: DataFrame) -> DataFrame:
     out = corpus.withColumn("ckey", F.col("label").cast("string"))
     for lvl in range(SEMDEDUP_SPLIT_LEVELS):
         lit_plane = F.array(*[F.lit(x) for x in planes[lvl]])
-        bit = F.when(_dot(F.col("v"), lit_plane) > 0, F.lit(1)).otherwise(F.lit(0))
+        # round before the sign test: a near-zero dot must not flip
+        # between engines on FP accumulation order (same 6-digit
+        # convention as the cosine compares)
+        bit = F.when(
+            F.round(_dot(F.col("v"), lit_plane), 6) > 0, F.lit(1)
+        ).otherwise(F.lit(0))
         w = Window.partitionBy("ckey")
         out = out.withColumn("csize", F.count("*").over(w)).withColumn(
             "ckey",
@@ -273,8 +278,8 @@ def _semdedup_split_ctes() -> str:
         ctes.append(f"""l{lvl + 1} AS (
       SELECT vec_id, label, v,
              CASE WHEN COUNT(*) OVER (PARTITION BY ckey) > {SEMDEDUP_CAP}
-                  THEN ckey || ':' || (CASE WHEN list_dot_product(v,
-                         [{plane}]::DOUBLE[]) > 0 THEN 1 ELSE 0 END)
+                  THEN ckey || ':' || (CASE WHEN ROUND(list_dot_product(v,
+                         [{plane}]::DOUBLE[]), 6) > 0 THEN 1 ELSE 0 END)
                   ELSE ckey END AS ckey
       FROM l{lvl})""")
     return ",\n    ".join(ctes)
@@ -319,25 +324,29 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(vec_b) min-agg and a left join back; the keeper map is two
     longs per DUPLICATE vector (a small fraction of the corpus), so it
     broadcasts — at extreme dup rates swap the hint for a bucketed
-    equi-join, same plan otherwise. At 100 TB the pairwise guard is
-    cluster-size capping (split oversized clusters by an extra LSH bit,
-    same plan shape). Synthetic clones (vec_id+100000) are guaranteed
-    positives; the oracle builds the identical corpus."""
+    equi-join, same plan otherwise. The 100 TB pairwise guard IS wired
+    in: ``capped_cluster_keys`` refines oversized clusters by
+    deterministic hyperplane sign bits BEFORE the join, so one skewed
+    mega-cluster stays sub-quadratic, and the oracle applies the
+    identical refinement (``_semdedup_split_ctes``) so both engines
+    compare the same pair set. Synthetic clones (vec_id+100000) are
+    guaranteed positives; the oracle builds the identical corpus."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _vec_double().alias("v")
     )
     corpus = e.unionAll(
         e.select((F.col("vec_id") + 100000).alias("vec_id"), "label", "v")
     )
-    a = corpus.select(
-        F.col("label"), F.col("vec_id").alias("va_id"), F.col("v").alias("va")
+    capped = capped_cluster_keys(corpus)
+    a = capped.select(
+        F.col("ckey"), F.col("vec_id").alias("va_id"), F.col("v").alias("va")
     )
-    b = corpus.select(
-        F.col("label").alias("label_b"), F.col("vec_id").alias("vec_b"),
+    b = capped.select(
+        F.col("ckey").alias("ckey_b"), F.col("vec_id").alias("vec_b"),
         F.col("v").alias("vb"),
     )
     dups = (
-        a.join(b, (a.label == b.label_b) & (F.col("va_id") < F.col("vec_b")))
+        a.join(b, (a.ckey == b.ckey_b) & (F.col("va_id") < F.col("vec_b")))
         .select(
             "va_id",
             "vec_b",
