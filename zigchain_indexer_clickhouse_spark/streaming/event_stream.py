@@ -28,11 +28,14 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from zigchain_indexer_clickhouse_spark.plans.registry import register
 
-# Raw schema of events.parquet (ts is TIMESTAMP(NANOS) → read as long).
+# Raw schema of the NANOS-generation events.parquet (ts read as long,
+# truncated to µs downstream). The MICROS generation reads ts as a
+# plain timestamp instead — _read_event_stream picks per footer.
 _EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -63,16 +66,38 @@ def _stream_dir(sf_dir: str) -> str:
 
 
 def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table, generation-aware: the footer
+    (inspected through the batch loader, a metadata-only read) decides
+    whether ts arrives as NANOS-as-long (truncate to µs, the batch
+    loader's exact arithmetic) or as a plain micros timestamp. The
+    explicit schema is required by the file stream source either way."""
     # nanosAsLong is a session default (session.py); set only if unset.
     conf = "spark.sql.legacy.parquet.nanosAsLong"
     if spark.conf.get(conf, None) is None:
         spark.conf.set(conf, "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+    # what matters is the RAW footer type (the batch loader would have
+    # normalized it), so probe the file directly — metadata-only read
+    raw_ts_type = dict(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")).dtypes
+    ).get("ts")
+    if raw_ts_type == "bigint":
+        raw = (
+            spark.readStream.schema(_EVENTS_SCHEMA)
+            .format("parquet")
+            .load(_stream_dir(sf_dir))
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_schema = StructType(
+        [
+            f if f.name != "ts" else StructField("ts", TimestampType())
+            for f in _EVENTS_SCHEMA.fields
+        ]
+    )
+    return (
+        spark.readStream.schema(ts_schema)
         .format("parquet")
         .load(_stream_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _run_append_to_memory(df: DataFrame, name: str, mode: str = "append") -> DataFrame:
