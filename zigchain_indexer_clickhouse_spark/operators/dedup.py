@@ -131,6 +131,44 @@ def hashed_shingle_sets(docs: DataFrame) -> DataFrame:
     )
 
 
+_STAGE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _shared_stage(key_tag: str, spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Memoized persisted stage, keyed by (applicationId, sf_dir, tag).
+
+    The near-dup family (#34 minhash, #36 ngram-jaccard, #145 composed
+    clusters) all consume the same hashed-shingle candidate stage;
+    without sharing, each query re-persists its own copy and — because
+    operators return LAZY DataFrames, so there is no post-action point
+    to unpersist from inside — the duplicates leak for the session
+    (ADVICE r3). One cache entry per (app, sf_dir, tag); entries for a
+    different sf_dir or a dead app are unpersisted on the way in, so
+    peak footprint is one corpus's stages regardless of how many scale
+    factors a session sweeps."""
+    key = (spark.sparkContext.applicationId, sf_dir, key_tag)
+    df = _STAGE_CACHE.get(key)
+    if df is not None:
+        return df
+    for k in [k for k in _STAGE_CACHE if k[0] != key[0] or k[1] != sf_dir]:
+        try:
+            _STAGE_CACHE.pop(k).unpersist()
+        except Exception:  # dead SparkContext — nothing to release
+            _STAGE_CACHE.pop(k, None)
+    df = build().persist()
+    _STAGE_CACHE[key] = df
+    return df
+
+
+def shared_hashed_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one persisted copy of hashed_shingle_sets(near corpus) that
+    #34 / #36 / #145 share within a session."""
+    return _shared_stage(
+        "hashed_shingles", spark, sf_dir,
+        lambda: hashed_shingle_sets(_corpus(spark, sf_dir, near=True)),
+    )
+
+
 def lsh_band_rows(hashed: DataFrame) -> DataFrame:
     """(doc_id, bh) → exploded (doc_id, band_key) LSH band rows:
     k={MINHASH_K} affine minhash permutations folded into {LSH_BANDS}
@@ -247,8 +285,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     SETS by doc_id — so the pair join only carries ids. Entirely builtin
     higher-order functions; no Python in the pipeline.
     """
-    c = _corpus(spark, sf_dir, near=True)
-    hashed = hashed_shingle_sets(c).persist()
+    hashed = shared_hashed_shingles(spark, sf_dir)
     cand = lsh_candidate_pairs(hashed)
     sh_a = hashed.select(F.col("doc_id").alias("doc_a"), F.col("bh").alias("sh_a"))
     sh_b = hashed.select(F.col("doc_id").alias("doc_b"), F.col("bh").alias("sh_b"))
@@ -454,7 +491,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (en, web) block IS the corpus (VERDICT r2 "What's wrong" #1). The
     verify join carries only ids + hashed bigram sets, never text."""
     c = _corpus(spark, sf_dir, near=True)
-    hashed = hashed_shingle_sets(c).persist()
+    hashed = shared_hashed_shingles(spark, sf_dir)
     cand = lsh_candidate_pairs(hashed)
     toks = c.select(
         "doc_id", F.split(F.trim("text"), " ").alias("toks")
@@ -467,7 +504,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    bg = toks.select("doc_id", bigrams.alias("bg")).persist()
+    bg = _shared_stage(
+        "bigram_sets", spark, sf_dir,
+        lambda: toks.select("doc_id", bigrams.alias("bg")),
+    )
     bg_a = bg.select(F.col("doc_id").alias("doc_a"), F.col("bg").alias("bg_a"))
     bg_b = bg.select(F.col("doc_id").alias("doc_b"), F.col("bg").alias("bg_b"))
     return (
