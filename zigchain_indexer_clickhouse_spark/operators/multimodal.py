@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,9 +49,19 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     fake feature — all replayable in SQL for the oracle.
     """
     for pdf in batches:
-        payload_bytes = pdf["payload"].map(len).astype("int64")
-        head_checksum = pdf["text"].map(
-            lambda t: sum(ord(c) for c in t[:16]) % 256
+        payload_bytes = pdf["payload"].str.len().astype("int64")
+        # codepoint-sum of the first 16 chars, vectorized: pad the
+        # slice to exactly 16 chars with NUL (codepoint 0 — identity
+        # for the sum), decode the whole batch as one utf-32 buffer,
+        # and sum row-wise in numpy. No per-row Python lambda.
+        head = (
+            pdf["text"].str.slice(0, 16).str.pad(16, side="right", fillchar="\x00")
+        )
+        codes = np.frombuffer(
+            "".join(head.tolist()).encode("utf-32-le"), dtype=np.uint32
+        ).reshape(-1, 16)
+        head_checksum = pd.Series(
+            codes.sum(axis=1) % 256, index=pdf.index
         ).astype("int32")
         fake_feature = ((payload_bytes * 31 + head_checksum) % 1000).astype("int32")
         yield pd.DataFrame(

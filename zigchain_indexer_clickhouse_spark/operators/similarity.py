@@ -110,7 +110,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_oracle() -> str:
     planes = _hyperplanes()
     bucket_terms = " + ".join(
-        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in planes[j])}]::DOUBLE[]) > 0 "
+        f"(CASE WHEN ROUND(list_dot_product(v, [{', '.join(repr(x) for x in planes[j])}]::DOUBLE[]), 6) > 0 "
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(LSH_PLANES)
     )
@@ -118,12 +118,18 @@ def _lsh_oracle() -> str:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     bucketed AS (SELECT vec_id, v, CAST({bucket_terms} AS BIGINT) AS bucket FROM e),
     q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id < {N_QUERIES}),
+    probes AS (
+      SELECT q_id, qv,
+             CASE WHEN p.p = 0 THEN bucket
+                  ELSE xor(bucket, (1::BIGINT << (p.p - 1))) END AS pb
+      FROM q, generate_series(0, {LSH_PLANES}) p(p)
+    ),
     scored AS (
-      SELECT q.q_id AS query_id, b.vec_id AS neighbor_id, q.bucket,
-             ROUND(list_dot_product(q.qv, b.v)
-                   / (sqrt(list_dot_product(q.qv, q.qv))
+      SELECT pr.q_id AS query_id, b.vec_id AS neighbor_id, b.bucket,
+             ROUND(list_dot_product(pr.qv, b.v)
+                   / (sqrt(list_dot_product(pr.qv, pr.qv))
                       * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-      FROM q JOIN bucketed b ON b.bucket = q.bucket AND b.vec_id <> q.q_id
+      FROM probes pr JOIN bucketed b ON b.bucket = pr.pb AND b.vec_id <> pr.q_id
     )
     SELECT query_id, neighbor_id, bucket, cosine, CAST(rnk AS INT) AS rnk FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -135,26 +141,61 @@ def _lsh_oracle() -> str:
 
 @register("ann_lsh_bucketed", oracle=_lsh_oracle())
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: {LSH_PLANES} deterministic random hyperplanes →
-    sign-bit bucket id → equi-join queries to same-bucket candidates →
-    cosine top-k inside the bucket.
+    """LSH-bucketed ANN with multi-probe: {LSH_PLANES} deterministic
+    random hyperplanes → sign-bit bucket id → each query probes its own
+    bucket PLUS the {LSH_PLANES} buckets one bit-flip away (the
+    standard multi-probe recall fix — a near neighbor that lands just
+    across one hyperplane is still found) → equi-join on the probe
+    bucket → cosine top-k.
 
     This is the 100 TB path: the bucket equi-join replaces the
-    brute-force cross join, cutting scored pairs by ~2^planes while the
-    hyperplane projection stays a narrow per-row fold."""
-    planes = _hyperplanes()
+    brute-force cross join — probes×(n/2^planes) candidates per query
+    instead of n — while the hyperplane projection stays a narrow
+    per-row fold. Recall vs the `ann_cosine_topk` ground truth is
+    gated in tests/test_dedup_recall.py; the dial is probe count
+    (add 2-bit flips) or hash tables (union several plane sets).
+    The sign-bit dot is rounded to 6 digits before the compare so a
+    near-zero projection can't land a vector in different buckets on
+    the two engines."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", _vec_double().alias("v"))
+    return lsh_multiprobe_topk(e, F.col("vec_id") < N_QUERIES)
+
+
+def lsh_multiprobe_topk(corpus: DataFrame, is_query) -> DataFrame:
+    """The reusable multi-probe LSH core: ``corpus`` is (vec_id, v:
+    array<double>), ``is_query`` a Column predicate selecting the query
+    rows. Buckets everything by {LSH_PLANES} sign bits, probes each
+    query's bucket plus every 1-bit-flip neighbor bucket, scores
+    cosines inside probed buckets, and returns the per-query top-{TOPK}
+    (query_id, neighbor_id, bucket, cosine, rnk). Shared by the
+    `ann_lsh_bucketed` operator and the recall gate in
+    tests/test_dedup_recall.py (planted near-neighbor corpus)."""
+    planes = _hyperplanes()
     bucket = None
     for j in range(LSH_PLANES):
         lit_plane = F.array(*[F.lit(x) for x in planes[j]])
-        bit = F.when(_dot(F.col("v"), lit_plane) > 0, F.lit(1 << j)).otherwise(0)
+        bit = F.when(
+            F.round(_dot(F.col("v"), lit_plane), 6) > 0, F.lit(1 << j)
+        ).otherwise(0)
         bucket = bit if bucket is None else bucket + bit
-    b = e.withColumn("bucket", bucket.cast("long"))
-    q = b.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    b = corpus.withColumn("bucket", bucket.cast("long"))
+    probes = F.array(
+        F.col("bucket"),
+        *[
+            F.expr(f"cast(bucket ^ {1 << j} as bigint)")
+            for j in range(LSH_PLANES)
+        ],
+    )
+    q = (
+        b.filter(is_query)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.explode(probes).alias("pb"),
+        )
     )
     scored = (
-        b.join(F.broadcast(q), (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_id")))
+        b.join(F.broadcast(q), (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("q_id")))
         .select(
             F.col("q_id").alias("query_id"),
             F.col("vec_id").alias("neighbor_id"),
