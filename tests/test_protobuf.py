@@ -49,3 +49,66 @@ def test_non_any_blob_decodes_null(spark):
         df.select(any_type_url(F.col("blob")).alias("u")).collect()[0]["u"]
         is None
     )
+
+
+def test_msg_send_body_roundtrip_real_wire_bytes(spark):
+    """Decode a MsgSend body from HAND-ENCODED wire bytes (built with
+    raw tag/length arithmetic, independent of the Spark-side encoder),
+    and check the Spark encoder reproduces those bytes exactly."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        any_value,
+        encode_any_msg,
+        encode_msg_send,
+        msg_send_fields,
+    )
+
+    def ld(tag, b):
+        return bytes([tag, len(b)]) + b
+
+    coin = ld(0x0A, b"uzig") + ld(0x12, b"123456")
+    msg = ld(0x0A, b"zig1ufrom77") + ld(0x12, b"zig1cto88") + ld(0x1A, coin)
+    wire = ld(0x0A, b"/cosmos.bank.v1beta1.MsgSend") + ld(0x12, msg)
+
+    df = spark.createDataFrame([(bytearray(wire),)], "blob binary")
+    row = (
+        df.select(msg_send_fields(any_value(F.col("blob"))).alias("m"))
+        .select("m.*")
+        .collect()[0]
+    )
+    assert (
+        row.from_address,
+        row.to_address,
+        row.denom,
+        row.amount,
+    ) == ("zig1ufrom77", "zig1cto88", "uzig", "123456")
+
+    enc = spark.range(1).select(
+        encode_any_msg(
+            F.lit("/cosmos.bank.v1beta1.MsgSend"),
+            encode_msg_send(
+                F.lit("zig1ufrom77"),
+                F.lit("zig1cto88"),
+                F.lit("uzig"),
+                F.lit("123456"),
+            ),
+        ).alias("b")
+    ).collect()[0]["b"]
+    assert bytes(enc) == wire
+
+
+def test_msg_send_body_malformed_decodes_null(spark):
+    """A body whose second field tag is wrong → NULL struct (the
+    registry-decode catch branch, never a shifted misread)."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        msg_send_fields,
+    )
+
+    def ld(tag, b):
+        return bytes([tag, len(b)]) + b
+
+    bad = ld(0x0A, b"zig1ufrom77") + ld(0x2A, b"zig1cto88")
+    df = spark.createDataFrame([(bytearray(bad),)], "blob binary")
+    assert (
+        df.select(msg_send_fields(F.col("blob")).alias("m")).collect()[0]["m"]
+        is None
+    )

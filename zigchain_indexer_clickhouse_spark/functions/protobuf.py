@@ -53,3 +53,111 @@ def any_type_url(blob: Column) -> Column:
     return F.when(tag_ok, F.decode(F.unhex(url_hex), "UTF-8")).otherwise(
         F.lit(None).cast("string")
     )
+
+
+def _byte_at(h: Column, pos) -> Column:
+    """Byte value at 1-indexed HEX position ``pos`` (2 hex chars)."""
+    return F.conv(F.substr(h, pos if isinstance(pos, Column) else F.lit(pos),
+                           F.lit(2)), 16, 10).cast("int")
+
+
+def _ld_field(tag_hex: str, payload_hex: Column, nbytes: Column) -> Column:
+    """Length-delimited field as hex: tag byte + 1-byte varint length +
+    payload. Callers keep payloads under 128 bytes (bech32 addresses,
+    denoms, and decimal amounts all are), matching encode_any's bound."""
+    return F.concat(F.lit(tag_hex), F.lpad(F.hex(nbytes), 2, "0"), payload_hex)
+
+
+def encode_msg_send(from_addr: Column, to_addr: Column,
+                    denom: Column, amount: Column) -> Column:
+    """Wire bytes of ``cosmos.bank.v1beta1.MsgSend`` (the commonest
+    body the reference's registry decodes — decoder.js:11-29
+    registry.decode(msg)): field 1 from_address (string), field 2
+    to_address (string), field 3 amount (repeated Coin; one coin here),
+    Coin = field 1 denom (string) + field 2 amount (DECIMAL STRING per
+    the proto, not an int). Pure hex-concat expressions."""
+    coin_hex = F.concat(
+        _ld_field("0A", F.hex(denom.cast("binary")), F.length(denom)),
+        _ld_field("12", F.hex(amount.cast("binary")), F.length(amount)),
+    )
+    msg_hex = F.concat(
+        _ld_field("0A", F.hex(from_addr.cast("binary")), F.length(from_addr)),
+        _ld_field("12", F.hex(to_addr.cast("binary")), F.length(to_addr)),
+        _ld_field("1A", coin_hex, (F.length(coin_hex) / 2).cast("int")),
+    )
+    return F.unhex(msg_hex)
+
+
+def encode_any_msg(type_url: Column, value: Column) -> Column:
+    """``Any{type_url, value}`` wire bytes — the full form of
+    ``encode_any`` with the value field present (field 2,
+    length-delimited). 1-byte varint lengths (both parts < 128 B)."""
+    return F.unhex(F.concat(
+        _ld_field("0A", F.hex(type_url.cast("binary")), F.length(type_url)),
+        _ld_field("12", F.hex(value), F.length(value)),
+    ))
+
+
+def any_value(blob: Column) -> Column:
+    """Extract ``Any.value`` (field 2) as binary: skip field 1 (1- or
+    2-byte varint length, same cases as ``any_type_url``), check the
+    0x12 tag, decode its varint length, slice. NULL when the layout
+    doesn't match — the registry-decode catch branch."""
+    h = F.hex(blob)
+    tag_ok = F.substring(h, 1, 2) == "0A"
+    b0 = _byte_at(h, 3)
+    b1 = _byte_at(h, 5)
+    one = b0 < 128
+    l1 = F.when(one, b0).otherwise((b0 - 128) + b1 * 128)
+    p2 = F.when(one, F.lit(5)).otherwise(F.lit(7)) + l1 * 2
+    tag2_ok = F.substr(h, p2, F.lit(2)) == "12"
+    c0 = _byte_at(h, p2 + 2)
+    c1 = _byte_at(h, p2 + 4)
+    one2 = c0 < 128
+    l2 = F.when(one2, c0).otherwise((c0 - 128) + c1 * 128)
+    vstart = p2 + F.when(one2, F.lit(4)).otherwise(F.lit(6))
+    return F.when(
+        tag_ok & tag2_ok, F.unhex(F.substr(h, vstart, l2 * 2))
+    ).otherwise(F.lit(None).cast("binary"))
+
+
+_MSG_SEND_STRUCT = (
+    "struct<from_address:string,to_address:string,denom:string,amount:string>"
+)
+
+
+def msg_send_fields(blob: Column) -> Column:
+    """Decode a ``MsgSend`` body (the ``Any.value`` bytes) into a
+    struct(from_address, to_address, denom, amount) with a sequential
+    tag/length scan in pure expressions — the expression-land analog of
+    ``registry.decode`` for the reference's commonest message type.
+    1-byte varint lengths per field (every component < 128 B); NULL
+    when any tag is out of place, matching the unknown-type fallback."""
+    h = F.hex(blob)
+    ok1 = F.substring(h, 1, 2) == "0A"
+    l1 = _byte_at(h, 3)
+    frm = F.decode(F.unhex(F.substr(h, F.lit(5), l1 * 2)), "UTF-8")
+    p2 = l1 * 2 + 5
+    ok2 = F.substr(h, p2, F.lit(2)) == "12"
+    l2 = _byte_at(h, p2 + 2)
+    to = F.decode(F.unhex(F.substr(h, p2 + 4, l2 * 2)), "UTF-8")
+    p3 = p2 + 4 + l2 * 2
+    ok3 = F.substr(h, p3, F.lit(2)) == "1A"
+    l3 = _byte_at(h, p3 + 2)
+    coin = F.substr(h, p3 + 4, l3 * 2)
+    okc1 = F.substr(coin, F.lit(1), F.lit(2)) == "0A"
+    ld = _byte_at(coin, 3)
+    denom = F.decode(F.unhex(F.substr(coin, F.lit(5), ld * 2)), "UTF-8")
+    pc = ld * 2 + 5
+    okc2 = F.substr(coin, pc, F.lit(2)) == "12"
+    la = _byte_at(coin, pc + 2)
+    amount = F.decode(F.unhex(F.substr(coin, pc + 4, la * 2)), "UTF-8")
+    st = F.struct(
+        frm.alias("from_address"),
+        to.alias("to_address"),
+        denom.alias("denom"),
+        amount.alias("amount"),
+    )
+    return F.when(ok1 & ok2 & ok3 & okc1 & okc2, st).otherwise(
+        F.lit(None).cast(_MSG_SEND_STRUCT)
+    )

@@ -344,3 +344,69 @@ def msg_typeurl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_msgs"),
         F.countDistinct("event_id").alias("n_txs"),
     )
+
+
+# --------------------------------------------------------------------------
+# 148. msg_body_decode — full MsgSend body decode from wire bytes
+# --------------------------------------------------------------------------
+@register(
+    "msg_body_decode",
+    oracle="""
+    WITH sends AS (
+      SELECT 'zig1u' || CAST(user_id AS VARCHAR) AS from_address,
+             'zig1c' || CAST(user_id + 1 AS VARCHAR) AS to_address,
+             'uzig' AS denom,
+             CAST(floor(value * 100) AS BIGINT) AS amt
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT from_address, COUNT(*) AS n_sends,
+           SUM(amt) AS total_uzig,
+           MIN(to_address) AS first_recipient
+    FROM sends GROUP BY from_address
+    """,
+)
+def msg_body_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message-BODY decode — the reference capability the typeUrl
+    walker stopped short of (src/utils/decoder.js:11-29:
+    ``registry.decode(msg)`` yields typed fields; "sum of MsgSend
+    amounts" was the canonical unreachable query). The pipeline
+    round-trips REAL wire bytes: synthesize each odd event's bank send
+    as ``MsgSend`` wire format wrapped in an ``Any``
+    (functions/protobuf.py encode_msg_send/encode_any_msg), then
+    recover from_address/to_address/denom/amount with the sequential
+    tag/length expression scan (``msg_send_fields`` over
+    ``any_value``) and aggregate per sender. The oracle derives the
+    same totals from the raw columns WITHOUT the byte round-trip, so
+    any encode/decode infidelity — a shifted offset, a misread varint —
+    fails the hash. Everything is whole-stage-codegen string/bit
+    expressions; no protobuf runtime, no Python row UDFs, scan-speed at
+    any scale."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        any_type_url,
+        any_value,
+        encode_any_msg,
+        encode_msg_send,
+        msg_send_fields,
+    )
+
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 1)
+    blob = encode_any_msg(
+        F.lit("/cosmos.bank.v1beta1.MsgSend"),
+        encode_msg_send(
+            F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
+            F.concat(F.lit("zig1c"), (F.col("user_id") + 1).cast("string")),
+            F.lit("uzig"),
+            F.floor(F.col("value") * 100).cast("long").cast("string"),
+        ),
+    )
+    decoded = (
+        e.select(blob.alias("blob"))
+        .filter(any_type_url(F.col("blob")) == "/cosmos.bank.v1beta1.MsgSend")
+        .select(msg_send_fields(any_value(F.col("blob"))).alias("m"))
+        .select("m.*")
+    )
+    return decoded.groupBy("from_address").agg(
+        F.count("*").alias("n_sends"),
+        F.sum(F.col("amount").cast("long")).alias("total_uzig"),
+        F.min("to_address").alias("first_recipient"),
+    )
