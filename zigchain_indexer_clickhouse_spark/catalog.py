@@ -51,6 +51,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     only for the duration of the footer read and restored immediately —
     a foreign session's own reads keep their configured behavior.
     """
+    # The engine's declared timestamp semantics are UTC: stored micros
+    # are naive-as-UTC and every oracle comparison (DuckDB reads them as
+    # naive timestamps) assumes it. Under a non-UTC session zone every
+    # `ts >= TIMESTAMP '...'` literal and date_trunc/day bucket would
+    # silently shift. Pin the session zone at table-load time so the
+    # engine computes the same answers from any harness session.
+    tz_conf = "spark.sql.session.timeZone"
+    if spark.conf.get(tz_conf) not in ("UTC", "Etc/UTC", "GMT"):
+        spark.conf.set(tz_conf, "UTC")
     if name == "events":
         # nanosAsLong is a session default (session.py); tolerate foreign
         # sessions by setting it only when unset — never flipping an
