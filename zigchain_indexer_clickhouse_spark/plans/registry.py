@@ -50,6 +50,7 @@ _MODULES = (
     "zigchain_indexer_clickhouse_spark.operators.olap_shapes",
     "zigchain_indexer_clickhouse_spark.operators.orchestration",
     "zigchain_indexer_clickhouse_spark.sources.rpc_json",
+    "zigchain_indexer_clickhouse_spark.sources.rpc_fetch",
     "zigchain_indexer_clickhouse_spark.sources.landing",
     "zigchain_indexer_clickhouse_spark.sources.partitioned_write",
     "zigchain_indexer_clickhouse_spark.sources.bucketed",
@@ -106,10 +107,29 @@ _EXPENSIVE = frozenset({
 _verified_cache: frozenset[str] | None = None
 
 
+# Queries whose SEMANTICS changed in round 4 (semdedup cluster capping
+# wired into the engine path, ANN multi-probe, the streaming source's
+# micros-generation fix) — their old green rows describe the old
+# behavior, so they re-enter the never-verified tier once.
+_REVERIFY_R04 = frozenset({
+    "semdedup",
+    "ann_lsh_bucketed",
+    "stream_sessionize",
+    "stream_mv_daily",
+    "stream_user_state",
+    "stream_agg_states",
+    "stream_event_counts",
+})
+
+
 def _verified_names() -> frozenset[str]:
-    """Union of every query name holding a row in any round's
+    """Every query name holding a GREEN row in some round's
     CORRECTNESS_r*.json artifact (plus the baked-in round-1 set, in
-    case the artifacts aren't shipped with the source tree)."""
+    case the artifacts aren't shipped with the source tree). A row
+    counts only if all three matches passed, or it is a rows-only
+    (no-oracle) row that produced rows — a hash-failed row leaves the
+    query in the never-verified tier so the driver's capped sample
+    re-checks it first."""
     global _verified_cache
     if _verified_cache is not None:
         return _verified_cache
@@ -118,13 +138,44 @@ def _verified_names() -> frozenset[str]:
 
     names = set(_VERIFIED_R01)
     root = Path(__file__).resolve().parents[2]
+    green: set[str] = set()
+    failed: set[str] = set()
     for f in root.glob("CORRECTNESS_r*.json"):
         try:
             data = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
-        if isinstance(data, dict):
-            names.update(k for k, v in data.items() if isinstance(v, dict))
+        if not isinstance(data, dict):
+            continue
+        for k, v in data.items():
+            if not isinstance(v, dict):
+                continue
+            if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
+                green.add(k)
+            elif v.get("err") == "no_oracle" and v.get("spark_rows"):
+                green.add(k)
+            else:
+                failed.add(k)
+    # a later green row supersedes an earlier failure, but a failure in
+    # the LATEST artifact wins over older greens — recompute: any name
+    # whose most recent row failed stays unverified
+    latest = max(
+        root.glob("CORRECTNESS_r*.json"), key=lambda p: p.name, default=None
+    )
+    if latest is not None:
+        try:
+            last = json.loads(latest.read_text())
+            for k, v in last.items():
+                if isinstance(v, dict) and not (
+                    (v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
+                    or (v.get("err") == "no_oracle" and v.get("spark_rows"))
+                ):
+                    green.discard(k)
+                    names.discard(k)
+        except (OSError, ValueError):
+            pass
+    names.update(green)
+    names.difference_update(_REVERIFY_R04)
     _verified_cache = frozenset(names)
     return _verified_cache
 

@@ -1,0 +1,177 @@
+"""Distributed RPC fetch layer — the reference's live pull path
+(src/utils/rpc.js:19-29 fetchBlock/fetchBlockResults: axios GETs
+against a Tendermint node), re-expressed as a Spark connector.
+
+The reference fetches block_results height-by-height on one node. At
+chain scale the pull itself must be distributed: here a DataFrame of
+heights is partitioned across executors and each partition issues its
+own point requests through an injectable ``transport`` callable
+(``path -> response body``) inside ``mapInPandas`` — the fetch is the
+I/O boundary, so Python cost sits exactly where the network would.
+Everything downstream of the fetch (the JSON parse, the flatten, the
+aggregation) is the existing declarative `parse_block_results`
+pipeline, JVM-side.
+
+Two transports ship:
+
+- ``synthetic_rpc_transport(sf_dir)`` — offline deterministic stand-in
+  serving ``/block_results?height=N`` from the local events parquet
+  (loaded once per executor, lru_cached). This is what tests and the
+  oracle-gated query use: the oracle recomputes the same per-height
+  stats straight from the events table, so any infidelity in the
+  fetch → envelope-unwrap → parse chain fails the hash.
+- ``http_transport(base_url)`` — the real thing (urllib, stdlib), for
+  a live node. Never exercised in this environment (network I/O is a
+  declared non-goal); constructed only on demand.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import math
+import os
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zigchain_indexer_clickhouse_spark.catalog import load
+from zigchain_indexer_clickhouse_spark.plans.registry import register
+from zigchain_indexer_clickhouse_spark.sources.rpc_json import (
+    parse_block_results,
+)
+
+Transport = Callable[[str], str]
+
+
+def http_transport(base_url: str, timeout: float = 10.0) -> Transport:
+    """Real HTTP transport against a Tendermint RPC node (rpc.js's
+    axios client, stdlib-only). Offline environments never call this."""
+
+    def transport(path: str) -> str:
+        from urllib.request import urlopen  # local import: offline-safe
+
+        with urlopen(f"{base_url}{path}", timeout=timeout) as r:
+            return r.read().decode("utf-8")
+
+    return transport
+
+
+def synthetic_rpc_transport(sf_dir: str) -> Transport:
+    """Deterministic offline Tendermint stand-in: serves
+    ``/block_results?height=N`` (the full ``{"result": ...}`` envelope)
+    from the local events parquet. One block per 10 event_ids; one
+    tx_result per event (tx_index = position by event_id, code=1 every
+    5th event, gas from value — the same conventions
+    `rpc_ingest_flatten` uses); one event with the props attributes."""
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def _blocks():
+        # loaded once per executor process, then served from cache
+        if not hasattr(synthetic_rpc_transport, "_cache"):
+            synthetic_rpc_transport._cache = {}
+        cache = synthetic_rpc_transport._cache
+        if path not in cache:
+            df = pd.read_parquet(
+                path, columns=["event_id", "event_type", "value", "props"]
+            )
+            df["height"] = df["event_id"] // 10
+            cache[path] = {
+                int(h): g.sort_values("event_id")
+                for h, g in df.groupby("height")
+            }
+        return cache[path]
+
+    def transport(req: str) -> str:
+        prefix = "/block_results?height="
+        if not req.startswith(prefix):
+            raise ValueError(f"unsupported RPC path: {req}")
+        h = int(req[len(prefix):])
+        g = _blocks().get(h)
+        txs = []
+        if g is not None:
+            for i, row in enumerate(g.itertuples()):
+                attrs = [
+                    {"key": k, "value": str(v), "index": True}
+                    for k, v in sorted(_json.loads(row.props).items())
+                ]
+                txs.append({
+                    "tx_index": i,
+                    "code": 1 if row.event_id % 5 == 0 else 0,
+                    "gas_wanted": math.floor(row.value * 1000),
+                    "gas_used": math.floor(row.value * 900),
+                    "events": [
+                        {"type": row.event_type, "attributes": attrs}
+                    ],
+                })
+        return _json.dumps({"result": {"height": h, "txs_results": txs}})
+
+    return transport
+
+
+def fetch_block_results(
+    heights: DataFrame, transport: Transport
+) -> DataFrame:
+    """heights (one bigint ``height`` column, pre-partitioned to the
+    wanted fetch parallelism) → one raw block_results JSON document per
+    height. Each PARTITION issues its own requests through
+    ``transport`` — the distributed form of the reference's per-height
+    axios loop, with the ``result`` envelope unwrapped exactly like
+    rpc.js does (``res.data.result``)."""
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            docs = [
+                _json.dumps(
+                    _json.loads(transport(f"/block_results?height={h}"))[
+                        "result"
+                    ]
+                )
+                for h in pdf["height"]
+            ]
+            yield pd.DataFrame({"json": docs})
+
+    return heights.mapInPandas(_fetch, "json string")
+
+
+@register(
+    "rpc_fetch_ingest",
+    oracle="""
+    SELECT event_id // 10 AS height,
+           COUNT(*) AS n_txs,
+           SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS n_failed,
+           SUM(CAST(floor(value * 900) AS BIGINT)) AS total_gas_used
+    FROM events GROUP BY 1
+    """,
+)
+def rpc_fetch_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end FETCH path (#149): distribute the height list, pull
+    each block's block_results through the transport inside
+    mapInPandas, unwrap the RPC envelope, parse with the declarative
+    schema, and aggregate per-height tx stats. The oracle recomputes
+    the same stats directly from the events table — the fetch, the
+    envelope, the JSON layout, and the parse must all be faithful for
+    the hash to match. With ``http_transport`` in place of the
+    synthetic one this IS the reference's live indexing loop, sharded
+    across executors (rpc.js:19-29 + worker.js processTransactions)."""
+    e = load(spark, sf_dir, "events")
+    heights = (
+        e.select(F.expr("event_id div 10").alias("height"))
+        .distinct()
+        # fetch parallelism: one task per ~2000 heights at test scale;
+        # at chain scale this is the knob that shards the RPC pull
+        .repartition(8)
+    )
+    raw = fetch_block_results(heights, synthetic_rpc_transport(sf_dir))
+    flat = parse_block_results(raw)
+    per_tx = flat.groupBy("height", "tx_index").agg(
+        F.first("code").alias("code"),
+        F.first("gas_used").alias("gas_used"),
+    )
+    return per_tx.groupBy("height").agg(
+        F.count("*").alias("n_txs"),
+        F.sum(F.when(F.col("code") == 1, 1).otherwise(0)).alias("n_failed"),
+        F.sum("gas_used").alias("total_gas_used"),
+    )
