@@ -120,7 +120,8 @@ EXPECTED_COLUMNS: dict[str, tuple[str, ...]] = {
                  "l_returnflag", "l_linestatus", "l_shipdate"),
     "events": ("event_id", "ts", "user_id", "event_type", "value", "props"),
     "documents": ("doc_id", "text", "lang", "source", "n_chars"),
-    "embeddings": ("vec_id", "embedding"),
+    # label is load-bearing: semdedup/embedding_centroids cluster on it
+    "embeddings": ("vec_id", "embedding", "label"),
 }
 
 
