@@ -8,10 +8,17 @@ aggregation, streaming dedup, and type-routed sinks.
 
 These run with ``Trigger.availableNow`` into in-memory sinks so the
 driver's batch harness can collect results; in production the same
-plans write to partitioned parquet/kafka with checkpointing. They are
-registered rows-only (no SQL oracle — the driver records the weaker
-check) because stream semantics (watermark state) aren't expressible
-in a single DuckDB query.
+plans write to partitioned parquet/kafka with checkpointing.
+
+As of round 4 every streaming query carries a REAL DuckDB oracle: the
+drained availableNow output is deterministic — stateless ops equal
+their batch filter/join exactly, complete-mode aggs expose final
+values, update-mode aggs are finalized per key (max = last cumulative
+update, batch-count-independent), and append-mode watermarked windows
+emit exactly the windows the final watermark (max event time − delay)
+passed, which the oracle reproduces as a WHERE predicate. Stream-vs-
+batch equivalence is additionally asserted in
+tests/test_stream_batch_equiv.py.
 """
 
 from __future__ import annotations
@@ -123,12 +130,21 @@ def _run_append_to_memory(df: DataFrame, name: str, mode: str = "append") -> Dat
 # --------------------------------------------------------------------------
 # 45. stream_event_counts — watermarked windowed counts
 # --------------------------------------------------------------------------
-@register("stream_event_counts")
+@register(
+    "stream_event_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
 def stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-type hourly rollup with a 1-hour watermark for late
     data — the streaming twin of time_bucket_rollup. Complete-mode
     memory sink for harness collection; parquet/kafka sink + checkpoint
-    in production."""
+    in production. Complete mode makes the drained result FULLY
+    deterministic (every window, final values), so this carries a real
+    batch oracle instead of a rows-only check."""
     s = _read_event_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "1 hour")
@@ -157,11 +173,19 @@ def stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 46. stream_dedup — streaming duplicate suppression
 # --------------------------------------------------------------------------
-@register("stream_dedup")
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT DISTINCT ON (event_id) event_id, ts, user_id, event_type
+    FROM events ORDER BY event_id
+    """,
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on event_id within the watermark horizon —
     the streaming ReplacingMergeTree: duplicate rows arriving within
-    the state window are suppressed exactly once."""
+    the state window are suppressed exactly once. Every unique key
+    emits exactly one (its first) row, so the drained output is
+    deterministic and oracle-comparable."""
     s = _read_event_stream(spark, sf_dir)
     deduped = s.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
     out = deduped.select("event_id", "ts", "user_id", "event_type")
@@ -171,12 +195,22 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 47. stream_type_route — streaming type-specific routing
 # --------------------------------------------------------------------------
-@register("stream_type_route")
+@register(
+    "stream_type_route",
+    oracle="""
+    SELECT event_id AS height,
+           CASE WHEN event_type = 'click' THEN 'type_wasm'
+                ELSE 'type_message' END AS route,
+           user_id, ts
+    FROM events WHERE event_type IN ('click', 'purchase')
+    """,
+)
 def stream_type_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming analog of the worker's wasm/message routing
     (worker.js:185-239): filter the stream per type and append to
     type-specific sinks. Harness variant routes two types into one
-    memory sink with a route tag."""
+    memory sink with a route tag. Stateless → drained output equals
+    the batch filter exactly, so it carries a real oracle."""
     s = _read_event_stream(spark, sf_dir)
     routed = s.filter(F.col("event_type").isin("click", "purchase")).select(
         F.col("event_id").alias("height"),
@@ -192,7 +226,17 @@ def stream_type_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 75. stream_mv_daily — incrementally-maintained daily rollup (MV analog)
 # --------------------------------------------------------------------------
-@register("stream_mv_daily")
+@register(
+    "stream_mv_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS date,
+           COUNT(*) AS event_count,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS total_gas,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS error_count
+    FROM events GROUP BY 1
+    """,
+)
 def stream_mv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of mv_daily_block_stats: the reference's
     SummingMergeTree materialized view (init_clickhouse.js:381-395) is
@@ -200,7 +244,12 @@ def stream_mv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     day's partial sums. Structured Streaming's update-mode windowed
     aggregate is the exact analog: state holds one row per day, each
     micro-batch merges its partial sums into it. Watermark bounds the
-    state like the MV's partition TTL would."""
+    state like the MV's partition TTL would.
+
+    The update-mode sink records every per-batch update, so the raw
+    memory table carries one row per (day, batch-that-touched-it);
+    the final per-day value is the MAX of its cumulative updates —
+    batch-count-independent, hence deterministic and oracle-backed."""
     s = _read_event_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "1 day")
@@ -215,7 +264,13 @@ def stream_mv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").cast("date").alias("date"),
                 "event_count", "total_gas", "error_count")
     )
-    return _run_append_to_memory(agg, "stream_mv_daily", mode="update")
+    updates = _run_append_to_memory(agg, "stream_mv_daily", mode="update")
+    # cumulative updates per day → final value = max per column
+    return updates.groupBy("date").agg(
+        F.max("event_count").alias("event_count"),
+        F.max("total_gas").alias("total_gas"),
+        F.max("error_count").alias("error_count"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -242,13 +297,26 @@ def _user_state_fn(key, pdf_iter, state):
     )
 
 
-@register("stream_user_state")
+@register(
+    "stream_user_state",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
 def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming via applyInPandasWithState: per-user
     running counters maintained in explicit state across micro-batches
     (the streaming analog of the reference's incrementally-updated
     index_state/progress rows). Arrow-batched; state is a compact
-    (count, sum) tuple per key."""
+    (count, sum) tuple per key.
+
+    Update mode records one cumulative row per (user, batch); the final
+    per-user state is the row with the max event count (max_by), which
+    makes the drained result batch-count-independent — the values sum
+    2-decimal inputs, so the 2-digit round is exact on both engines and
+    the query is oracle-backed."""
     s = _read_event_stream(spark, sf_dir)
     out = (
         s.select("user_id", "value")
@@ -261,20 +329,57 @@ def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
-    return _run_append_to_memory(out, "stream_user_state", mode="update")
+    updates = _run_append_to_memory(out, "stream_user_state", mode="update")
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
 
 
 # --------------------------------------------------------------------------
 # 80. stream_sessionize — native session windows on the event stream
 # --------------------------------------------------------------------------
-@register("stream_sessionize")
+@register(
+    "stream_sessionize",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ),
+    agg AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events, ROUND(SUM(value), 2) AS session_value
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events, session_value
+    FROM agg
+    WHERE session_end < (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the batch `sessionize` operator (#31): Spark's
     native `session_window` merges events into gap-based sessions
     (30-minute inactivity) per user, incrementally, with watermark-
     bounded state — the streaming form of the lag+cumsum batch plan.
     State is one open session per active user, merged on arrival;
-    closed sessions emit once the watermark passes the gap."""
+    closed sessions emit once the watermark passes the gap.
+
+    The drained output is deterministic: the availableNow run's final
+    watermark is max(ts) − 1 hour, and append mode emits exactly the
+    sessions whose end (< the watermark) — the oracle reproduces the
+    sessions with the lag+cumsum construction and applies that same
+    emission predicate. (A session ending EXACTLY on the watermark is
+    a theoretical strict-vs-inclusive boundary; with microsecond
+    timestamps it has measure zero.)"""
     s = _read_event_stream(spark, sf_dir)
     agg = (
         s.withWatermark("ts", "1 hour")
@@ -297,14 +402,25 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 93. stream_static_enrich — stream ⋈ static dimension (dictGet, streaming)
 # --------------------------------------------------------------------------
-@register("stream_static_enrich")
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           p.lifetime_events, p.lifetime_value
+    FROM events e JOIN (
+      SELECT user_id, COUNT(*) AS lifetime_events,
+             ROUND(SUM(value), 2) AS lifetime_value
+      FROM events GROUP BY 1
+    ) p USING (user_id)
+    """,
+)
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against a static
     per-user profile built from the batch table (the streaming form of
     dict_lookup / ClickHouse dictGet — every micro-batch probes the
     static side, which Spark re-plans per batch and broadcasts when
     small). No watermark needed: the static side is bounded, so the
-    join is stateless."""
+    join is stateless — and therefore deterministic and oracle-backed."""
     from zigchain_indexer_clickhouse_spark.catalog import load
 
     profile = (
@@ -329,7 +445,18 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 117. stream_block_ingest — the reference's LIVE mode: streaming fan-out
 # --------------------------------------------------------------------------
-@register("stream_block_ingest")
+@register(
+    "stream_block_ingest",
+    oracle="""
+    SELECT table_name, n_rows FROM (
+      SELECT 'blocks' AS table_name,
+             CAST(COUNT(DISTINCT event_id // 10) AS BIGINT) AS n_rows
+      FROM events
+      UNION ALL SELECT 'txs', COUNT(*) FROM events
+      UNION ALL SELECT 'tx_event_attrs', COUNT(*) FROM events
+    )
+    """,
+)
 def stream_block_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ingest_pipeline_full — the reference's live
     tail loop (indexer.js / orchestrator.js launchWorkers: poll the
@@ -349,7 +476,10 @@ def stream_block_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB/day the same topology holds: availableNow drains a
     backlog in bounded batches; continuous triggers tail the tip; the
     per-batch fan-out stays a column-pruned projection of one parse.
-    Registered rows-only (summary counts over the written files)."""
+    The summary counts over the WRITTEN files are deterministic (the
+    stream dir holds one file, hence one batch; each height's events
+    stay in it), so they carry a direct oracle — write fidelity is part
+    of the check."""
     import shutil
 
     from zigchain_indexer_clickhouse_spark.sources.rpc_json import (
@@ -413,7 +543,17 @@ def stream_block_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # 137. stream_agg_states — streaming partial states + merge-on-read
 # --------------------------------------------------------------------------
-@register("stream_agg_states")
+@register(
+    "stream_agg_states",
+    oracle="""
+    SELECT event_type, strftime(ts, '%Y-%m') AS month,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
 def stream_agg_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of agg_states_merge (#127, engine_modifiers.py):
     the stream maintains AggregatingMergeTree-style DAILY partial
@@ -425,8 +565,10 @@ def stream_agg_states(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At scale the update-mode sink is the state table (one row per
     type×day — storage ∝ days, not events); the monthly merge never
-    touches raw events. Registered rows-only (streaming state isn't a
-    single DuckDB query)."""
+    touches raw events. Oracle-backed: per-(type, day) states are
+    finalized (max = last cumulative update) before the monthly merge,
+    so the result is batch-count-independent and equals the direct
+    monthly aggregation."""
     s = _read_event_stream(spark, sf_dir)
     daily = (
         s.withWatermark("ts", "1 day")
@@ -448,8 +590,16 @@ def stream_agg_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     states = _run_append_to_memory(daily, "stream_agg_states", mode="update")
-    # -Merge read: re-aggregate the states (associative/commutative)
-    return states.groupBy("event_type", "month").agg(
+    # update mode records cumulative per-batch rows; finalize each
+    # (type, day) state first (max cnt = the last update), THEN run the
+    # -Merge read over final states — batch-count-independent
+    final = states.groupBy("event_type", "day", "month").agg(
+        F.max("cnt").alias("cnt"),
+        F.max_by("sum_v", "cnt").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+    return final.groupBy("event_type", "month").agg(
         F.sum("cnt").cast("long").alias("n_events"),
         F.round(F.sum("sum_v"), 2).alias("sum_value"),
         F.round(F.min("min_v"), 4).alias("min_value"),
