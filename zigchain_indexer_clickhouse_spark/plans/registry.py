@@ -107,10 +107,12 @@ _EXPENSIVE = frozenset({
 _verified_cache: frozenset[str] | None = None
 
 
-# Queries whose SEMANTICS changed in round 4 (semdedup cluster capping
-# wired into the engine path, ANN multi-probe, the streaming source's
-# micros-generation fix) — their old green rows describe the old
-# behavior, so they re-enter the never-verified tier once.
+# Queries whose SEMANTICS or verification tier changed in round 4
+# (semdedup cluster capping wired into the engine path, ANN
+# multi-probe, the streaming source's micros-generation fix, and every
+# streaming query upgraded from rows-only to oracle-backed) — their
+# old rows describe the old behavior or the weaker check, so they
+# re-enter the never-verified tier once.
 _REVERIFY_R04 = frozenset({
     "semdedup",
     "ann_lsh_bucketed",
@@ -119,6 +121,10 @@ _REVERIFY_R04 = frozenset({
     "stream_user_state",
     "stream_agg_states",
     "stream_event_counts",
+    "stream_dedup",
+    "stream_type_route",
+    "stream_static_enrich",
+    "stream_block_ingest",
 })
 
 
