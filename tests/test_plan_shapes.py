@@ -242,3 +242,12 @@ def test_global_plan_hygiene(spark, sf_dir):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_semdedup_pairwise_join_keys_on_capped_cluster(spark, sf_dir):
+    """ADVICE r3 (high): the semdedup pairwise join must key on the
+    capped cluster key (ckey), not the raw label — otherwise one
+    mega-cluster is O(cluster^2) and the engine diverges from the
+    oracle's split semantics. Lock the join key in the plan."""
+    plan = _plan(spark, sf_dir, "semdedup")
+    assert "ckey" in plan, "pairwise join must consume capped keys"
