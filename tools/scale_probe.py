@@ -41,6 +41,14 @@ QUERIES = [
     "q5_local_volume",        # multi-dim broadcast + fact-fact join
     "q21_sole_failing_supplier",  # per-orderkey collapsed EXISTS agg
     "q1_pricing_summary",     # full-scan agg (the scan-bound floor)
+    # round-4 additions: the semantics-changed / new operators
+    "semdedup",               # capped-cluster pairwise join — replicas
+                              # share labels, so 10x data = 10x cluster
+                              # sizes and the hyperplane cap must engage
+    "ann_lsh_bucketed",       # multi-probe bucket join
+    "msg_body_decode",        # pure-expression protobuf decode (scan-bound)
+    "rpc_fetch_ingest",       # distributed fetch + parse
+    "stream_event_counts",    # streaming drain (batch machinery + state)
 ]
 
 
