@@ -179,7 +179,12 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     map partition. Driver sees k·d ints per round. At 100 TB this is
     MLlib's own k-means shape — scales with executors, iterations
     bounded."""
-    quant = _quantized(spark, sf_dir).persist()
+    from zigchain_indexer_clickhouse_spark.operators.dedup import _shared_stage
+
+    quant = _shared_stage(
+        "kmeans_quantized", spark, sf_dir,
+        lambda: _quantized(spark, sf_dir),
+    )
     centroids = {
         int(r.vec_id): list(r.q)
         for r in quant.filter(F.col("vec_id") < KMEANS_K).collect()

@@ -28,6 +28,7 @@ from zigchain_indexer_clickhouse_spark.functions.hashing import (
 )
 from zigchain_indexer_clickhouse_spark.operators.dedup import (
     JACCARD_MIN,
+    _shared_stage,
     hashed_shingle_sets,
     lsh_band_rows,
     minhash_perm_sql,
@@ -293,8 +294,17 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
         )
     )
-    bench_h = hashed_shingle_sets(bench).persist()
-    corpus_h = hashed_shingle_sets(corpus).persist()
+    # memoized persisted stages (dedup._shared_stage): repeat calls in
+    # one session reuse them, and eviction unpersists them when the
+    # corpus changes — no per-call cache leak
+    bench_h = _shared_stage(
+        "contam_bench_hashed", spark, sf_dir,
+        lambda: hashed_shingle_sets(bench),
+    )
+    corpus_h = _shared_stage(
+        "contam_corpus_hashed", spark, sf_dir,
+        lambda: hashed_shingle_sets(corpus),
+    )
     bench_bands = lsh_band_rows(bench_h).withColumnRenamed("doc_id", "bench_id")
     corpus_bands = lsh_band_rows(corpus_h)
     cand = (

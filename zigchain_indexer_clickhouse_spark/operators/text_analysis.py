@@ -218,10 +218,18 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     produce bit-identical scores — libm log differs in the last ulp
     across engines and would flake the hash compare at round
     boundaries."""
+    from zigchain_indexer_clickhouse_spark.operators.dedup import _shared_stage
+
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token")
     )
-    tf = d.groupBy("doc_id", "token").agg(F.count("*").alias("tf")).persist()
+    # memoized persisted stage (two consumers: tf→df agg and the score
+    # join); eviction-managed, so repeat calls neither re-tokenize nor
+    # leak a cache per call
+    tf = _shared_stage(
+        "tfidf_tf", spark, sf_dir,
+        lambda: d.groupBy("doc_id", "token").agg(F.count("*").alias("tf")),
+    )
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = load(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
     scored = (
