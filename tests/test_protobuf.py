@@ -112,3 +112,75 @@ def test_msg_send_body_malformed_decodes_null(spark):
         df.select(msg_send_fields(F.col("blob")).alias("m")).collect()[0]["m"]
         is None
     )
+
+
+def test_msg_send_roundtrip_multibyte_and_big_any_value(spark):
+    """Length prefixes are UTF-8 BYTE counts, and the Any VALUE length
+    takes a 2-byte varint when the message tops 127 bytes: a multibyte
+    denom plus a 90-byte address must round-trip exactly (both were
+    silent-corruption modes when lengths were char counts capped at one
+    byte)."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        any_value,
+        encode_any_msg,
+        encode_msg_send,
+        msg_send_fields,
+    )
+
+    frm = "zig1" + "q" * 86            # 90 bytes — bech32 max; <128 per field
+    to = "zig1" + "w" * 81             # 85 bytes — pushes the msg over 127
+    denom = "µzig"                      # 5 UTF-8 bytes, 4 chars
+    df = spark.range(1).select(
+        encode_any_msg(
+            F.lit("/cosmos.bank.v1beta1.MsgSend"),
+            encode_msg_send(
+                F.lit(frm), F.lit(to), F.lit(denom), F.lit("7")
+            ),
+        ).alias("blob")
+    )
+    row = (
+        df.select(msg_send_fields(any_value(F.col("blob"))).alias("m"))
+        .select("m.*")
+        .collect()[0]
+    )
+    assert (row.from_address, row.to_address, row.denom, row.amount) == (
+        frm, to, denom, "7",
+    )
+
+    # cross-check against Python reference encoding (real varint rules);
+    # the message is 90+9+12+overhead > 127 B, so the Any value length
+    # must be the 2-byte little-endian varint
+    def ld(tag, b):
+        n = len(b)
+        if n < 128:
+            return bytes([tag, n]) + b
+        return bytes([tag, n % 128 + 128, n // 128]) + b
+
+    coin = ld(0x0A, denom.encode()) + ld(0x12, b"7")
+    msg = ld(0x0A, frm.encode()) + ld(0x12, to.encode()) + ld(0x1A, coin)
+    assert len(msg) > 127
+    wire = ld(0x0A, b"/cosmos.bank.v1beta1.MsgSend") + ld(0x12, msg)
+    assert bytes(df.collect()[0]["blob"]) == wire
+
+
+def test_msg_send_oversize_field_decodes_null_not_shifted(spark):
+    """A field the encoder wrote with a 2-byte varint (>=128 B) is
+    outside the field decoder's fast path — it must come back NULL (the
+    unknown-type fallback), never a silently shifted misread."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        msg_send_fields,
+    )
+
+    def ld(tag, b):
+        n = len(b)
+        if n < 128:
+            return bytes([tag, n]) + b
+        return bytes([tag, n % 128 + 128, n // 128]) + b
+
+    coin = ld(0x0A, b"uzig") + ld(0x12, b"7")
+    big = ld(0x0A, b"x" * 200) + ld(0x12, b"zig1cto88") + ld(0x1A, coin)
+    df = spark.createDataFrame([(bytearray(big),)], "blob binary")
+    assert (
+        df.select(msg_send_fields(F.col("blob")).alias("m")).collect()[0]["m"]
+        is None
+    )

@@ -61,11 +61,25 @@ def _byte_at(h: Column, pos) -> Column:
                            F.lit(2)), 16, 10).cast("int")
 
 
+def _varint_hex(n: Column) -> Column:
+    """Protobuf varint of ``n`` as hex — 1 byte below 128, 2 bytes
+    (little-endian 7-bit groups, continuation bit on the first) up to
+    16383. Lengths beyond that are out of scope for Any/MsgSend fields;
+    the encoder would need a third group, so produce NULL there (a loud
+    unhex failure downstream, never silently truncated bytes)."""
+    lo = F.lpad(F.hex(F.pmod(n, 128) + 128), 2, "0")
+    hi = F.lpad(F.hex(F.floor(n / 128).cast("int")), 2, "0")
+    return (
+        F.when(n < 128, F.lpad(F.hex(n), 2, "0"))
+        .when(n < 16384, F.concat(lo, hi))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def _ld_field(tag_hex: str, payload_hex: Column, nbytes: Column) -> Column:
-    """Length-delimited field as hex: tag byte + 1-byte varint length +
-    payload. Callers keep payloads under 128 bytes (bech32 addresses,
-    denoms, and decimal amounts all are), matching encode_any's bound."""
-    return F.concat(F.lit(tag_hex), F.lpad(F.hex(nbytes), 2, "0"), payload_hex)
+    """Length-delimited field as hex: tag byte + varint length (1 or 2
+    bytes) + payload."""
+    return F.concat(F.lit(tag_hex), _varint_hex(nbytes), payload_hex)
 
 
 def encode_msg_send(from_addr: Column, to_addr: Column,
@@ -75,14 +89,15 @@ def encode_msg_send(from_addr: Column, to_addr: Column,
     registry.decode(msg)): field 1 from_address (string), field 2
     to_address (string), field 3 amount (repeated Coin; one coin here),
     Coin = field 1 denom (string) + field 2 amount (DECIMAL STRING per
-    the proto, not an int). Pure hex-concat expressions."""
+    the proto, not an int). Pure hex-concat expressions; length
+    prefixes are UTF-8 BYTE counts (octet_length), not char counts."""
     coin_hex = F.concat(
-        _ld_field("0A", F.hex(denom.cast("binary")), F.length(denom)),
-        _ld_field("12", F.hex(amount.cast("binary")), F.length(amount)),
+        _ld_field("0A", F.hex(denom.cast("binary")), F.octet_length(denom)),
+        _ld_field("12", F.hex(amount.cast("binary")), F.octet_length(amount)),
     )
     msg_hex = F.concat(
-        _ld_field("0A", F.hex(from_addr.cast("binary")), F.length(from_addr)),
-        _ld_field("12", F.hex(to_addr.cast("binary")), F.length(to_addr)),
+        _ld_field("0A", F.hex(from_addr.cast("binary")), F.octet_length(from_addr)),
+        _ld_field("12", F.hex(to_addr.cast("binary")), F.octet_length(to_addr)),
         _ld_field("1A", coin_hex, (F.length(coin_hex) / 2).cast("int")),
     )
     return F.unhex(msg_hex)
@@ -91,9 +106,9 @@ def encode_msg_send(from_addr: Column, to_addr: Column,
 def encode_any_msg(type_url: Column, value: Column) -> Column:
     """``Any{type_url, value}`` wire bytes — the full form of
     ``encode_any`` with the value field present (field 2,
-    length-delimited). 1-byte varint lengths (both parts < 128 B)."""
+    length-delimited). Varint lengths up to 16383 bytes per part."""
     return F.unhex(F.concat(
-        _ld_field("0A", F.hex(type_url.cast("binary")), F.length(type_url)),
+        _ld_field("0A", F.hex(type_url.cast("binary")), F.octet_length(type_url)),
         _ld_field("12", F.hex(value), F.length(value)),
     ))
 
@@ -131,8 +146,20 @@ def msg_send_fields(blob: Column) -> Column:
     struct(from_address, to_address, denom, amount) with a sequential
     tag/length scan in pure expressions — the expression-land analog of
     ``registry.decode`` for the reference's commonest message type.
-    1-byte varint lengths per field (every component < 128 B); NULL
-    when any tag is out of place, matching the unknown-type fallback."""
+
+    Per-field lengths use the 1-byte varint fast path: the Cosmos SDK
+    bounds every MsgSend component under 128 bytes (bech32 addresses
+    ≤ 90, denoms ≤ 128 chars in practice ASCII ≤ 127 here, amounts ≤ 40
+    digits). A field the encoder wrote with a 2-byte varint shifts the
+    following tag out of place, so the validity conjunction fails and
+    the struct comes back NULL (the unknown-type fallback) — a loud
+    miss, never a silently shifted misread. Generalizing every length
+    read to 2-byte varints was measured to blow the expression tree to
+    a 6.4 MiB codegen unit (positions compose as TREES, duplicating
+    subexpressions multiplicatively), defeating the scan-speed point.
+    The Any-level walkers (any_type_url / any_value) DO handle 2-byte
+    varints — the Any value is the one length that routinely exceeds
+    127 bytes."""
     h = F.hex(blob)
     ok1 = F.substring(h, 1, 2) == "0A"
     l1 = _byte_at(h, 3)
@@ -145,7 +172,7 @@ def msg_send_fields(blob: Column) -> Column:
     ok3 = F.substr(h, p3, F.lit(2)) == "1A"
     l3 = _byte_at(h, p3 + 2)
     coin = F.substr(h, p3 + 4, l3 * 2)
-    okc1 = F.substr(coin, F.lit(1), F.lit(2)) == "0A"
+    okc1 = F.substring(coin, 1, 2) == "0A"
     ld = _byte_at(coin, 3)
     denom = F.decode(F.unhex(F.substr(coin, F.lit(5), ld * 2)), "UTF-8")
     pc = ld * 2 + 5
@@ -158,6 +185,9 @@ def msg_send_fields(blob: Column) -> Column:
         denom.alias("denom"),
         amount.alias("amount"),
     )
-    return F.when(ok1 & ok2 & ok3 & okc1 & okc2, st).otherwise(
+    # explicit 1-byte-varint guards: a continuation bit in any length
+    # byte fails the decode outright instead of shifting the scan
+    short = (l1 < 128) & (l2 < 128) & (l3 < 128) & (ld < 128) & (la < 128)
+    return F.when(ok1 & ok2 & ok3 & okc1 & okc2 & short, st).otherwise(
         F.lit(None).cast(_MSG_SEND_STRUCT)
     )

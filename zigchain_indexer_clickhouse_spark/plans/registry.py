@@ -110,9 +110,9 @@ _verified_cache: frozenset[str] | None = None
 # Queries whose SEMANTICS or verification tier changed in round 4
 # (semdedup cluster capping wired into the engine path, ANN
 # multi-probe, the streaming source's micros-generation fix, and every
-# streaming query upgraded from rows-only to oracle-backed) — their
-# old rows describe the old behavior or the weaker check, so they
-# re-enter the never-verified tier once.
+# streaming query upgraded from rows-only to oracle-backed) — rows
+# from rounds BEFORE 4 describe the old behavior or the weaker check,
+# so only a round-4-or-later green row re-verifies them.
 _REVERIFY_R04 = frozenset({
     "semdedup",
     "ann_lsh_bucketed",
@@ -128,25 +128,35 @@ _REVERIFY_R04 = frozenset({
 })
 
 
+def _row_is_green(v: dict) -> bool:
+    """A CORRECTNESS row counts as green iff all three matches passed,
+    or it is a rows-only (no-oracle) row that produced rows."""
+    if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
+        return True
+    return v.get("err") == "no_oracle" and bool(v.get("spark_rows"))
+
+
 def _verified_names() -> frozenset[str]:
-    """Every query name holding a GREEN row in some round's
-    CORRECTNESS_r*.json artifact (plus the baked-in round-1 set, in
-    case the artifacts aren't shipped with the source tree). A row
-    counts only if all three matches passed, or it is a rows-only
-    (no-oracle) row that produced rows — a hash-failed row leaves the
-    query in the never-verified tier so the driver's capped sample
-    re-checks it first."""
+    """Every query name whose LATEST CORRECTNESS_r*.json row is green
+    (per-query latest: each query's most recent round wins — a
+    hash-failed row keeps the query in the never-verified tier until a
+    LATER round records it green, even if that round's capped sample
+    skipped it). The baked-in round-1 set seeds queries whose artifacts
+    aren't shipped with the source tree; _REVERIFY_R04 names need a
+    round >= 4 green row because their semantics changed in round 4."""
     global _verified_cache
     if _verified_cache is not None:
         return _verified_cache
     import json
+    import re
     from pathlib import Path
 
-    names = set(_VERIFIED_R01)
     root = Path(__file__).resolve().parents[2]
-    green: set[str] = set()
-    failed: set[str] = set()
-    for f in root.glob("CORRECTNESS_r*.json"):
+    # per-query (round, green) — keep the highest round seen
+    latest_row: dict[str, tuple[int, bool]] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", f.name)
+        rnd = int(m.group(1)) if m else 0
         try:
             data = json.loads(f.read_text())
         except (OSError, ValueError):
@@ -156,32 +166,18 @@ def _verified_names() -> frozenset[str]:
         for k, v in data.items():
             if not isinstance(v, dict):
                 continue
-            if v.get("rows_match") and v.get("schema_match") and v.get("hash_match"):
-                green.add(k)
-            elif v.get("err") == "no_oracle" and v.get("spark_rows"):
-                green.add(k)
-            else:
-                failed.add(k)
-    # a later green row supersedes an earlier failure, but a failure in
-    # the LATEST artifact wins over older greens — recompute: any name
-    # whose most recent row failed stays unverified
-    latest = max(
-        root.glob("CORRECTNESS_r*.json"), key=lambda p: p.name, default=None
+            prev = latest_row.get(k)
+            if prev is None or rnd >= prev[0]:
+                latest_row[k] = (rnd, _row_is_green(v))
+    names = {
+        k for k, (rnd, green) in latest_row.items()
+        if green and (k not in _REVERIFY_R04 or rnd >= 4)
+    }
+    # baked-in round-1 fallback: only for queries with NO artifact row
+    names.update(
+        k for k in _VERIFIED_R01
+        if k not in latest_row and k not in _REVERIFY_R04
     )
-    if latest is not None:
-        try:
-            last = json.loads(latest.read_text())
-            for k, v in last.items():
-                if isinstance(v, dict) and not (
-                    (v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
-                    or (v.get("err") == "no_oracle" and v.get("spark_rows"))
-                ):
-                    green.discard(k)
-                    names.discard(k)
-        except (OSError, ValueError):
-            pass
-    names.update(green)
-    names.difference_update(_REVERIFY_R04)
     _verified_cache = frozenset(names)
     return _verified_cache
 

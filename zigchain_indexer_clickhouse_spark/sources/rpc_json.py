@@ -396,20 +396,37 @@ def msg_body_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         msg_send_fields,
     )
 
-    e = load(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 1)
-    blob = encode_any_msg(
-        F.lit("/cosmos.bank.v1beta1.MsgSend"),
-        encode_msg_send(
-            F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
-            F.concat(F.lit("zig1c"), (F.col("user_id") + 1).cast("string")),
-            F.lit("uzig"),
-            F.floor(F.col("value") * 100).cast("long").cast("string"),
-        ),
-    )
+    from zigchain_indexer_clickhouse_spark.operators.dedup import _shared_stage
+
+    def _build_blobs() -> DataFrame:
+        e = load(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 1)
+        blob = encode_any_msg(
+            F.lit("/cosmos.bank.v1beta1.MsgSend"),
+            encode_msg_send(
+                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
+                F.concat(F.lit("zig1c"), (F.col("user_id") + 1).cast("string")),
+                F.lit("uzig"),
+                F.floor(F.col("value") * 100).cast("long").cast("string"),
+            ),
+        )
+        return e.select(blob.alias("blob")).select(
+            any_type_url(F.col("blob")).alias("type_url"),
+            any_value(F.col("blob")).alias("body"),
+        )
+
+    # MATERIALIZE the Any-unwrapped wire bytes before field-decoding
+    # (shared persisted stage): composing decode(unwrap(encode(col)))
+    # in one expression pipeline lets projection collapsing substitute
+    # the encoder+unwrap trees into every one of the field decoder's
+    # ~25 positional references — a 10 MiB codegen unit, 14 s at
+    # sf0.01. Decoding from a bound (cached) binary column keeps the
+    # decode tree scan-sized, and matches reality: wire bytes arrive
+    # from storage, not from an in-plan encoder.
+    blobs = _shared_stage("msg_send_bodies", spark, sf_dir, _build_blobs)
     decoded = (
-        e.select(blob.alias("blob"))
-        .filter(any_type_url(F.col("blob")) == "/cosmos.bank.v1beta1.MsgSend")
-        .select(msg_send_fields(any_value(F.col("blob"))).alias("m"))
+        blobs
+        .filter(F.col("type_url") == "/cosmos.bank.v1beta1.MsgSend")
+        .select(msg_send_fields(F.col("body")).alias("m"))
         .select("m.*")
     )
     return decoded.groupBy("from_address").agg(
