@@ -115,7 +115,15 @@ def main() -> None:
     qs = entry_mod.queries()
     report = {"replicas": replicas, "base_sf_dir": SRC, "queries": {}}
     for name in QUERIES:
-        qs[name](spark, SRC).count()  # warmup: JIT/codegen/FS caches
+        # warm up BOTH datasets before timing: a base-only warmup would
+        # leave eviction-managed _shared_stage caches populated for the
+        # base run and cold for the scaled run, inflating scale_factor
+        # for shared-stage queries. Warming base-then-scaled leaves the
+        # cache keyed to the scaled dir; the timed base run then evicts
+        # and rebuilds, and the timed scaled run does the same — both
+        # timed runs pay their own stage build, symmetrically.
+        qs[name](spark, SRC).count()
+        qs[name](spark, dst).count()
         times = {}
         for label, d in [("base", SRC), ("scaled", dst)]:
             t0 = time.time()

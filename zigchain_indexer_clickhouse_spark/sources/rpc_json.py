@@ -225,7 +225,6 @@ def ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     from zigchain_indexer_clickhouse_spark.sources.scratch import (
-        current_version_dir,
         fanout_write_atomic,
         scratch_dir,
     )
@@ -281,10 +280,12 @@ def ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     try:
-        fanout_write_atomic(base, tables, _write)
+        # read back from THE version this run committed (not a pointer
+        # re-resolve — another commit in between would silently decouple
+        # the summary from this run's writes)
+        vcur = fanout_write_atomic(base, tables, _write)
     finally:
         flat.unpersist()
-    vcur = current_version_dir(base)
     counts = [
         spark.read.parquet(os.path.join(vcur, name))
         .select(F.lit(name).alias("table_name"))

@@ -71,17 +71,24 @@ def new_version_dir(base: str) -> str:
 def commit_version(base: str, version_dir: str) -> None:
     """Atomically point ``base``'s readers at ``version_dir`` (POSIX
     ``os.replace`` of the pointer file is atomic), then best-effort
-    garbage-collect superseded version dirs."""
+    garbage-collect superseded version dirs — EXCEPT the immediately
+    previous version, which stays on disk for one more commit cycle so
+    lazy DataFrames handed out against it (e.g. the prior fan-out's
+    read-back summary) remain executable. Contract: one writer per
+    ``base`` at a time (scratch paths are per-application by
+    construction — scratch_dir embeds applicationId)."""
     import shutil
     import uuid
 
     token = os.path.basename(version_dir)
+    prev = current_version_dir(base)
+    prev_token = os.path.basename(prev) if prev else None
     tmp = os.path.join(base, f".{_CURRENT}.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w", encoding="utf-8") as f:
         f.write(token)
     os.replace(tmp, os.path.join(base, _CURRENT))
     for entry in os.listdir(base):
-        if entry.startswith("v-") and entry != token:
+        if entry.startswith("v-") and entry not in (token, prev_token):
             shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
 
 

@@ -82,6 +82,14 @@ def _read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf = "spark.sql.legacy.parquet.nanosAsLong"
     if spark.conf.get(conf, None) is None:
         spark.conf.set(conf, "true")
+    # pin UTC exactly like the batch loader does: the streaming window
+    # starts (w.start → date/day labels) are rendered in the session
+    # zone, and the oracle compares naive-as-UTC (self-review r4: this
+    # path bypassed catalog.load, so a foreign non-UTC session would
+    # shift every daily label by the zone offset)
+    tz_conf = "spark.sql.session.timeZone"
+    if spark.conf.get(tz_conf) not in ("UTC", "Etc/UTC", "GMT"):
+        spark.conf.set(tz_conf, "UTC")
     # what matters is the RAW footer type (the batch loader would have
     # normalized it), so probe the file directly — metadata-only read
     raw_ts_type = dict(
@@ -448,12 +456,15 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_block_ingest",
     oracle="""
+    WITH attrs AS (
+      SELECT event_id // 10 AS height, event_id
+      FROM events e, UNNEST(json_keys(e.props)) u(k)
+    )
     SELECT table_name, n_rows FROM (
       SELECT 'blocks' AS table_name,
-             CAST(COUNT(DISTINCT event_id // 10) AS BIGINT) AS n_rows
-      FROM events
-      UNION ALL SELECT 'txs', COUNT(*) FROM events
-      UNION ALL SELECT 'tx_event_attrs', COUNT(*) FROM events
+             CAST(COUNT(DISTINCT height) AS BIGINT) AS n_rows FROM attrs
+      UNION ALL SELECT 'txs', COUNT(DISTINCT event_id) FROM attrs
+      UNION ALL SELECT 'tx_event_attrs', COUNT(*) FROM attrs
     )
     """,
 )
