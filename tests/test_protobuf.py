@@ -184,3 +184,64 @@ def test_msg_send_oversize_field_decodes_null_not_shifted(spark):
         df.select(msg_send_fields(F.col("blob")).alias("m")).collect()[0]["m"]
         is None
     )
+
+
+def test_msg_send_roundtrip_property(spark):
+    """Property: for ANY printable-ASCII fields under the documented
+    128-byte bound, Spark-encoded wire bytes match the independent
+    Python encoder byte-for-byte AND decode back exactly. One batched
+    Spark job over all hypothesis-style cases (deterministic corpus —
+    random case generation would break replayability)."""
+    import hashlib as _hl
+
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        any_value,
+        encode_any_msg,
+        encode_msg_send,
+        msg_send_fields,
+    )
+
+    def ld(tag, b):
+        n = len(b)
+        if n < 128:
+            return bytes([tag, n]) + b
+        return bytes([tag, n % 128 + 128, n // 128]) + b
+
+    printable = "".join(chr(c) for c in range(0x21, 0x7F))
+    cases = []
+    for i in range(60):
+        h = _hl.md5(f"pb:{i}".encode()).hexdigest()
+        ln = lambda k, lo, hi: lo + int(h[k * 4:k * 4 + 4], 16) % (hi - lo)
+        frm = "".join(printable[int(h[j % 32], 16) * (j + 1) % len(printable)]
+                      for j in range(ln(0, 1, 120)))
+        to = "".join(printable[int(h[(j + 7) % 32], 16) * (j + 3) % len(printable)]
+                     for j in range(ln(1, 1, 120)))
+        denom = "".join(printable[int(h[(j + 13) % 32], 16) * (j + 5) % len(printable)]
+                        for j in range(ln(2, 1, 60)))
+        amount = str(int(h[:12], 16))
+        cases.append((i, frm, to, denom, amount))
+
+    df = spark.createDataFrame(
+        cases, "i long, frm string, to string, denom string, amount string"
+    )
+    enc = df.select(
+        "i", "frm", "to", "denom", "amount",
+        encode_any_msg(
+            F.lit("/cosmos.bank.v1beta1.MsgSend"),
+            encode_msg_send(F.col("frm"), F.col("to"),
+                            F.col("denom"), F.col("amount")),
+        ).alias("blob"),
+    )
+    rows = enc.select(
+        "i", "frm", "to", "denom", "amount", "blob",
+        msg_send_fields(any_value(F.col("blob"))).alias("m"),
+    ).collect()
+    assert len(rows) == 60
+    for r in rows:
+        coin = ld(0x0A, r.denom.encode()) + ld(0x12, r.amount.encode())
+        msg = (ld(0x0A, r.frm.encode()) + ld(0x12, r.to.encode())
+               + ld(0x1A, coin))
+        wire = ld(0x0A, b"/cosmos.bank.v1beta1.MsgSend") + ld(0x12, msg)
+        assert bytes(r.blob) == wire, r.i
+        assert (r.m.from_address, r.m.to_address, r.m.denom, r.m.amount) == (
+            r.frm, r.to, r.denom, r.amount), r.i
