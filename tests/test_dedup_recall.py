@@ -212,3 +212,40 @@ def test_ann_lsh_multiprobe_recall_on_planted_neighbors(spark, sf_dir):
     }
     recall = len(found) / n_queries
     assert recall >= 0.8, f"planted-twin recall {recall} below gate"
+
+
+def test_ann_ivf_recall_on_planted_neighbors(spark, sf_dir):
+    """Recall gate for the IVF scale path: same planted-twin corpus as
+    the LSH gate. Single-probe cell search finds ~88% of twins (misses
+    are twins jittered across a cell boundary — the nprobe dial the
+    docstring documents); gate at 75%."""
+    from pyspark.sql import functions as F
+
+    from zigchain_indexer_clickhouse_spark.catalog import load
+    from zigchain_indexer_clickhouse_spark.operators.curation import (
+        ivf_cell_topk,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    twin = e.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v",
+            lambda x, i: x
+            + 0.03 * (F.pmod(F.col("vec_id") * 31 + i, F.lit(7)) - 3) / 3.0,
+        ).alias("v"),
+    )
+    corpus = e.unionAll(twin)
+    got = ivf_cell_topk(
+        corpus, (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 1000000)
+    ).filter(F.col("query_id") < 500)
+    found = {
+        r.query_id
+        for r in got.collect()
+        if r.neighbor_id == r.query_id + 1000000
+    }
+    recall = len(found) / 50
+    assert recall >= 0.75, f"planted-twin IVF recall {recall} below gate"

@@ -302,11 +302,23 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid (argmax inner product over k deterministic centroids),
     then search only within the query's cell. Same plan shape as a
     trained IVF index: the assignment is a narrow per-row fold, the
-    search an equi-join on cell — the second scale path next to LSH."""
-    cents = _centroids()
+    search an equi-join on cell — the second scale path next to LSH.
+    Recall vs the brute-force truth on planted near-neighbors is gated
+    in tests/test_dedup_recall.py; the dial is nprobe (join the
+    query's top-2 cells instead of 1) if a corpus shows cell-boundary
+    misses."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    return ivf_cell_topk(e, F.col("vec_id") < 5)
+
+
+def ivf_cell_topk(corpus: DataFrame, is_query) -> DataFrame:
+    """The reusable IVF core: assign (vec_id, v) rows to their nearest
+    deterministic coarse centroid, equi-join queries to same-cell
+    candidates, return the per-query cosine top-5. Shared by the
+    `ann_ivf_coarse` operator and the planted-neighbor recall gate."""
+    cents = _centroids()
 
     def dot_lit(c: list[float]):
         plane = F.array(*[F.lit(x) for x in c])
@@ -318,8 +330,8 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dots = F.array(*[dot_lit(c) for c in cents])
     cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-    assigned = e.withColumn("cell", cell)
-    q = assigned.filter(F.col("vec_id") < 5).select(
+    assigned = corpus.withColumn("cell", cell)
+    q = assigned.filter(is_query).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("cell").alias("qc")
     )
     dot_qv = F.aggregate(
