@@ -216,9 +216,10 @@ def test_ann_lsh_multiprobe_recall_on_planted_neighbors(spark, sf_dir):
 
 def test_ann_ivf_recall_on_planted_neighbors(spark, sf_dir):
     """Recall gate for the IVF scale path: same planted-twin corpus as
-    the LSH gate. Single-probe cell search finds ~88% of twins (misses
-    are twins jittered across a cell boundary — the nprobe dial the
-    docstring documents); gate at 75%."""
+    the LSH gate. Single-probe cell search measured 0.88 (misses are
+    twins jittered across a cell boundary); with nprobe=2 the measured
+    recall is 1.0. Gate at 75% so the test flags a real regression, not
+    jitter."""
     from pyspark.sql import functions as F
 
     from zigchain_indexer_clickhouse_spark.catalog import load

@@ -265,6 +265,9 @@ def _centroids(k: int = 8, dim: int = 64) -> list[list[float]]:
     return cents
 
 
+IVF_NPROBE = 2  # query-side cells searched (nprobe dial)
+
+
 def _ivf_oracle() -> str:
     cents = _centroids()
     dots = ", ".join(
@@ -279,13 +282,23 @@ def _ivf_oracle() -> str:
                   list_max([{dots}])) - 1 AS INT) AS cell
       FROM e
     ),
-    q AS (SELECT vec_id AS q_id, v AS qv, cell FROM assigned WHERE vec_id < 5),
+    qd AS (SELECT vec_id AS q_id, v AS qv, [{dots}] AS dots
+           FROM e WHERE vec_id < 5),
+    probes AS (
+      SELECT q_id, qv, CAST(g.i AS INT) AS pc
+      FROM (
+        SELECT q_id, qv, g.i,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY dots[g.i + 1] DESC, g.i) AS rk
+        FROM qd, generate_series(0, {len(cents) - 1}) g(i)
+      ) g WHERE rk <= {IVF_NPROBE}
+    ),
     scored AS (
-      SELECT q.q_id AS query_id, a.vec_id AS neighbor_id, q.cell,
-             ROUND(list_dot_product(q.qv, a.v)
-                   / (sqrt(list_dot_product(q.qv, q.qv))
+      SELECT p.q_id AS query_id, a.vec_id AS neighbor_id, a.cell,
+             ROUND(list_dot_product(p.qv, a.v)
+                   / (sqrt(list_dot_product(p.qv, p.qv))
                       * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
-      FROM q JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.q_id
+      FROM probes p JOIN assigned a ON a.cell = p.pc AND a.vec_id <> p.q_id
     )
     SELECT query_id, neighbor_id, CAST(cell AS INT) AS cell, cosine,
            CAST(rnk AS INT) AS rnk FROM (
@@ -302,11 +315,10 @@ def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid (argmax inner product over k deterministic centroids),
     then search only within the query's cell. Same plan shape as a
     trained IVF index: the assignment is a narrow per-row fold, the
-    search an equi-join on cell — the second scale path next to LSH.
-    Recall vs the brute-force truth on planted near-neighbors is gated
-    in tests/test_dedup_recall.py; the dial is nprobe (join the
-    query's top-2 cells instead of 1) if a corpus shows cell-boundary
-    misses."""
+    search an equi-join on the query's top-{IVF_NPROBE} cells (nprobe:
+    a near neighbor just across a cell boundary is still found) — the
+    second scale path next to LSH. Recall vs the brute-force truth on
+    planted near-neighbors is gated in tests/test_dedup_recall.py."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -328,12 +340,44 @@ def ivf_cell_topk(corpus: DataFrame, is_query) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    dots = F.array(*[dot_lit(c) for c in cents])
-    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
-    assigned = corpus.withColumn("cell", cell)
-    q = assigned.filter(is_query).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("cell").alias("qc")
+    # dots computed ONCE into a bound column; every later reference
+    # (argmax, masking, next argmax) reads the attribute, so the k×dim
+    # fold never duplicates into downstream expression trees
+    with_dots = corpus.withColumn("dots", F.array(*[dot_lit(c) for c in cents]))
+    assigned = with_dots.withColumn(
+        "cell",
+        (F.array_position(F.col("dots"), F.array_max("dots")) - 1).cast("int"),
     )
+    # query side probes its top-{IVF_NPROBE} cells via iterated
+    # mask-and-argmax (ties break to the lowest index — same as the
+    # oracle's ORDER BY dot DESC, i)
+    qb = assigned.filter(is_query).withColumn("c0", F.col("cell"))
+    prev = "dots"
+
+    def _mask(mask_col: str):
+        # closure factory: F.transform requires an EXACTLY-two-param
+        # lambda (a default third param breaks arity introspection)
+        return lambda x, i: F.when(
+            i == F.col(mask_col), F.lit(float("-inf"))
+        ).otherwise(x)
+
+    for lvl in range(1, IVF_NPROBE):
+        nxt = f"dots{lvl}"
+        qb = qb.withColumn(
+            nxt, F.transform(F.col(prev), _mask(f"c{lvl - 1}"))
+        ).withColumn(
+            f"c{lvl}",
+            (F.array_position(F.col(nxt), F.array_max(nxt)) - 1).cast("int"),
+        )
+        prev = nxt
+    q = qb.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.array(*[F.col(f"c{lv}") for lv in range(IVF_NPROBE)])
+        ).alias("qc"),
+    )
+    assigned = assigned.drop("dots")
     dot_qv = F.aggregate(
         F.zip_with(F.col("qv"), F.col("v"), lambda x, y: x * y),
         F.lit(0.0),
