@@ -116,6 +116,7 @@ _verified_cache: frozenset[str] | None = None
 _REVERIFY_R04 = frozenset({
     "semdedup",
     "ann_lsh_bucketed",
+    "ann_ivf_coarse",
     "stream_sessionize",
     "stream_mv_daily",
     "stream_user_state",
