@@ -245,3 +245,32 @@ def test_msg_send_roundtrip_property(spark):
         assert bytes(r.blob) == wire, r.i
         assert (r.m.from_address, r.m.to_address, r.m.denom, r.m.amount) == (
             r.frm, r.to, r.denom, r.amount), r.i
+
+
+def test_any_walkers_fail_closed_on_three_byte_varint(spark):
+    """A value (or url) length needing a 3-byte varint (>= 16 KiB) must
+    decode NULL, never a mis-sliced blob."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        any_value,
+    )
+
+    big = b"v" * 20000
+    n = len(big)
+    wire = (
+        bytes([0x0A, 0x03]) + b"/xx"
+        + bytes([0x12, n % 128 + 128, (n // 128) % 128 + 128, n // 16384])
+        + big
+    )
+    df = spark.createDataFrame([(bytearray(wire),)], "blob binary")
+    assert (
+        df.select(any_value(F.col("blob")).alias("v")).collect()[0]["v"]
+        is None
+    )
+
+
+def test_encode_any_multibyte_and_long_urls(spark):
+    """encode_any carries byte-count varint lengths: a multibyte url and
+    a 130-char url must round-trip through any_type_url exactly (both
+    were silent-corruption modes under char-count + raw single byte)."""
+    urls = ["/µnicode.MsgÄ", "/long." + "b" * 124]  # 2nd: 130 ASCII bytes
+    assert _roundtrip(spark, urls) == {u: u for u in urls}

@@ -27,19 +27,22 @@ from pyspark.sql import functions as F
 def encode_any(type_url: Column) -> Column:
     """Build the wire bytes of ``Any{type_url}`` (value field omitted) —
     the test harness's encoder, so decode checks run on REAL protobuf
-    bytes. Supports the 1-byte varint case (url < 128 chars; every
-    cosmos typeUrl qualifies); built from hex concat + unhex, all
-    builtin expressions."""
+    bytes. Length prefix is the UTF-8 BYTE count as a real 1- or 2-byte
+    varint (char-count + raw single byte silently corrupted multibyte
+    or 128+-byte urls — the encode_msg_send fix, applied here too)."""
     url_hex = F.hex(type_url.cast("binary"))
-    len_hex = F.lpad(F.hex(F.length(type_url)), 2, "0")
-    return F.unhex(F.concat(F.lit("0A"), len_hex, url_hex))
+    return F.unhex(
+        F.concat(F.lit("0A"), _varint_hex(F.octet_length(type_url)), url_hex)
+    )
 
 
 def any_type_url(blob: Column) -> Column:
     """Extract ``Any.type_url`` (field 1) from raw protobuf bytes with a
     varint/tag scan in pure expressions: hex the blob, check the 0x0A
     tag, decode the 1- or 2-byte varint length, slice that many bytes,
-    UTF-8 decode. NULL for blobs not starting with field 1."""
+    UTF-8 decode. NULL for blobs not starting with field 1, and NULL
+    (never a mis-slice) when the length needs a 3+-byte varint (second
+    byte carries a continuation bit — urls that long don't exist)."""
     h = F.hex(blob)
     tag_ok = F.substring(h, 1, 2) == "0A"
     b0 = F.conv(F.substring(h, 3, 2), 16, 10).cast("int")
@@ -50,7 +53,8 @@ def any_type_url(blob: Column) -> Column:
     length = F.when(one_byte, b0).otherwise((b0 - 128) + b1 * 128)
     start = F.when(one_byte, F.lit(5)).otherwise(F.lit(7))
     url_hex = F.substring(h, start, length * 2)
-    return F.when(tag_ok, F.decode(F.unhex(url_hex), "UTF-8")).otherwise(
+    valid = tag_ok & (one_byte | (b1 < 128))
+    return F.when(valid, F.decode(F.unhex(url_hex), "UTF-8")).otherwise(
         F.lit(None).cast("string")
     )
 
@@ -72,7 +76,9 @@ def _varint_hex(n: Column) -> Column:
     return (
         F.when(n < 128, F.lpad(F.hex(n), 2, "0"))
         .when(n < 16384, F.concat(lo, hi))
-        .otherwise(F.lit(None).cast("string"))
+        # LOUD failure, not a NULL that concat would swallow into a
+        # silently-dropped row
+        .otherwise(F.raise_error(F.lit("protobuf length exceeds 2-byte varint")))
     )
 
 
@@ -131,8 +137,13 @@ def any_value(blob: Column) -> Column:
     one2 = c0 < 128
     l2 = F.when(one2, c0).otherwise((c0 - 128) + c1 * 128)
     vstart = p2 + F.when(one2, F.lit(4)).otherwise(F.lit(6))
+    # continuation-bit guards: a length needing a 3+-byte varint
+    # (>= 16 KiB) fails closed to NULL instead of mis-slicing
+    valid = (
+        tag_ok & tag2_ok & (one | (b1 < 128)) & (one2 | (c1 < 128))
+    )
     return F.when(
-        tag_ok & tag2_ok, F.unhex(F.substr(h, vstart, l2 * 2))
+        valid, F.unhex(F.substr(h, vstart, l2 * 2))
     ).otherwise(F.lit(None).cast("binary"))
 
 
