@@ -274,3 +274,131 @@ def test_encode_any_multibyte_and_long_urls(spark):
     were silent-corruption modes under char-count + raw single byte)."""
     urls = ["/µnicode.MsgÄ", "/long." + "b" * 124]  # 2nd: 130 ASCII bytes
     assert _roundtrip(spark, urls) == {u: u for u in urls}
+
+
+# ---------------------------------------------------------------------------
+# TxRaw envelope (round 5): encode_tx_raw / tx_raw_body / tx_body_messages
+# ---------------------------------------------------------------------------
+def test_tx_raw_roundtrip_multi_message(spark):
+    """Full envelope round-trip on REAL wire bytes: N Any messages →
+    TxRaw (with a trailing auth_info field the decoder must skip) →
+    body → message list → per-message typeUrl."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        encode_any,
+        encode_tx_raw,
+        tx_body_messages,
+        tx_raw_body,
+    )
+
+    urls = [
+        ["/cosmos.bank.v1beta1.MsgSend"],
+        ["/zigchain.click.MsgExec", "/cosmos.bank.v1beta1.MsgSend"],
+        ["/a.B", "/c.D", "/e.F", "/g.H"],
+        [],  # empty body: zero messages
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "urls array<string>")
+    tx = encode_tx_raw(
+        F.transform(F.col("urls"), encode_any),
+        auth_info=F.lit("auth").cast("binary"),
+    )
+    out = df.select(
+        "urls",
+        F.transform(
+            tx_body_messages(tx_raw_body(tx)), any_type_url
+        ).alias("decoded"),
+    ).collect()
+    for r in out:
+        assert r["decoded"] == r["urls"]
+
+
+def test_tx_raw_body_two_byte_varint(spark):
+    """A body > 127 bytes forces the 2-byte varint path at the TxRaw
+    level — the case the 1-byte fast path would mis-slice."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        encode_any,
+        encode_tx_raw,
+        tx_body_messages,
+        tx_raw_body,
+    )
+
+    long_url = "/x." + "m" * 150  # one Any ≈ 156 bytes → body > 127
+    df = spark.createDataFrame([(long_url,)], "url string")
+    tx = encode_tx_raw(F.array(encode_any(F.col("url"))))
+    got = df.select(
+        F.transform(
+            tx_body_messages(tx_raw_body(tx)), any_type_url
+        ).alias("d")
+    ).collect()[0]["d"]
+    assert got == [long_url]
+
+
+def test_tx_body_messages_stops_at_non_message_field(spark):
+    """cosmjs writes TxBody fields in order: messages first, then memo
+    (field 2, tag 0x12). The walker must stop at the memo, not misread
+    it as a message."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        tx_body_messages,
+    )
+
+    any1 = bytes([0x0A, 0x04]) + b"/a.B"
+    body = (
+        bytes([0x0A, len(any1)]) + any1
+        + bytes([0x12, 0x04]) + b"memo"
+    )
+    df = spark.createDataFrame([(bytearray(body),)], "body binary")
+    got = df.select(tx_body_messages(F.col("body")).alias("m")).collect()[0]["m"]
+    assert [bytes(x) for x in got] == [any1]
+
+
+def test_msg_execute_roundtrip_and_unknown_fallback(spark):
+    """MsgExecuteContract body round-trip, and the decoder.js:20-24
+    unknown-type fallback: an unregistered typeUrl yields NULL from the
+    typed decoders (→ the fallback row) while the raw value bytes stay
+    recoverable via any_value."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        any_type_url,
+        any_value,
+        encode_any_msg,
+        encode_msg_execute,
+        msg_execute_fields,
+        msg_send_fields,
+    )
+
+    df = spark.createDataFrame(
+        [("zig1sender", "zig1contract", '{"k":"v"}')],
+        "s string, c string, j string",
+    )
+    # materialize the encoded bytes BEFORE decoding: composing several
+    # decoders over an in-plan encoder inlines the encoder tree into
+    # every positional reference — a tree the optimizer takes minutes
+    # to walk (the same reason the engine operators persist their blob
+    # stage before field-decoding)
+    exec_any = encode_any_msg(
+        F.lit("/cosmwasm.wasm.v1.MsgExecuteContract"),
+        encode_msg_execute(F.col("s"), F.col("c"), F.col("j")),
+    )
+    exec_bytes = df.select(exec_any.alias("b")).collect()[0]["b"]
+    bdf = spark.createDataFrame([(bytearray(exec_bytes),)], "b binary")
+    row = bdf.select(
+        msg_execute_fields(any_value(F.col("b"))).alias("m")
+    ).select("m.*").collect()[0]
+    assert (row["sender"], row["contract"], row["msg_json"]) == (
+        "zig1sender", "zig1contract", '{"k":"v"}'
+    )
+
+    unk = encode_any_msg(
+        F.lit("/zigchain.custom.v1.MsgCustom"),
+        F.lit("opaque-payload").cast("binary"),
+    )
+    unk_bytes = df.select(unk.alias("b")).collect()[0]["b"]
+    udf_ = spark.createDataFrame([(bytearray(unk_bytes),)], "b binary")
+    blob = F.col("b")
+    r = udf_.select(
+        any_type_url(blob).alias("u"),
+        msg_send_fields(any_value(blob)).alias("send"),
+        msg_execute_fields(any_value(blob)).alias("exec"),
+        any_value(blob).cast("string").alias("raw"),
+    ).collect()[0]
+    assert r["u"] == "/zigchain.custom.v1.MsgCustom"
+    assert r["send"] is None and r["exec"] is None
+    assert r["raw"] == "opaque-payload"

@@ -147,6 +147,118 @@ def any_value(blob: Column) -> Column:
     ).otherwise(F.lit(None).cast("binary"))
 
 
+def encode_tx_raw(msgs: Column, auth_info: Column | None = None) -> Column:
+    """Wire bytes of ``cosmos.tx.v1beta1.TxRaw`` from an array of Any
+    message blobs — the OUTER envelope the reference decodes first
+    (src/utils/decoder.js:12 ``decodeTxRaw(fromBase64(tx))`` before
+    walking ``decoded.body.messages``). Layout:
+
+        TxRaw.field1 (0x0A)  body_bytes   = serialized TxBody
+        TxRaw.field2 (0x12)  auth_info_bytes (opaque here)
+        TxBody.field1 (0x0A, repeated)    = each message as Any bytes
+
+    The body is assembled with a runtime fold (``F.aggregate``) over
+    the message array, so the expression tree stays constant-size no
+    matter how many messages a tx carries."""
+    body_hex = F.aggregate(
+        msgs,
+        F.lit(""),
+        lambda acc, m: F.concat(
+            acc, F.lit("0A"), _varint_hex(F.length(m)), F.hex(m)
+        ),
+    )
+    parts = _ld_field("0A", body_hex, (F.length(body_hex) / 2).cast("int"))
+    if auth_info is not None:
+        parts = F.concat(
+            parts, _ld_field("12", F.hex(auth_info), F.length(auth_info))
+        )
+    return F.unhex(parts)
+
+
+def tx_raw_body(blob: Column) -> Column:
+    """Extract ``TxRaw.body_bytes`` (field 1) as binary — 1- or 2-byte
+    varint length (tx bodies routinely exceed 127 bytes). Trailing
+    fields (auth_info, signatures) are ignored, exactly like
+    ``decodeTxRaw``'s field-selective read. NULL when the blob doesn't
+    start with field 1 or the length needs a 3+-byte varint (≥ 16 KiB
+    bodies are out of scope for the synthetic corpus; fails closed,
+    never mis-slices)."""
+    h = F.hex(blob)
+    tag_ok = F.substring(h, 1, 2) == "0A"
+    b0 = _byte_at(h, 3)
+    b1 = _byte_at(h, 5)
+    one = b0 < 128
+    ln = F.when(one, b0).otherwise((b0 - 128) + b1 * 128)
+    start = F.when(one, F.lit(5)).otherwise(F.lit(7))
+    valid = tag_ok & (one | (b1 < 128))
+    return F.when(valid, F.unhex(F.substr(h, start, ln * 2))).otherwise(
+        F.lit(None).cast("binary")
+    )
+
+
+def tx_body_messages(body: Column, max_msgs: int = 16) -> Column:
+    """Split ``TxBody.messages`` (repeated field 1) into an
+    ``array<binary>`` of Any blobs — the expression-land
+    ``decoded.body.messages`` (decoder.js:13). A runtime fold over a
+    constant sequence advances a cursor through the hex form: at each
+    step, if the cursor sits on a field-1 tag, slice that message
+    (1- or 2-byte varint length) and advance; the scan stops at the
+    first non-message tag (cosmjs writes TxBody fields in order, so
+    memo/timeout_height always FOLLOW the message block) or at end of
+    bytes. ``F.aggregate`` evaluates the lambda per element at runtime
+    — the codegen unit stays constant-size regardless of ``max_msgs``
+    (contrast msg_send_fields' positional-tree note). Returns NULL on a
+    malformed varint (continuation bit in the second length byte)
+    instead of a shifted misread; txs with more than ``max_msgs``
+    messages return the first ``max_msgs`` (document the cap at call
+    sites — the synthetic corpus tops out at 2)."""
+    h = F.hex(body)
+    n = F.length(h)
+    init = F.struct(
+        F.lit(1).alias("pos"),
+        F.array().cast("array<string>").alias("msgs"),
+        F.lit(True).alias("ok"),
+    )
+
+    def step(acc: Column, _elem: Column) -> Column:
+        pos = acc["pos"]
+        at_msg = (pos + 1 < n) & (F.substr(h, pos, F.lit(2)) == "0A")
+        b0 = _byte_at(h, pos + 2)
+        b1 = _byte_at(h, pos + 4)
+        one = b0 < 128
+        bad = ~one & (b1 >= 128)
+        ln = F.when(one, b0).otherwise((b0 - 128) + b1 * 128)
+        hdr = F.when(one, F.lit(4)).otherwise(F.lit(6))
+        msg_hex = F.substr(h, pos + hdr, ln * 2)
+        return F.when(
+            ~at_msg, acc  # past end or at a non-message field: halt
+        ).otherwise(
+            F.when(
+                bad,
+                F.struct(
+                    (n + F.lit(2)).alias("pos"),
+                    acc["msgs"].alias("msgs"),
+                    F.lit(False).alias("ok"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (pos + hdr + ln * 2).alias("pos"),
+                    F.array_append(acc["msgs"], msg_hex).alias("msgs"),
+                    acc["ok"].alias("ok"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_msgs)),
+        init,
+        step,
+        lambda st: F.when(
+            st["ok"], F.transform(st["msgs"], lambda m: F.unhex(m))
+        ).otherwise(F.lit(None).cast("array<binary>")),
+    )
+
+
 _MSG_SEND_STRUCT = (
     "struct<from_address:string,to_address:string,denom:string,amount:string>"
 )
@@ -201,4 +313,55 @@ def msg_send_fields(blob: Column) -> Column:
     short = (l1 < 128) & (l2 < 128) & (l3 < 128) & (ld < 128) & (la < 128)
     return F.when(ok1 & ok2 & ok3 & okc1 & okc2 & short, st).otherwise(
         F.lit(None).cast(_MSG_SEND_STRUCT)
+    )
+
+
+_MSG_EXECUTE_STRUCT = (
+    "struct<sender:string,contract:string,msg_json:string>"
+)
+
+
+def encode_msg_execute(sender: Column, contract: Column,
+                       msg_json: Column) -> Column:
+    """Wire bytes of ``cosmwasm.wasm.v1.MsgExecuteContract`` — the
+    message type the reference routes to its wasm tables
+    (src/utils/decoder.js registers all defaultRegistryTypes; the
+    worker's type_wasm routing keys on this family): field 1 sender
+    (string), field 2 contract (string), field 3 msg (bytes — the JSON
+    payload). Funds (field 5) omitted, matching the common no-funds
+    execute. Same pure hex-concat discipline as encode_msg_send."""
+    return F.unhex(F.concat(
+        _ld_field("0A", F.hex(sender.cast("binary")), F.octet_length(sender)),
+        _ld_field("12", F.hex(contract.cast("binary")), F.octet_length(contract)),
+        _ld_field("1A", F.hex(msg_json.cast("binary")), F.octet_length(msg_json)),
+    ))
+
+
+def msg_execute_fields(blob: Column) -> Column:
+    """Decode a ``MsgExecuteContract`` body into struct(sender,
+    contract, msg_json) with the same sequential tag/length scan as
+    ``msg_send_fields``. 1-byte varint fast path per field (bech32
+    addresses ≤ 90 bytes; the synthetic exec payloads are short JSON);
+    any continuation bit fails the whole struct to NULL — the
+    unknown-type fallback — never a shifted misread."""
+    h = F.hex(blob)
+    ok1 = F.substring(h, 1, 2) == "0A"
+    l1 = _byte_at(h, 3)
+    sender = F.decode(F.unhex(F.substr(h, F.lit(5), l1 * 2)), "UTF-8")
+    p2 = l1 * 2 + 5
+    ok2 = F.substr(h, p2, F.lit(2)) == "12"
+    l2 = _byte_at(h, p2 + 2)
+    contract = F.decode(F.unhex(F.substr(h, p2 + 4, l2 * 2)), "UTF-8")
+    p3 = p2 + 4 + l2 * 2
+    ok3 = F.substr(h, p3, F.lit(2)) == "1A"
+    l3 = _byte_at(h, p3 + 2)
+    msg_json = F.decode(F.unhex(F.substr(h, p3 + 4, l3 * 2)), "UTF-8")
+    st = F.struct(
+        sender.alias("sender"),
+        contract.alias("contract"),
+        msg_json.alias("msg_json"),
+    )
+    short = (l1 < 128) & (l2 < 128) & (l3 < 128)
+    return F.when(ok1 & ok2 & ok3 & short, st).otherwise(
+        F.lit(None).cast(_MSG_EXECUTE_STRUCT)
     )

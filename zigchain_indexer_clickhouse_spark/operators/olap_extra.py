@@ -776,7 +776,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_revenue_c
+    SELECT s.s_suppkey, s.s_name,
+           -- CAST required: DuckDB types integer SUM as HUGEINT, which the
+           -- driver's hasher renders differently than Spark's long even
+           -- when the values are equal (the r4 hash-fail class).
+           CAST(r.total_revenue_c AS BIGINT) AS total_revenue_c
     FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue_c = (SELECT MAX(total_revenue_c) FROM rev)
     """,

@@ -196,7 +196,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem JOIN rs ON s_suppkey = l_suppkey
       GROUP BY 1
     )
-    SELECT l_suppkey AS s_suppkey, value_c,
+    -- outer CAST on value_c: DuckDB SUM over BIGINT yields HUGEINT,
+    -- whose driver-side hash differs from Spark's long (r4 fail class)
+    SELECT l_suppkey AS s_suppkey, CAST(value_c AS BIGINT) AS value_c,
            CAST(value_c * 1000000 // total_c AS BIGINT) AS share_ppm
     FROM val, (SELECT SUM(value_c) AS total_c FROM val) t
     WHERE value_c * 1000 > total_c
@@ -252,10 +254,12 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_by_class",
     oracle="""
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           -- CAST: DuckDB integer SUM yields HUGEINT which hash-
+           -- mismatches Spark's long at the driver (r4 fail class)
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'

@@ -50,6 +50,7 @@ _MODULES = (
     "zigchain_indexer_clickhouse_spark.operators.olap_shapes",
     "zigchain_indexer_clickhouse_spark.operators.orchestration",
     "zigchain_indexer_clickhouse_spark.sources.rpc_json",
+    "zigchain_indexer_clickhouse_spark.sources.tx_decode",
     "zigchain_indexer_clickhouse_spark.sources.rpc_fetch",
     "zigchain_indexer_clickhouse_spark.sources.landing",
     "zigchain_indexer_clickhouse_spark.sources.partitioned_write",

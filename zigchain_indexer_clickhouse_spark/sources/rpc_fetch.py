@@ -149,8 +149,12 @@ def fetch_block_results(
     oracle="""
     SELECT event_id // 10 AS height,
            COUNT(*) AS n_txs,
-           SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS n_failed,
-           SUM(CAST(floor(value * 900) AS BIGINT)) AS total_gas_used
+           -- CAST on both SUMs: DuckDB integer SUM -> HUGEINT, which
+           -- hash-mismatches Spark's long at the driver (r4 fail class)
+           CAST(SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_failed,
+           CAST(SUM(CAST(floor(value * 900) AS BIGINT))
+                AS BIGINT) AS total_gas_used
     FROM events GROUP BY 1
     """,
 )

@@ -368,7 +368,9 @@ def msg_typeurl_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_id % 2 = 1
     )
     SELECT from_address, COUNT(*) AS n_sends,
-           SUM(amt) AS total_uzig,
+           -- CAST: DuckDB SUM(BIGINT) -> HUGEINT hash-mismatches
+           -- Spark's long at the driver (r4 fail class)
+           CAST(SUM(amt) AS BIGINT) AS total_uzig,
            MIN(to_address) AS first_recipient
     FROM sends GROUP BY from_address
     """,

@@ -1,0 +1,293 @@
+"""Full tx-envelope decode — the reference's first decoding step.
+
+The reference turns a raw base64 transaction into a message list
+before anything else happens (src/utils/decoder.js:12
+``decodeTxRaw(fromBase64(tx))`` → ``decoded.body.messages``), then
+registry-decodes each message with ALL ``defaultRegistryTypes`` and
+falls back to ``{error: 'Unknown message type', raw}`` on a miss
+(decoder.js:20-24). Rounds 1-4 covered the inner layers (Any walker,
+MsgSend body); this module closes the remaining envelope gap:
+
+- ``tx_envelope_decode`` (#150): TxRaw frame → TxBody → messages[] →
+  per-message Any unwrap → MsgSend body decode, end-to-end from wire
+  bytes, all in pure column expressions (functions/protobuf.py
+  encode_tx_raw / tx_raw_body / tx_body_messages).
+- ``msg_multi_decode`` (#151): a multi-type registry dispatch —
+  MsgSend AND MsgExecuteContract body decodes plus the reference's
+  unknown-type fallback row for unregistered typeUrls.
+
+Scale shape: the decode is a hex-string scan inside whole-stage
+codegen (the repeated-message walk is a runtime ``aggregate`` fold, so
+the codegen unit stays constant-size); one keyed shuffle for the final
+aggregate; zero Python row UDFs. Wire blobs are materialized once per
+session (shared persisted stage) before field-decoding — composing
+decode(encode(col)) in one tree multiplies the encoder into every
+positional reference (the msg_body_decode 10 MiB codegen lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from zigchain_indexer_clickhouse_spark.catalog import load
+from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+    any_type_url,
+    any_value,
+    encode_any_msg,
+    encode_msg_execute,
+    encode_msg_send,
+    encode_tx_raw,
+    msg_execute_fields,
+    msg_send_fields,
+    tx_body_messages,
+    tx_raw_body,
+)
+from zigchain_indexer_clickhouse_spark.operators.dedup import _shared_stage
+from zigchain_indexer_clickhouse_spark.plans.registry import register
+
+_MSG_SEND_URL = "/cosmos.bank.v1beta1.MsgSend"
+_MSG_EXEC_URL = "/cosmwasm.wasm.v1.MsgExecuteContract"
+
+
+def _msg_send_blob(user_id, value):  # noqa: ANN001 — expression helpers
+    """The MsgSend Any used across this module's synthetic txs — same
+    field derivation as msg_body_decode (#148) so the decodes agree."""
+    return encode_any_msg(
+        F.lit(_MSG_SEND_URL),
+        encode_msg_send(
+            F.concat(F.lit("zig1u"), user_id.cast("string")),
+            F.concat(F.lit("zig1c"), (user_id + 1).cast("string")),
+            F.lit("uzig"),
+            F.floor(value * 100).cast("long").cast("string"),
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# 150. tx_envelope_decode — TxRaw → body → messages[] → typed bodies
+# --------------------------------------------------------------------------
+@register(
+    "tx_envelope_decode",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_txs,
+           CAST(SUM(1 + event_id % 2) AS BIGINT) AS n_msgs,
+           CAST(SUM(event_id % 2) AS BIGINT) AS n_sends,
+           CAST(SUM(CASE WHEN event_id % 2 = 1
+                         THEN CAST(floor(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS total_uzig
+    FROM events GROUP BY event_type
+    """,
+)
+def tx_envelope_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FIRST decode step, end-to-end from raw tx bytes
+    (decoder.js:12-13 ``decodeTxRaw(fromBase64(tx))`` →
+    ``decoded.body.messages``): each event synthesizes a full TxRaw
+    envelope — TxBody with one zigchain exec Any (plus a MsgSend Any on
+    odd event_ids, mirroring msg_typeurl_stats' tx shapes) and an
+    opaque auth_info field the decoder must SKIP — and the engine
+    recovers the message list by parsing the TxRaw frame, splitting the
+    repeated field-1 block with a runtime fold, then Any-unwrapping and
+    body-decoding every message. Aggregates per event_type count
+    txs/messages/sends and sum the DECODED send amounts, so a shifted
+    offset anywhere in the three-layer parse fails the oracle hash.
+
+    Scale: blob build + envelope unwrap materialize once (persisted
+    stage); the message split is one constant-size fold expression per
+    row; the only shuffles are the countDistinct expand and the final
+    event_type aggregate."""
+
+    def _build_msgs() -> DataFrame:
+        e = load(spark, sf_dir, "events")
+        exec_blob = encode_any_msg(
+            F.concat(F.lit("/zigchain."), F.col("event_type"),
+                     F.lit(".MsgExec")),
+            F.concat(F.lit("exec:"), F.col("event_id").cast("string"))
+            .cast("binary"),
+        )
+        send_blob = _msg_send_blob(F.col("user_id"), F.col("value"))
+        # one UNION branch per message population: two encoder trees in
+        # a single projection make one >64 KB doConsume method that
+        # Janino rejects (codegen falls back to interpreted eval); each
+        # branch here codegens alone. seq preserves in-tx message order
+        # for the envelope assembly below.
+        execs = e.select(
+            "event_id", "event_type",
+            F.lit(0).alias("seq"), exec_blob.alias("msg"),
+        )
+        sends = e.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "event_type",
+            F.lit(1).alias("seq"), send_blob.alias("msg"),
+        )
+        return execs.unionAll(sends)
+
+    def _build_tx() -> DataFrame:
+        # assemble each tx's ordered message array (one keyed shuffle,
+        # build-time only), then run the TxRaw fold over the BOUND
+        # collected array: folding over an in-plan encoder tree would
+        # re-evaluate the whole encoder interpreted per row
+        # (higher-order fns evaluate their children via eval(), outside
+        # whole-stage codegen)
+        m = _shared_stage("tx_envelope_msgs", spark, sf_dir, _build_msgs)
+        per_tx = m.groupBy("event_id", "event_type").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "msg"))),
+                lambda s: s["msg"],
+            ).alias("msgs")
+        )
+        tx = encode_tx_raw(
+            F.col("msgs"), auth_info=F.lit("authstub").cast("binary")
+        )
+        return per_tx.select("event_id", "event_type", tx.alias("tx"))
+
+    blobs = _shared_stage("tx_raw_blobs", spark, sf_dir, _build_tx)
+    exploded = blobs.select(
+        "event_id", "event_type",
+        F.explode(tx_body_messages(tx_raw_body(F.col("tx")))).alias("msg"),
+    ).select(
+        "event_id", "event_type",
+        any_type_url(F.col("msg")).alias("type_url"),
+        any_value(F.col("msg")).alias("mbody"),
+    )
+    is_send = F.col("type_url") == _MSG_SEND_URL
+    decoded = exploded.select(
+        "event_id", "event_type", "type_url",
+        F.when(is_send, msg_send_fields(F.col("mbody"))).alias("send"),
+    )
+    return decoded.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_txs"),
+        F.count("*").alias("n_msgs"),
+        F.sum(is_send.cast("long")).alias("n_sends"),
+        F.coalesce(
+            F.sum(F.col("send.amount").cast("long")), F.lit(0)
+        ).cast("long").alias("total_uzig"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 151. msg_multi_decode — multi-type registry + unknown-type fallback
+# --------------------------------------------------------------------------
+@register(
+    "msg_multi_decode",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, user_id, value,
+             CASE CAST(event_id % 3 AS INTEGER)
+               WHEN 0 THEN '/cosmos.bank.v1beta1.MsgSend'
+               WHEN 1 THEN '/cosmwasm.wasm.v1.MsgExecuteContract'
+               ELSE '/zigchain.custom.v1.MsgCustom' END AS type_url,
+             CASE WHEN event_id % 3 = 2
+                  THEN base64(CAST('custom:' || CAST(event_id AS VARCHAR)
+                                   AS BLOB))
+                  END AS raw_b64
+      FROM events)
+    SELECT type_url,
+           CASE WHEN type_url = '/zigchain.custom.v1.MsgCustom'
+                THEN 'Unknown message type' ELSE 'ok' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(CASE WHEN type_url = '/zigchain.custom.v1.MsgCustom'
+                         THEN 0
+                         ELSE CAST(floor(value * 100) AS BIGINT)
+                    END) AS BIGINT) AS total_amt,
+           MIN(raw_b64) AS first_raw
+    FROM m GROUP BY 1, 2
+    """,
+)
+def msg_multi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-type registry dispatch with the reference's unknown-type
+    fallback (decoder.js:9 registers ALL defaultRegistryTypes;
+    decoder.js:20-24 emits ``{error: 'Unknown message type', raw}`` on
+    a miss). Three message populations by event_id%3: MsgSend,
+    MsgExecuteContract (the wasm family the reference routes to
+    type_wasm tables), and an unregistered zigchain custom type.
+
+    The dispatch keys on the DECODE OUTCOME, not the typeUrl string:
+    ``status`` is 'ok' only when the routed body decoder returned a
+    non-null struct, so a broken field scan flips rows into the
+    fallback and fails the hash. The fallback row carries the raw
+    value bytes base64-encoded — exactly the reference's ``raw``
+    payload (Spark's MIME line-wrap stripped so both engines agree).
+    The decoded amount comes from MsgSend's coin amount or from INSIDE
+    MsgExecuteContract's JSON payload (get_json_object over the
+    decoded msg field), proving both decoders recover full bodies."""
+
+    def _build() -> DataFrame:
+        e = load(spark, sf_dir, "events")
+        kind = (F.col("event_id") % 3).cast("int")
+        send_blob = _msg_send_blob(F.col("user_id"), F.col("value"))
+        exec_blob = encode_any_msg(
+            F.lit(_MSG_EXEC_URL),
+            encode_msg_execute(
+                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
+                F.concat(F.lit("zig1w"),
+                         (F.col("event_id") % 7).cast("string")),
+                F.concat(
+                    F.lit('{"transfer":{"amount":"'),
+                    F.floor(F.col("value") * 100).cast("long").cast("string"),
+                    F.lit('"}}'),
+                ),
+            ),
+        )
+        custom_blob = encode_any_msg(
+            F.lit("/zigchain.custom.v1.MsgCustom"),
+            F.concat(F.lit("custom:"), F.col("event_id").cast("string"))
+            .cast("binary"),
+        )
+        # one UNION branch per message type: a 3-way CASE holding all
+        # three encoders is a single unsplittable expression that
+        # overflows Janino's 64 KB method limit (codegen falls back to
+        # interpreted eval); each branch here is its own
+        # whole-stage-codegen unit with one encoder. Three scans of the
+        # source is a harness-side cost only — in production the wire
+        # blobs arrive from storage, not from an in-plan encoder.
+        return (
+            e.filter(kind == 0).select(send_blob.alias("blob"))
+            .unionAll(e.filter(kind == 1).select(exec_blob.alias("blob")))
+            .unionAll(e.filter(kind == 2).select(custom_blob.alias("blob")))
+        )
+
+    def _unwrap() -> DataFrame:
+        # second persisted level: unwrap (type_url, body) from the
+        # BOUND blob column, so the downstream field decoders (~40
+        # positional references between the two) inline a one-node
+        # bound attribute instead of the any_value tree — keeping the
+        # per-row decode path inside whole-stage codegen
+        blobs = _shared_stage("multi_decode_blobs", spark, sf_dir, _build)
+        return blobs.select(
+            any_type_url(F.col("blob")).alias("type_url"),
+            any_value(F.col("blob")).alias("body"),
+        )
+
+    msgs = _shared_stage("multi_decode_unwrapped", spark, sf_dir, _unwrap)
+    is_send = F.col("type_url") == _MSG_SEND_URL
+    is_exec = F.col("type_url") == _MSG_EXEC_URL
+    routed = msgs.select(
+        "type_url",
+        F.when(is_send, msg_send_fields(F.col("body"))).alias("send"),
+        F.when(is_exec, msg_execute_fields(F.col("body"))).alias("exec"),
+        "body",
+    ).select(
+        "type_url",
+        # status = decode OUTCOME: registered type + successful body
+        # scan → 'ok'; anything else takes the reference's fallback
+        F.when(
+            F.col("send").isNotNull() | F.col("exec").isNotNull(), "ok"
+        ).otherwise("Unknown message type").alias("status"),
+        F.when(is_send, F.col("send.amount").cast("long"))
+        .when(is_exec,
+              F.get_json_object(F.col("exec.msg_json"), "$.transfer.amount")
+              .cast("long"))
+        .otherwise(F.lit(0)).alias("amt"),
+        # the fallback's raw payload (decoder.js:23) — strip Spark
+        # base64's MIME 76-char line wrap so DuckDB agrees
+        F.when(
+            F.col("send").isNull() & F.col("exec").isNull(),
+            F.regexp_replace(F.base64(F.col("body")), "[\\r\\n]", ""),
+        ).alias("raw_b64"),
+    )
+    return routed.groupBy("type_url", "status").agg(
+        F.count("*").alias("n_msgs"),
+        F.sum("amt").alias("total_amt"),
+        F.min("raw_b64").alias("first_raw"),
+    )

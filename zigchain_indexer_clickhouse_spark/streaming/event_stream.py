@@ -239,9 +239,12 @@ def stream_type_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS date,
            COUNT(*) AS event_count,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS total_gas,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-             AS error_count
+           -- CAST on both SUMs: DuckDB integer SUM -> HUGEINT, which
+           -- hash-mismatches Spark's long at the driver (r4 fail class)
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_gas,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS error_count
     FROM events GROUP BY 1
     """,
 )
@@ -273,11 +276,14 @@ def stream_mv_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_count", "total_gas", "error_count")
     )
     updates = _run_append_to_memory(agg, "stream_mv_daily", mode="update")
-    # cumulative updates per day → final value = max per column
+    # cumulative updates per day → final value = the row with the max
+    # event_count (COUNT(*) is monotone across cumulative updates even
+    # if a future value column went negative — F.max on every column
+    # would silently pick a non-final state in that case)
     return updates.groupBy("date").agg(
         F.max("event_count").alias("event_count"),
-        F.max("total_gas").alias("total_gas"),
-        F.max("error_count").alias("error_count"),
+        F.max_by("total_gas", "event_count").alias("total_gas"),
+        F.max_by("error_count", "event_count").alias("error_count"),
     )
 
 
@@ -352,8 +358,12 @@ def stream_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH o AS (
       SELECT user_id, event_id, ts, value,
+             -- >= not >: Spark's session_window treats [ts, ts+gap)
+             -- windows that merely TOUCH (gap exactly 30:00) as
+             -- non-overlapping, i.e. an exact-gap event starts a new
+             -- session — the strict-overlap merge semantics
              CASE WHEN LAG(ts) OVER w IS NULL
-                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
@@ -385,8 +395,10 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark is max(ts) − 1 hour, and append mode emits exactly the
     sessions whose end (< the watermark) — the oracle reproduces the
     sessions with the lag+cumsum construction and applies that same
-    emission predicate. (A session ending EXACTLY on the watermark is
-    a theoretical strict-vs-inclusive boundary; with microsecond
+    emission predicate, and splits sessions with >= on the 30-minute
+    gap to match session_window's strict-overlap merge (touching
+    windows do NOT merge). (A session ending EXACTLY on the watermark
+    is a theoretical strict-vs-inclusive boundary; with microsecond
     timestamps it has measure zero.)"""
     s = _read_event_stream(spark, sf_dir)
     agg = (
