@@ -59,6 +59,69 @@ def http_transport(base_url: str, timeout: float = 10.0) -> Transport:
     return transport
 
 
+def failover_transport(
+    transports: list[Transport],
+) -> Transport:
+    """Multi-endpoint failover — the reference's rotation policy
+    (src/core/worker.js:22-44 ``getRPC``/``rotateRPC``/``rpcGet``):
+    a STICKY per-process endpoint index; on failure, rotate to the next
+    endpoint and retry, up to one attempt per endpoint; a success keeps
+    subsequent requests on the endpoint that just worked. Raises after
+    every endpoint has failed for the request, exactly like rpcGet's
+    terminal throw.
+
+    Per-endpoint failure counters live on ``transport.state`` (the
+    reference's per-worker console accounting). State is per PROCESS —
+    each executor worker that unpickles the closure gets its own index
+    and counters, the distributed analog of one ``rpcIndex`` per worker
+    process."""
+    if not transports:
+        raise ValueError("failover_transport needs at least one endpoint")
+    state = {"idx": 0, "failures": [0] * len(transports)}
+
+    def transport(path: str) -> str:
+        n = len(transports)
+        attempts = 0
+        last_err: Exception | None = None
+        while attempts < n:
+            i = state["idx"] % n
+            try:
+                return transports[i](path)
+            except Exception as err:  # noqa: BLE001 — any endpoint error rotates
+                last_err = err
+                state["failures"][i] += 1
+                state["idx"] = (state["idx"] + 1) % n
+                attempts += 1
+        raise RuntimeError(
+            f"All {n} RPC endpoints failed for path: {path}"
+        ) from last_err
+
+    transport.state = state  # type: ignore[attr-defined]
+    return transport
+
+
+def resolve_sync_target(
+    transport: Transport, target_max_height: int | None = None
+) -> int:
+    """Sync-target resolution (orchestrator.js:58-71
+    ``getLatestBlockHeight``/``getSyncTargetHeight``): an explicit
+    TARGET_MAX_HEIGHT wins outright; otherwise the live chain tip from
+    ``/status`` → ``result.sync_info.latest_block_height``. Raises on a
+    non-numeric height, matching the reference's validation."""
+    if target_max_height:
+        return int(target_max_height)
+    doc = _json.loads(transport("/status"))
+    h = (doc.get("result") or {}).get("sync_info", {}).get(
+        "latest_block_height"
+    )
+    try:
+        return int(h)
+    except (TypeError, ValueError):
+        raise ValueError(
+            f"Invalid latest_block_height from RPC: {h!r}"
+        ) from None
+
+
 def synthetic_rpc_transport(sf_dir: str) -> Transport:
     """Deterministic offline Tendermint stand-in: serves
     ``/block_results?height=N`` (the full ``{"result": ...}`` envelope)
@@ -90,6 +153,15 @@ def synthetic_rpc_transport(sf_dir: str) -> Transport:
     def transport(req: str) -> str:
         import numpy as np
 
+        if req == "/status":
+            # Tendermint /status, reduced to the one field the
+            # orchestrator reads (orchestrator.js:61): the synthetic
+            # chain tip is the highest height the corpus contains
+            _, hs0 = _table()
+            tip = int(hs0[-1]) if len(hs0) else 0
+            return _json.dumps({
+                "result": {"sync_info": {"latest_block_height": str(tip)}}
+            })
         prefix = "/block_results?height="
         if not req.startswith(prefix):
             raise ValueError(f"unsupported RPC path: {req}")
