@@ -272,3 +272,151 @@ def sync_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_block",
         "state_height",
     )
+
+
+# --------------------------------------------------------------------------
+# 152. seed_subtract_overlaps (orchestrator.js seedWorkQueue/subtractOverlaps)
+# --------------------------------------------------------------------------
+SEED_CHUNK = 500  # ORCH_ASSIGN_RANGE analog
+
+
+@register(
+    "seed_subtract_overlaps",
+    oracle=f"""
+    WITH bounds AS (SELECT CAST(MAX(event_id) AS BIGINT) AS hi FROM events),
+    chunks AS (
+      SELECT CAST(g.i AS BIGINT) AS chunk_id,
+             CAST(1 + g.i * {SEED_CHUNK} AS BIGINT) AS cs,
+             CAST(LEAST((g.i + 1) * {SEED_CHUNK}, hi) AS BIGINT) AS ce
+      FROM bounds, generate_series(0, 1999) g(i)
+      WHERE 1 + g.i * {SEED_CHUNK} <= hi
+    ),
+    existing AS (
+      SELECT o_orderkey * 5 AS s,
+             o_orderkey * 5 + 4 + (o_custkey % 10) AS e
+      FROM orders WHERE o_orderstatus IN ('O', 'P')
+    ),
+    clipped AS (
+      SELECT c.chunk_id, c.cs, c.ce,
+             GREATEST(x.s, c.cs) AS os, LEAST(x.e, c.ce) AS oe
+      FROM chunks c JOIN existing x ON x.e >= c.cs AND x.s <= c.ce
+    ),
+    w AS (
+      SELECT chunk_id, cs, ce, os, oe,
+             MAX(oe) OVER (PARTITION BY chunk_id ORDER BY os, oe
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_end
+      FROM clipped
+    ),
+    gaps AS (
+      SELECT chunk_id,
+             GREATEST(cs, COALESCE(prev_end + 1, cs)) AS seg_s,
+             os - 1 AS seg_e
+      FROM w
+      WHERE os - 1 >= GREATEST(cs, COALESCE(prev_end + 1, cs))
+      UNION ALL
+      SELECT chunk_id, MAX(oe) + 1, MAX(ce)
+      FROM clipped GROUP BY chunk_id HAVING MAX(oe) + 1 <= MAX(ce)
+      UNION ALL
+      SELECT c.chunk_id, c.cs, c.ce FROM chunks c
+      WHERE NOT EXISTS (SELECT 1 FROM clipped x
+                        WHERE x.chunk_id = c.chunk_id)
+    )
+    SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(seg_s AS BIGINT) AS start_height,
+           CAST(seg_e AS BIGINT) AS end_height
+    FROM gaps
+    """,
+)
+def seed_subtract_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Queue seeding with overlap subtraction (orchestrator.js:574-636
+    ``seedWorkQueue``/``subtractOverlaps``): the seed span [1, tip] is
+    cut into ORCH_ASSIGN_RANGE chunks, and from each chunk every
+    existing pending/processing range is subtracted, leaving the
+    disjoint segments that actually get enqueued — the reference's
+    left/right-remainder loop, set-at-once.
+
+    Spark-first shape: the reference subtracts ranges one at a time in
+    a driver loop per chunk; here it's gaps-and-islands — clip each
+    existing range to the chunks it touches (sequence explode onto
+    chunk ids → equi-join against the broadcast chunk list), then per
+    chunk one running-MAX window (prev coverage end) turns the sorted
+    overlaps into their complement: a gap row before each overlap that
+    clears previous coverage, a tail segment per chunk, and untouched
+    chunks pass through whole via a broadcast anti-join. ONE shuffle
+    (the per-chunk window); candidate volume is O(ranges · chunks
+    touched) with short ranges touching ≤2 chunks — never a range×range
+    or chunk×range cross product."""
+    e = load(spark, sf_dir, "events")
+    bounds = e.agg(F.max("event_id").cast("long").alias("hi"))
+    chunks = (
+        bounds.select(
+            "hi",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.floor((F.col("hi") - 1) / SEED_CHUNK)
+                )
+            ).alias("chunk_id"),
+        )
+        .select(
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (1 + F.col("chunk_id") * SEED_CHUNK).cast("long").alias("cs"),
+            F.least(
+                (F.col("chunk_id") + 1) * SEED_CHUNK, F.col("hi")
+            ).cast("long").alias("ce"),
+        )
+    )
+    existing = _ranges(spark, sf_dir, "O").unionAll(
+        _ranges(spark, sf_dir, "P")
+    ).select("start_height", "end_height")
+    # explode each range onto the chunk ids it touches -> equi-join
+    spanned = existing.select(
+        "start_height",
+        "end_height",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("start_height") - 1) / SEED_CHUNK),
+                F.floor((F.col("end_height") - 1) / SEED_CHUNK),
+            )
+        ).alias("chunk_id"),
+    )
+    clipped = spanned.join(F.broadcast(chunks), "chunk_id").select(
+        "chunk_id", "cs", "ce",
+        F.greatest(F.col("start_height"), F.col("cs")).alias("os"),
+        F.least(F.col("end_height"), F.col("ce")).alias("oe"),
+    ).filter(F.col("os") <= F.col("oe"))
+    w = (
+        Window.partitionBy("chunk_id")
+        .orderBy("os", "oe")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_prev = clipped.withColumn("prev_end", F.max("oe").over(w))
+    seg_s = F.greatest(F.col("cs"), F.coalesce(F.col("prev_end") + 1, F.col("cs")))
+    gaps_before = with_prev.select(
+        "chunk_id",
+        seg_s.alias("start_height"),
+        (F.col("os") - 1).alias("end_height"),
+    ).filter(F.col("end_height") >= F.col("start_height"))
+    tails = (
+        clipped.groupBy("chunk_id")
+        .agg(
+            (F.max("oe") + 1).alias("start_height"),
+            F.max("ce").alias("end_height"),
+        )
+        .filter(F.col("start_height") <= F.col("end_height"))
+    )
+    untouched = chunks.join(
+        clipped.select("chunk_id").distinct(), "chunk_id", "left_anti"
+    ).select(
+        "chunk_id",
+        F.col("cs").alias("start_height"),
+        F.col("ce").alias("end_height"),
+    )
+    return (
+        gaps_before.unionAll(tails).unionAll(untouched)
+        .select(
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("start_height").cast("long").alias("start_height"),
+            F.col("end_height").cast("long").alias("end_height"),
+        )
+    )

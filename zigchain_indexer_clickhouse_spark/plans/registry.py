@@ -102,6 +102,7 @@ _EXPENSIVE = frozenset({
     "tfidf_top_terms", "semdedup", "embedding_near_dup", "tx_hash",
     "kmeans_lloyd", "contamination_fuzzy", "schema_evolution_read",
     "near_dup_clusters",
+    "tx_envelope_decode",  # two persisted stages + envelope assembly
 })
 
 
