@@ -385,35 +385,53 @@ def seed_subtract_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.col("start_height"), F.col("cs")).alias("os"),
         F.least(F.col("end_height"), F.col("ce")).alias("oe"),
     ).filter(F.col("os") <= F.col("oe"))
-    w = (
+    # ONE window pass emits both segment kinds: the three windows share
+    # the chunk_id partitioning, so Catalyst plans a single Exchange
+    # (and clipped has a single consumer — no triple recompute of the
+    # upstream scan+join)
+    w_prev = (
         Window.partitionBy("chunk_id")
         .orderBy("os", "oe")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    with_prev = clipped.withColumn("prev_end", F.max("oe").over(w))
-    seg_s = F.greatest(F.col("cs"), F.coalesce(F.col("prev_end") + 1, F.col("cs")))
-    gaps_before = with_prev.select(
-        "chunk_id",
-        seg_s.alias("start_height"),
-        (F.col("os") - 1).alias("end_height"),
-    ).filter(F.col("end_height") >= F.col("start_height"))
-    tails = (
-        clipped.groupBy("chunk_id")
-        .agg(
-            (F.max("oe") + 1).alias("start_height"),
-            F.max("ce").alias("end_height"),
-        )
-        .filter(F.col("start_height") <= F.col("end_height"))
+    w_all = Window.partitionBy("chunk_id")
+    w_last = Window.partitionBy("chunk_id").orderBy(
+        F.col("os").desc(), F.col("oe").desc()
     )
+    annotated = clipped.select(
+        "chunk_id", "cs", "ce", "os", "oe",
+        F.max("oe").over(w_prev).alias("prev_end"),
+        F.max("oe").over(w_all).alias("chunk_max_end"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    seg_s = F.greatest(F.col("cs"), F.coalesce(F.col("prev_end") + 1, F.col("cs")))
+    gap = F.when(
+        F.col("os") - 1 >= seg_s,
+        F.struct(seg_s.alias("s"), (F.col("os") - 1).alias("e")),
+    )
+    tail = F.when(
+        (F.col("rn_last") == 1) & (F.col("chunk_max_end") < F.col("ce")),
+        F.struct(
+            (F.col("chunk_max_end") + 1).alias("s"), F.col("ce").alias("e")
+        ),
+    )
+    covered_gaps = annotated.select(
+        "chunk_id",
+        F.explode(F.array_compact(F.array(gap, tail))).alias("seg"),
+    ).select("chunk_id", F.col("seg.s").alias("start_height"),
+             F.col("seg.e").alias("end_height"))
+    # chunks no existing range touches pass through whole; the probe
+    # side re-derives only the cheap scan+explode (no join), and the
+    # anti-join is broadcast
     untouched = chunks.join(
-        clipped.select("chunk_id").distinct(), "chunk_id", "left_anti"
+        spanned.select("chunk_id").distinct(), "chunk_id", "left_anti"
     ).select(
         "chunk_id",
         F.col("cs").alias("start_height"),
         F.col("ce").alias("end_height"),
     )
     return (
-        gaps_before.unionAll(tails).unionAll(untouched)
+        covered_gaps.unionAll(untouched)
         .select(
             F.col("chunk_id").cast("long").alias("chunk_id"),
             F.col("start_height").cast("long").alias("start_height"),
