@@ -402,3 +402,56 @@ def test_msg_execute_roundtrip_and_unknown_fallback(spark):
     assert r["u"] == "/zigchain.custom.v1.MsgCustom"
     assert r["send"] is None and r["exec"] is None
     assert r["raw"] == "opaque-payload"
+
+
+def test_tx_raw_roundtrip_property(spark):
+    """Property: for ANY deterministic corpus of message lists (0-6
+    messages, urls 1-160 bytes so both varint paths fire at Any AND
+    TxRaw level), the Spark-encoded TxRaw matches an independent
+    Python encoder byte-for-byte and splits back into exactly the
+    input messages. One batched Spark job over all cases."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        encode_any,
+        encode_tx_raw,
+        tx_body_messages,
+        tx_raw_body,
+    )
+
+    def ld(tag, b):
+        n = len(b)
+        if n < 128:
+            return bytes([tag, n]) + b
+        return bytes([tag, n % 128 + 128, n // 128]) + b
+
+    def py_any(url):
+        return ld(0x0A, url.encode())
+
+    def py_tx_raw(urls, auth=b"au"):
+        body = b"".join(ld(0x0A, py_any(u)) for u in urls)
+        return ld(0x0A, body) + ld(0x12, auth)
+
+    # deterministic corpus: message-count × url-length grid
+    cases = []
+    for n in range(7):
+        for base_len in (1, 5, 30, 120, 160):
+            urls = [
+                "/" + chr(ord("a") + i) * (base_len + i) for i in range(n)
+            ]
+            cases.append(urls)
+
+    df = spark.createDataFrame([(u,) for u in cases], "urls array<string>")
+    tx = encode_tx_raw(
+        F.transform(F.col("urls"), encode_any),
+        auth_info=F.lit("au").cast("binary"),
+    )
+    rows = df.select(
+        "urls",
+        tx.alias("wire"),
+        F.transform(
+            tx_body_messages(tx_raw_body(tx)), any_type_url
+        ).alias("decoded"),
+    ).collect()
+    assert len(rows) == len(cases)
+    for r in rows:
+        assert bytes(r["wire"]) == py_tx_raw(r["urls"]), r["urls"]
+        assert r["decoded"] == r["urls"]

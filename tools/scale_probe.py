@@ -49,6 +49,10 @@ QUERIES = [
     "msg_body_decode",        # pure-expression protobuf decode (scan-bound)
     "rpc_fetch_ingest",       # distributed fetch + parse
     "stream_event_counts",    # streaming drain (batch machinery + state)
+    # round-5 additions
+    "tx_envelope_decode",     # TxRaw fold decode (two persisted stages)
+    "msg_multi_decode",       # multi-type dispatch + fallback
+    "seed_subtract_overlaps", # interval subtraction, one window pass
 ]
 
 
