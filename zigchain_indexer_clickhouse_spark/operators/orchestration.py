@@ -438,3 +438,356 @@ def seed_subtract_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("end_height").cast("long").alias("end_height"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 153. gap_backfill_window (orchestrator.js:245-291 detectAndFillGaps)
+# --------------------------------------------------------------------------
+GAP_STRIPE = 65536  # heights per island-stripe (distributed gaps-and-islands)
+
+
+@register(
+    "gap_backfill_window",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT o_orderkey AS h FROM orders WHERE o_orderstatus <> 'O'
+    ),
+    bounds AS (SELECT CAST(MAX(o_orderkey) AS BIGINT) AS hmax FROM orders),
+    aug AS (
+      SELECT h FROM pres
+      UNION ALL SELECT CAST(-1 AS BIGINT)
+      UNION ALL SELECT hmax + 1 FROM bounds
+    ),
+    nxt AS (SELECT h AS p, LEAD(h) OVER (ORDER BY h) AS np FROM aug),
+    gap_ranges AS (
+      SELECT p + 1 AS s, np - 1 AS e FROM nxt WHERE np > p + 1
+    ),
+    caps AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN o_orderstatus IN ('O', 'P') THEN 1 ELSE 0 END)
+               AS queued
+      FROM orders
+    ),
+    win AS (
+      SELECT GREATEST(0, hmax - CAST(FLOOR(hmax / 2) AS BIGINT)) AS min_start
+      FROM bounds
+    )
+    SELECT CAST(g.s AS BIGINT) AS start_height,
+           CAST(g.e AS BIGINT) AS end_height
+    FROM gap_ranges g, caps c, win w
+    WHERE c.queued < 0.8 * c.total AND g.e >= w.min_start
+    """,
+)
+def gap_backfill_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detectAndFillGaps with its two admission gates
+    (orchestrator.js:245-291): contiguous missing-height ranges are
+    queued only when (a) the work queue is under 80% of capacity
+    (orchestrator.js:255-262 queueCount >= maxQueueItems*0.8 -> skip)
+    and (b) the range's end reaches into the backfill window,
+    end >= max(START_HEIGHT, max_height - BACKFILL_WINDOW)
+    (orchestrator.js:264-271; ranges entirely below the window wait for
+    an explicit backfill run). Capacity is modeled as the queue table
+    size and the window as half the chain, so both gates stay exercised
+    and deterministic at every SF.
+
+    Spark-first shape: missing ranges come from the PRESENT set, not
+    the expected series — each present height emits a gap iff its
+    successor is not adjacent, so island detection is one window over
+    present heights instead of an anti-join over the (mostly-missing)
+    dense domain. The window is partitioned by height stripe
+    (floor(h/65536)): in-stripe successors come from lead(), and each
+    stripe's last gap closes against the next non-empty stripe's first
+    height, carried by a tiny per-stripe summary (n_stripes rows)
+    broadcast back — no global single-partition sort at any scale. The
+    two gate scalars ride in as 1-row broadcast cross joins."""
+    o = load(spark, sf_dir, "orders")
+    pres = (
+        o.filter(F.col("o_orderstatus") != "O")
+        .select(F.col("o_orderkey").cast("long").alias("h"))
+        .distinct()
+    )
+    bounds = o.agg(F.max("o_orderkey").cast("long").alias("hmax"))
+    # sentinels: -1 opens the leading gap at 0; hmax+1 closes the tail
+    aug = pres.unionAll(
+        bounds.select(F.explode(F.array(F.lit(-1).cast("long"),
+                                        F.col("hmax") + 1)).alias("h"))
+    ).withColumn("stripe", F.floor((F.col("h") + 1) / GAP_STRIPE))
+    in_stripe = aug.withColumn(
+        "np",
+        F.lead("h").over(Window.partitionBy("stripe").orderBy("h")),
+    )
+    # stripe summary: first height per stripe -> next non-empty stripe's
+    # first height closes the previous stripe's dangling last gap
+    stripes = aug.groupBy("stripe").agg(F.min("h").alias("first_h"))
+    stripes = stripes.withColumn(
+        "next_first", F.lead("first_h").over(Window.orderBy("stripe"))
+    )
+    closed = in_stripe.join(F.broadcast(stripes.select("stripe", "next_first")),
+                            "stripe").select(
+        "h", F.coalesce("np", "next_first").alias("np")
+    )
+    gap_ranges = closed.filter(F.col("np") > F.col("h") + 1).select(
+        (F.col("h") + 1).alias("start_height"),
+        (F.col("np") - 1).alias("end_height"),
+    )
+    caps = o.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "P"), 1).otherwise(0))
+        .alias("queued"),
+    )
+    win = bounds.select(
+        F.greatest(F.lit(0).cast("long"),
+                   F.col("hmax") - F.floor(F.col("hmax") / 2).cast("long"))
+        .alias("min_start")
+    )
+    return _admit_gap_ranges(gap_ranges, caps, win)
+
+
+def _admit_gap_ranges(
+    gap_ranges: DataFrame, caps: DataFrame, win: DataFrame
+) -> DataFrame:
+    """Apply detectAndFillGaps' two admission gates to candidate gap
+    ranges: queue under 80% capacity (caps: 1 row, total/queued) and
+    range end inside the backfill window (win: 1 row, min_start)."""
+    return (
+        gap_ranges.crossJoin(F.broadcast(caps))
+        .crossJoin(F.broadcast(win))
+        .filter((F.col("queued") < 0.8 * F.col("total"))
+                & (F.col("end_height") >= F.col("min_start")))
+        .select(
+            F.col("start_height").cast("long").alias("start_height"),
+            F.col("end_height").cast("long").alias("end_height"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 154. queue_cleanup (orchestrator.js:296-345 cleanupOldWorkQueue)
+# --------------------------------------------------------------------------
+FAILED_CUTOFF = "1997-01-01"  # "one hour ago" analog, mid-span -> SF-stable
+
+
+@register(
+    "queue_cleanup",
+    oracle=f"""
+    WITH q AS (
+      SELECT o_orderkey AS id, o_orderstatus AS st, o_orderdate AS upd,
+             {_RANGE_SQL.replace('o_orderkey AS id, ', '')}
+      FROM orders
+    ),
+    requeued AS (
+      SELECT id,
+             CASE WHEN st = 'F' AND upd < DATE '{FAILED_CUTOFF}'
+                  THEN 'O' ELSE st END AS st,
+             start_height, end_height
+      FROM q
+    ),
+    bounds AS (SELECT MAX(end_height) AS max_h FROM q),
+    caps AS (
+      SELECT COUNT(*) AS total,
+             SUM(CASE WHEN st IN ('O', 'P') THEN 1 ELSE 0 END) AS queued
+      FROM requeued
+    ),
+    survivors AS (
+      SELECT r.* FROM requeued r, bounds b, caps c
+      WHERE NOT (c.queued > 0.10 * c.total
+                 AND r.st = 'O'
+                 AND r.end_height < b.max_h
+                                    - CAST(FLOOR(b.max_h / 2) AS BIGINT))
+    )
+    SELECT st AS status, COUNT(*) AS n_items,
+           CAST(MIN(start_height) AS BIGINT) AS min_start,
+           CAST(MAX(end_height) AS BIGINT) AS max_end
+    FROM survivors GROUP BY st
+    """,
+)
+def queue_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cleanupOldWorkQueue, set-at-once (orchestrator.js:296-345): old
+    failed items (updated before the cutoff — the reference's "one hour
+    ago") are deleted from 'failed' and re-queued as 'pending' in one
+    status transition (the SELECT -> ALTER DELETE -> re-insert loop at
+    orchestrator.js:299-322), then, when the queue is over capacity,
+    pending items that fell entirely below the backfill window
+    (end_height < max_height - BACKFILL_WINDOW) are dropped
+    (orchestrator.js:325-341). Returns the post-cleanup queue summary
+    per status. The capacity and window constants are modeled relative
+    to the queue/chain size (10% cap -> the drop branch is exercised,
+    window = half the chain) so the result is deterministic at every SF.
+
+    Spark-first shape: both transitions are column expressions over one
+    queue scan — the failed->pending requeue is a CASE projection, the
+    over-capacity drop is a filter against two 1-row broadcast scalars
+    (bounds, caps); one final map-side-combinable agg on status. No
+    per-row driver loop (the reference re-inserts row by row)."""
+    q = _ranges(spark, sf_dir, "O").withColumn("st", F.lit("O")).unionAll(
+        _ranges(spark, sf_dir, "P").withColumn("st", F.lit("P"))
+    ).unionAll(_ranges(spark, sf_dir, "F").withColumn("st", F.lit("F")))
+    requeued = q.select(
+        "start_height", "end_height",
+        F.when(
+            (F.col("st") == "F")
+            & (F.col("updated_at") < F.lit(FAILED_CUTOFF).cast("date")),
+            "O",
+        ).otherwise(F.col("st")).alias("st"),
+    )
+    bounds = q.agg(F.max("end_height").alias("max_h"))
+    caps = requeued.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("st").isin("O", "P"), 1).otherwise(0))
+        .alias("queued"),
+    )
+    survivors = (
+        requeued.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(caps))
+        .filter(
+            ~(
+                (F.col("queued") > 0.10 * F.col("total"))
+                & (F.col("st") == "O")
+                & (F.col("end_height")
+                   < F.col("max_h") - F.floor(F.col("max_h") / 2).cast("long"))
+            )
+        )
+    )
+    return survivors.groupBy(F.col("st").alias("status")).agg(
+        F.count("*").alias("n_items"),
+        F.min("start_height").cast("long").alias("min_start"),
+        F.max("end_height").cast("long").alias("max_end"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 155. orchestrator_tick (orchestrator.js:443-505 mainLoop)
+# --------------------------------------------------------------------------
+ASSIGN_RANGE = 1000  # ORCH_ASSIGN_RANGE default (orchestrator.js:491)
+NUM_WORKERS = 5  # NUM_WORKERS default (orchestrator.js:492)
+TIP_LEAD = 5000  # modeled chain tip: indexer trails the chain by this
+TARGET_LEAD = 2000  # modeled TARGET_MAX_HEIGHT: tip clamp below the lead
+
+
+@register(
+    "orchestrator_tick",
+    oracle=f"""
+    WITH counts AS (
+      SELECT SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS pending,
+             SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS processing,
+             COUNT(*) AS cap
+      FROM orders
+    ),
+    heights AS (
+      SELECT CAST(GREATEST(
+               COALESCE(MAX(CASE WHEN event_type = 'click'
+                                 THEN event_id END), 0),
+               COALESCE(MAX(event_id), 0)) AS BIGINT) AS last_indexed,
+             CAST(COALESCE(MAX(event_id), 0) AS BIGINT) AS max_block
+      FROM events
+    ),
+    tick AS (
+      SELECT CAST(c.pending AS BIGINT) AS pending,
+             CAST(c.processing AS BIGINT) AS processing,
+             CAST(FLOOR(c.cap * 2 * 0.8) AS BIGINT) AS capacity_threshold,
+             h.last_indexed,
+             LEAST(h.max_block + {TIP_LEAD},
+                   h.max_block + {TARGET_LEAD}) AS sync_target,
+             h.max_block,
+             c.pending + c.processing AS total
+      FROM counts c, heights h
+    ),
+    decided AS (
+      SELECT *,
+             CASE WHEN total = 0 AND max_block >= sync_target THEN 'finalize'
+                  WHEN total = 0 AND processing > 0 THEN 'reconcile'
+                  WHEN total < capacity_threshold
+                       AND last_indexed < sync_target THEN 'seed'
+                  ELSE 'idle' END AS decision
+      FROM tick
+    )
+    SELECT pending, processing, capacity_threshold, last_indexed,
+           sync_target, decision,
+           CASE WHEN decision = 'seed'
+                THEN last_indexed + 1 END AS seed_start,
+           CASE WHEN decision = 'seed'
+                THEN LEAST(last_indexed + {ASSIGN_RANGE} * {NUM_WORKERS},
+                           sync_target) END AS seed_end
+    FROM decided
+    """,
+)
+def orchestrator_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One main-loop decision tick (orchestrator.js:443-505): resolve
+    queue load (pending+processing vs the 80%-of-MAX_QUEUE_ITEMS
+    capacity threshold, orchestrator.js:453-462), sync progress
+    (getLastIndexedHeight's GREATEST(state, max block)) and the clamped
+    sync target (getSyncTargetHeight = LEAST(chain tip,
+    TARGET_MAX_HEIGHT), orchestrator.js:68-76), then emit the branch
+    the loop would take: 'finalize' (target reached, queue drained,
+    orchestrator.js:465-471), 'reconcile' (lingering processing rows
+    with no workers, :474-476), 'seed' with the window
+    [last_indexed+1, min(last+ASSIGN_RANGE*NUM_WORKERS, target)]
+    (:486-495), else 'idle'. Chain tip and TARGET_MAX_HEIGHT are
+    modeled as fixed leads over the indexed tip; capacity as 2x the
+    queue table -> the tick lands on 'seed' deterministically at every
+    SF while every branch predicate stays live (unit-covered with
+    injected scalars).
+
+    Scale: the whole tick is two map-side-combinable single-row
+    aggregates (queue counts, height resolve) joined by one 1-row
+    cross join — the policy runs as a query, no driver round-trips."""
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+    counts = o.agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .alias("pending"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+        .alias("processing"),
+        F.count("*").alias("cap"),
+    )
+    heights = e.agg(
+        F.greatest(
+            F.coalesce(
+                F.max(F.when(F.col("event_type") == "click",
+                             F.col("event_id"))), F.lit(0)),
+            F.coalesce(F.max("event_id"), F.lit(0)),
+        ).cast("long").alias("last_indexed"),
+        F.coalesce(F.max("event_id"), F.lit(0)).cast("long")
+        .alias("max_block"),
+    )
+    tick = counts.crossJoin(F.broadcast(heights)).select(
+        F.col("pending").cast("long").alias("pending"),
+        F.col("processing").cast("long").alias("processing"),
+        F.floor(F.col("cap") * 2 * 0.8).cast("long")
+        .alias("capacity_threshold"),
+        "last_indexed",
+        F.least(F.col("max_block") + TIP_LEAD,
+                F.col("max_block") + TARGET_LEAD).alias("sync_target"),
+        "max_block",
+        (F.col("pending") + F.col("processing")).cast("long").alias("total"),
+    )
+    return _tick_decision(tick)
+
+
+def _tick_decision(tick: DataFrame) -> DataFrame:
+    """mainLoop's branch resolution over a 1-row tick state (columns:
+    pending, processing, capacity_threshold, last_indexed, sync_target,
+    max_block, total) — factored out so every branch is unit-testable
+    with injected scalars."""
+    seeding = (F.col("total") < F.col("capacity_threshold")) & (
+        F.col("last_indexed") < F.col("sync_target")
+    )
+    decided = tick.withColumn(
+        "decision",
+        F.when((F.col("total") == 0)
+               & (F.col("max_block") >= F.col("sync_target")), "finalize")
+        .when((F.col("total") == 0) & (F.col("processing") > 0), "reconcile")
+        .when(seeding, "seed")
+        .otherwise("idle"),
+    )
+    seeds = F.col("decision") == "seed"
+    return decided.select(
+        "pending", "processing", "capacity_threshold", "last_indexed",
+        "sync_target", "decision",
+        F.when(seeds, F.col("last_indexed") + 1).alias("seed_start"),
+        F.when(
+            seeds,
+            F.least(F.col("last_indexed") + ASSIGN_RANGE * NUM_WORKERS,
+                    F.col("sync_target")),
+        ).alias("seed_end"),
+    )
