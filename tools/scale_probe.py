@@ -53,6 +53,7 @@ QUERIES = [
     "tx_envelope_decode",     # TxRaw fold decode (two persisted stages)
     "msg_multi_decode",       # multi-type dispatch + fallback
     "seed_subtract_overlaps", # interval subtraction, one window pass
+    "gap_backfill_window",    # stripe-windowed islands + gate scalars
 ]
 
 
