@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from zigchain_indexer_clickhouse_spark.operators.orchestration import (
     FAILED_CUTOFF,
     _admit_gap_ranges,
+    _missing_islands,
     _tick_decision,
     gap_backfill_window,
     queue_cleanup,
@@ -63,6 +64,49 @@ def test_gap_ranges_disjoint_and_windowed(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert a.end_height < b.start_height, "ranges must be disjoint"
     assert all(r.start_height <= r.end_height for r in rows)
+
+
+def _brute_islands(present: set[int], hmax: int) -> list[tuple[int, int]]:
+    out, s = [], None
+    for h in range(hmax + 1):
+        if h not in present and s is None:
+            s = h
+        elif h in present and s is not None:
+            out.append((s, h - 1))
+            s = None
+    if s is not None:
+        out.append((s, hmax))
+    return out
+
+
+def test_missing_islands_across_stripe_boundaries(spark):
+    """The stripe-stitch path (a gap spanning one or more stripe
+    boundaries closes against the NEXT non-empty stripe's first
+    height) never fires at sf scale — one 65536-stripe holds the whole
+    key domain — so force stripe=8 over adversarial present sets:
+    gaps inside a stripe, across one boundary, across several empty
+    stripes, at 0, and at the tail."""
+    cases = [
+        set(),  # everything missing -> one [0, hmax] island
+        {0},  # leading present, all-tail gap
+        {5, 6, 7, 8, 9},  # island straddles the 7|8 stripe boundary
+        {0, 31},  # gap spans three interior stripes
+        {7, 8},  # adjacent pair exactly at a boundary
+        {0, 1, 2, 15, 16, 30, 31},  # mixed
+        set(range(32)),  # nothing missing
+        {3, 11, 19, 27},  # one present per stripe
+    ]
+    hmax = 31
+    for present in cases:
+        pres = spark.createDataFrame(
+            [(h,) for h in sorted(present)], "h: long"
+        )
+        bounds = spark.range(1).select(F.lit(hmax).cast("long").alias("hmax"))
+        got = sorted(
+            (r.start_height, r.end_height)
+            for r in _missing_islands(pres, bounds, stripe=8).collect()
+        )
+        assert got == _brute_islands(present, hmax), f"present={present}"
 
 
 # --- mainLoop branch resolution (orchestrator.js:443-505) ------------------

@@ -507,11 +507,36 @@ def gap_backfill_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     bounds = o.agg(F.max("o_orderkey").cast("long").alias("hmax"))
+    gap_ranges = _missing_islands(pres, bounds)
+    caps = o.agg(
+        F.count("*").alias("total"),
+        F.sum(F.when(F.col("o_orderstatus").isin("O", "P"), 1).otherwise(0))
+        .alias("queued"),
+    )
+    win = bounds.select(
+        F.greatest(F.lit(0).cast("long"),
+                   F.col("hmax") - F.floor(F.col("hmax") / 2).cast("long"))
+        .alias("min_start")
+    )
+    return _admit_gap_ranges(gap_ranges, caps, win)
+
+
+def _missing_islands(
+    pres: DataFrame, bounds: DataFrame, stripe: int = GAP_STRIPE
+) -> DataFrame:
+    """Contiguous missing-height ranges over [0, hmax] from the PRESENT
+    set (pres: column h; bounds: 1 row, hmax): each present height
+    opens a gap iff its successor is not adjacent. The successor window
+    is partitioned by height stripe so no global sort exists at any
+    scale; each stripe's last element closes against the next non-empty
+    stripe's first height via a broadcast n_stripes-row summary.
+    `stripe` is injectable so tests can force multi-stripe layouts the
+    sf data never produces."""
     # sentinels: -1 opens the leading gap at 0; hmax+1 closes the tail
     aug = pres.unionAll(
         bounds.select(F.explode(F.array(F.lit(-1).cast("long"),
                                         F.col("hmax") + 1)).alias("h"))
-    ).withColumn("stripe", F.floor((F.col("h") + 1) / GAP_STRIPE))
+    ).withColumn("stripe", F.floor((F.col("h") + 1) / stripe))
     in_stripe = aug.withColumn(
         "np",
         F.lead("h").over(Window.partitionBy("stripe").orderBy("h")),
@@ -526,21 +551,10 @@ def gap_backfill_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "stripe").select(
         "h", F.coalesce("np", "next_first").alias("np")
     )
-    gap_ranges = closed.filter(F.col("np") > F.col("h") + 1).select(
+    return closed.filter(F.col("np") > F.col("h") + 1).select(
         (F.col("h") + 1).alias("start_height"),
         (F.col("np") - 1).alias("end_height"),
     )
-    caps = o.agg(
-        F.count("*").alias("total"),
-        F.sum(F.when(F.col("o_orderstatus").isin("O", "P"), 1).otherwise(0))
-        .alias("queued"),
-    )
-    win = bounds.select(
-        F.greatest(F.lit(0).cast("long"),
-                   F.col("hmax") - F.floor(F.col("hmax") / 2).cast("long"))
-        .alias("min_start")
-    )
-    return _admit_gap_ranges(gap_ranges, caps, win)
 
 
 def _admit_gap_ranges(
