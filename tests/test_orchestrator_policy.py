@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 
 from zigchain_indexer_clickhouse_spark.operators.orchestration import (
     FAILED_CUTOFF,
+    SEED_CHUNK,
     _admit_gap_ranges,
     _missing_islands,
+    _subtract_ranges,
     _tick_decision,
     gap_backfill_window,
     queue_cleanup,
@@ -156,6 +158,83 @@ def test_tick_idle_when_synced(spark):
     assert row.decision == "idle"
 
 
+# --- seedWorkQueue subtraction edge states (orchestrator.js:574-636) -------
+
+
+def _chunks_df(spark, hi):
+    rows = []
+    c = 0
+    while 1 + c * SEED_CHUNK <= hi:
+        rows.append((c, 1 + c * SEED_CHUNK, min((c + 1) * SEED_CHUNK, hi)))
+        c += 1
+    return spark.createDataFrame(rows, "chunk_id: long, cs: long, ce: long")
+
+
+def _brute_subtract(hi, ranges):
+    covered = set()
+    for s, e in ranges:
+        covered.update(range(s, e + 1))
+    out = []
+    c = 0
+    while 1 + c * SEED_CHUNK <= hi:
+        cs, ce = 1 + c * SEED_CHUNK, min((c + 1) * SEED_CHUNK, hi)
+        seg = None
+        for h in range(cs, ce + 1):
+            if h not in covered and seg is None:
+                seg = h
+            elif h in covered and seg is not None:
+                out.append((c, seg, h - 1))
+                seg = None
+        if seg is not None:
+            out.append((c, seg, ce))
+        c += 1
+    return sorted(out)
+
+
+def test_subtract_range_beyond_tip_keeps_clamped_chunk(spark):
+    """A pending range whose nominal chunk arithmetic lands on the
+    tip-clamped LAST chunk but whose span starts beyond the tip must
+    not mark that chunk as touched — the whole clamped chunk is still
+    unseeded and must be emitted (regression: the untouched anti-join
+    probed pre-clip candidates and swallowed it)."""
+    hi = 1234  # chunks [1,500] [501,1000] [1001,1234 (clamped from 1500)]
+    got = sorted(
+        (r.chunk_id, r.start_height, r.end_height)
+        for r in _subtract_ranges(
+            _chunks_df(spark, hi),
+            spark.createDataFrame(
+                [(1300, 1310)], "start_height: long, end_height: long"
+            ),
+        ).collect()
+    )
+    assert got == [(0, 1, 500), (1, 501, 1000), (2, 1001, 1234)]
+
+
+def test_subtract_ranges_matches_brute_force(spark):
+    cases = [
+        [],  # nothing queued -> every chunk whole
+        [(1, 1234)],  # everything covered -> empty
+        [(250, 750)],  # one range across a chunk boundary
+        [(1, 100), (200, 300), (450, 520), (999, 1101), (1200, 1234)],
+        [(100, 200), (150, 250)],  # overlapping existing ranges
+        [(500, 501), (1000, 1001)],  # boundary-adjacent pairs
+        [(1230, 1500)],  # tail range overhanging the tip
+    ]
+    hi = 1234
+    for ranges in cases:
+        got = sorted(
+            (r.chunk_id, r.start_height, r.end_height)
+            for r in _subtract_ranges(
+                _chunks_df(spark, hi),
+                spark.createDataFrame(
+                    [(s, e) for s, e in ranges],
+                    "start_height: long, end_height: long",
+                ),
+            ).collect()
+        )
+        assert got == _brute_subtract(hi, ranges), f"ranges={ranges}"
+
+
 # --- cleanupOldWorkQueue transitions (orchestrator.js:296-345) -------------
 
 
@@ -177,10 +256,29 @@ def test_queue_cleanup_requeues_and_drops(spark, sf_dir):
         f"SELECT COUNT(*) FROM {orders} WHERE o_orderstatus='P'"
     )
     # over-capacity drop removed the below-window pending tail: the
-    # surviving pending set starts at/above the window floor
+    # surviving pending count must EXACTLY equal the post-requeue
+    # pending rows whose range end clears the window floor (an exact
+    # count, so a silently disabled drop filter fails this — the
+    # below-window tail would survive and inflate it)
     max_end = n(
         f"SELECT MAX(o_orderkey*5 + 4 + (o_custkey%10)) FROM {orders}"
     )
     min_allowed = max_end - max_end // 2
-    assert out["O"].max_end >= min_allowed
+    expected_pending = n(
+        f"""SELECT COUNT(*) FROM {orders}
+        WHERE (o_orderstatus = 'O'
+               OR (o_orderstatus = 'F'
+                   AND o_orderdate < DATE '{FAILED_CUTOFF}'))
+          AND o_orderkey*5 + 4 + (o_custkey%10) >= {min_allowed}"""
+    )
+    dropped = n(
+        f"""SELECT COUNT(*) FROM {orders}
+        WHERE (o_orderstatus = 'O'
+               OR (o_orderstatus = 'F'
+                   AND o_orderdate < DATE '{FAILED_CUTOFF}'))
+          AND o_orderkey*5 + 4 + (o_custkey%10) < {min_allowed}"""
+    )
+    assert dropped > 0, "sf data must exercise the drop branch"
+    assert out["O"].n_items == expected_pending
+    assert out["O"].min_start >= 0
     con.close()

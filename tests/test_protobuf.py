@@ -455,3 +455,76 @@ def test_tx_raw_roundtrip_property(spark):
     for r in rows:
         assert bytes(r["wire"]) == py_tx_raw(r["urls"]), r["urls"]
         assert r["decoded"] == r["urls"]
+
+
+def test_decoders_fail_closed_on_truncated_frames(spark):
+    """Every walker must return NULL — never a silently shortened
+    slice — when a frame is cut mid-payload: the declared varint
+    length overruns the available bytes (the 'fails closed, never
+    mis-slices' contract, now enforced against truncation too).
+    Wire bytes are materialized FIRST and decoded as bound literals —
+    composing decode(encode(...)) in one tree is the documented
+    codegen-blowup mode."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        any_value,
+        encode_any_msg,
+        encode_msg_execute,
+        encode_msg_send,
+        encode_tx_raw,
+        msg_execute_fields,
+        msg_send_fields,
+        tx_body_messages,
+        tx_raw_body,
+    )
+
+    wire = spark.range(1).select(
+        encode_msg_send(
+            F.lit("zig1from"), F.lit("zig1to"), F.lit("uzig"), F.lit("123456")
+        ).alias("send"),
+        encode_any(F.lit("/a.VeryLongMsgName")).alias("anyurl"),
+        encode_msg_execute(
+            F.lit("zig1s"), F.lit("zig1w"),
+            F.lit('{"transfer":{"amount":"7"}}'),
+        ).alias("exc"),
+    ).collect()[0]
+    blob = spark.range(1).select(
+        encode_any_msg(
+            F.lit("/cosmos.bank.v1beta1.MsgSend"),
+            F.lit(bytes(wire.send)),
+        ).alias("blob")
+    ).collect()[0].blob
+    tx = spark.range(1).select(
+        encode_tx_raw(
+            F.array(F.lit(bytes(blob))),
+            auth_info=F.lit("auth").cast("binary"),
+        ).alias("tx")
+    ).collect()[0].tx
+    body = spark.range(1).select(
+        tx_raw_body(F.lit(bytes(tx))).alias("b")
+    ).collect()[0].b
+
+    cut = lambda b: F.lit(bytes(b)[:-1])  # noqa: E731 — drop last byte
+    row = spark.range(1).select(
+        any_type_url(cut(wire.anyurl)).alias("u"),
+        any_value(cut(blob)).alias("v"),
+        tx_raw_body(F.lit(bytes(tx)[:12])).alias("b"),
+        tx_body_messages(cut(body)).alias("m"),
+        msg_send_fields(cut(wire.send)).alias("s"),
+        msg_execute_fields(cut(wire.exc)).alias("e"),
+    ).collect()[0]
+    assert row.u is None
+    assert row.v is None
+    assert row.b is None
+    assert row.m is None
+    assert row.s is None
+    assert row.e is None
+
+    # and the untruncated bytes still decode (guards are not lossy)
+    ok = spark.range(1).select(
+        any_value(F.lit(bytes(blob))).alias("v"),
+        tx_body_messages(F.lit(bytes(body))).alias("m"),
+        msg_send_fields(F.lit(bytes(wire.send))).alias("s"),
+        msg_execute_fields(F.lit(bytes(wire.exc))).alias("e"),
+    ).collect()[0]
+    assert ok.v is not None and len(ok.m) == 1
+    assert ok.s.amount == "123456" and ok.e.sender == "zig1s"

@@ -53,7 +53,10 @@ def any_type_url(blob: Column) -> Column:
     length = F.when(one_byte, b0).otherwise((b0 - 128) + b1 * 128)
     start = F.when(one_byte, F.lit(5)).otherwise(F.lit(7))
     url_hex = F.substring(h, start, length * 2)
-    valid = tag_ok & (one_byte | (b1 < 128))
+    # declared length must fit inside the blob: a truncated frame fails
+    # closed to NULL instead of returning a silently shortened url
+    fits = start + length * 2 - 1 <= F.length(h)
+    valid = tag_ok & (one_byte | (b1 < 128)) & fits
     return F.when(valid, F.decode(F.unhex(url_hex), "UTF-8")).otherwise(
         F.lit(None).cast("string")
     )
@@ -138,9 +141,12 @@ def any_value(blob: Column) -> Column:
     l2 = F.when(one2, c0).otherwise((c0 - 128) + c1 * 128)
     vstart = p2 + F.when(one2, F.lit(4)).otherwise(F.lit(6))
     # continuation-bit guards: a length needing a 3+-byte varint
-    # (>= 16 KiB) fails closed to NULL instead of mis-slicing
+    # (>= 16 KiB) fails closed to NULL instead of mis-slicing; the
+    # declared value length must also fit inside the blob (truncated
+    # frames fail closed, never return a shortened value)
     valid = (
         tag_ok & tag2_ok & (one | (b1 < 128)) & (one2 | (c1 < 128))
+        & (vstart + l2 * 2 - 1 <= F.length(h))
     )
     return F.when(
         valid, F.unhex(F.substr(h, vstart, l2 * 2))
@@ -190,7 +196,11 @@ def tx_raw_body(blob: Column) -> Column:
     one = b0 < 128
     ln = F.when(one, b0).otherwise((b0 - 128) + b1 * 128)
     start = F.when(one, F.lit(5)).otherwise(F.lit(7))
-    valid = tag_ok & (one | (b1 < 128))
+    # the declared body length must fit inside the blob — a frame cut
+    # mid-body fails closed instead of yielding a truncated TxBody
+    valid = (
+        tag_ok & (one | (b1 < 128)) & (start + ln * 2 - 1 <= F.length(h))
+    )
     return F.when(valid, F.unhex(F.substr(h, start, ln * 2))).otherwise(
         F.lit(None).cast("binary")
     )
@@ -226,9 +236,11 @@ def tx_body_messages(body: Column, max_msgs: int = 16) -> Column:
         b0 = _byte_at(h, pos + 2)
         b1 = _byte_at(h, pos + 4)
         one = b0 < 128
-        bad = ~one & (b1 >= 128)
         ln = F.when(one, b0).otherwise((b0 - 128) + b1 * 128)
         hdr = F.when(one, F.lit(4)).otherwise(F.lit(6))
+        # malformed: 3+-byte varint, or a declared length overrunning
+        # the body (truncated final message) — both fail the whole scan
+        bad = (~one & (b1 >= 128)) | (pos + hdr + ln * 2 - 1 > n)
         msg_hex = F.substr(h, pos + hdr, ln * 2)
         return F.when(
             ~at_msg, acc  # past end or at a non-message field: halt
@@ -311,7 +323,13 @@ def msg_send_fields(blob: Column) -> Column:
     # explicit 1-byte-varint guards: a continuation bit in any length
     # byte fails the decode outright instead of shifting the scan
     short = (l1 < 128) & (l2 < 128) & (l3 < 128) & (ld < 128) & (la < 128)
-    return F.when(ok1 & ok2 & ok3 & okc1 & okc2 & short, st).otherwise(
+    # the declared coin/amount lengths must land exactly on their
+    # containers' ends (MsgSend's coin is its last field, the amount the
+    # coin's) — a body cut mid-amount fails closed, never a short read
+    exact = (p3 + 4 + l3 * 2 - 1 == F.length(h)) & (
+        pc + 4 + la * 2 - 1 == F.length(coin)
+    )
+    return F.when(ok1 & ok2 & ok3 & okc1 & okc2 & short & exact, st).otherwise(
         F.lit(None).cast(_MSG_SEND_STRUCT)
     )
 
@@ -362,6 +380,9 @@ def msg_execute_fields(blob: Column) -> Column:
         msg_json.alias("msg_json"),
     )
     short = (l1 < 128) & (l2 < 128) & (l3 < 128)
-    return F.when(ok1 & ok2 & ok3 & short, st).otherwise(
+    # msg (field 3) is the last field: its declared length must land
+    # exactly on the body's end — a truncated payload fails closed
+    exact = p3 + 4 + l3 * 2 - 1 == F.length(h)
+    return F.when(ok1 & ok2 & ok3 & short & exact, st).otherwise(
         F.lit(None).cast(_MSG_EXECUTE_STRUCT)
     )

@@ -40,6 +40,24 @@ def _ranges(spark: SparkSession, sf_dir: str, status: str) -> DataFrame:
     )
 
 
+def _ranges_all(
+    spark: SparkSession, sf_dir: str, statuses: list[str]
+) -> DataFrame:
+    """Multi-status work ranges with the status projected as a column —
+    ONE scan of the queue table where composing per-status `_ranges`
+    calls would issue one filtered scan per status plus a union."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin(*statuses)
+    )
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") * 5).alias("start_height"),
+        (F.col("o_orderkey") * 5 + 4 + F.col("o_custkey") % 10).alias("end_height"),
+        F.col("o_orderdate").alias("updated_at"),
+        F.col("o_orderstatus").alias("st"),
+    )
+
+
 def _present(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Indexed heights: the dense event_id prefix — models a chain
     indexed up to a height, with ranges beyond it incomplete."""
@@ -288,7 +306,7 @@ SEED_CHUNK = 500  # ORCH_ASSIGN_RANGE analog
       SELECT CAST(g.i AS BIGINT) AS chunk_id,
              CAST(1 + g.i * {SEED_CHUNK} AS BIGINT) AS cs,
              CAST(LEAST((g.i + 1) * {SEED_CHUNK}, hi) AS BIGINT) AS ce
-      FROM bounds, generate_series(0, 1999) g(i)
+      FROM bounds, generate_series(0, 199999) g(i)
       WHERE 1 + g.i * {SEED_CHUNK} <= hi
     ),
     existing AS (
@@ -366,9 +384,18 @@ def seed_subtract_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("ce"),
         )
     )
-    existing = _ranges(spark, sf_dir, "O").unionAll(
-        _ranges(spark, sf_dir, "P")
-    ).select("start_height", "end_height")
+    existing = _ranges_all(spark, sf_dir, ["O", "P"]).select(
+        "start_height", "end_height"
+    )
+    return _subtract_ranges(chunks, existing)
+
+
+def _subtract_ranges(chunks: DataFrame, existing: DataFrame) -> DataFrame:
+    """Subtract every existing range from each seed chunk, emitting the
+    disjoint complement segments (chunks: chunk_id/cs/ce with the last
+    ce tip-clamped; existing: start_height/end_height). Factored out so
+    edge states the sf data never produces (a range landing on the
+    clamped last chunk but starting beyond the tip) are testable."""
     # explode each range onto the chunk ids it touches -> equi-join
     spanned = existing.select(
         "start_height",
@@ -420,11 +447,14 @@ def seed_subtract_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_compact(F.array(gap, tail))).alias("seg"),
     ).select("chunk_id", F.col("seg.s").alias("start_height"),
              F.col("seg.e").alias("end_height"))
-    # chunks no existing range touches pass through whole; the probe
-    # side re-derives only the cheap scan+explode (no join), and the
-    # anti-join is broadcast
+    # chunks no existing range OVERLAPS pass through whole. The probe
+    # must be the post-clip candidate set, not `spanned`: a range whose
+    # nominal chunk arithmetic lands on the tip-clamped last chunk but
+    # whose span starts beyond the tip (os > oe, dropped from clipped)
+    # would otherwise mark that chunk touched and swallow its seed
+    # segment entirely
     untouched = chunks.join(
-        spanned.select("chunk_id").distinct(), "chunk_id", "left_anti"
+        clipped.select("chunk_id").distinct(), "chunk_id", "left_anti"
     ).select(
         "chunk_id",
         F.col("cs").alias("start_height"),
@@ -633,9 +663,7 @@ def queue_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     over-capacity drop is a filter against two 1-row broadcast scalars
     (bounds, caps); one final map-side-combinable agg on status. No
     per-row driver loop (the reference re-inserts row by row)."""
-    q = _ranges(spark, sf_dir, "O").withColumn("st", F.lit("O")).unionAll(
-        _ranges(spark, sf_dir, "P").withColumn("st", F.lit("P"))
-    ).unionAll(_ranges(spark, sf_dir, "F").withColumn("st", F.lit("F")))
+    q = _ranges_all(spark, sf_dir, ["O", "P", "F"])
     requeued = q.select(
         "start_height", "end_height",
         F.when(
@@ -754,6 +782,13 @@ def orchestrator_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("processing"),
         F.count("*").alias("cap"),
     )
+    # the GREATEST resolve mirrors getLastIndexedHeight's formula over
+    # the two reference sources (index_state height vs max block). In
+    # this data model the "state" arm is a filtered subset of the same
+    # column, so max_block always wins here — the formula (and its
+    # oracle twin) is kept literal anyway so the policy matches the
+    # reference line-for-line; sync_progress (#26e) models the same
+    # resolve and documents the same caveat.
     heights = e.agg(
         F.greatest(
             F.coalesce(

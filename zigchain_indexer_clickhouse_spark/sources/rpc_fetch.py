@@ -107,7 +107,13 @@ def resolve_sync_target(
     ``getLatestBlockHeight``/``getSyncTargetHeight``): an explicit
     TARGET_MAX_HEIGHT wins outright; otherwise the live chain tip from
     ``/status`` → ``result.sync_info.latest_block_height``. Raises on a
-    non-numeric height, matching the reference's validation."""
+    non-numeric height, matching the reference's validation.
+
+    A target of 0 (or None) means UNSET and falls through to the live
+    tip — deliberately matching the reference's falsy env parse
+    (orchestrator.js:25-28 ``parseInt(process.env.TARGET_MAX_HEIGHT)``
+    guarded by a truthiness check), where ``TARGET_MAX_HEIGHT=0`` is
+    indistinguishable from unset."""
     if target_max_height:
         return int(target_max_height)
     doc = _json.loads(transport("/status"))
