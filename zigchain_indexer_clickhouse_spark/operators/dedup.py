@@ -679,17 +679,141 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def propagate_components(
     base: DataFrame, nodes: DataFrame | None = None
 ) -> DataFrame:
-    """Min-label propagation over an undirected edge set ``base``
-    (columns a, b) → (n, label) component labels. ``nodes`` optionally
-    adds isolated vertices (they keep their own id as label —
-    singleton clusters). Shared by dedup_clusters (#94, synthetic
-    edges) and near_dup_clusters (#145, real MinHash pairs).
+    """Connected components over an undirected edge set ``base``
+    (columns a, b) → (n, label) where label = the component's min node
+    id. ``nodes`` optionally adds isolated vertices (they keep their
+    own id as label — singleton clusters). Shared by dedup_clusters
+    (#94, synthetic edges) and near_dup_clusters (#145, real MinHash
+    pairs).
 
-    O(diameter) rounds; each round is one join + one groupBy, both
-    hash-partitioned on the node id. Convergence detected by the
-    label-sum checksum (strictly decreasing until fixed)."""
-    # every round reads the edge set twice — persist it once instead of
-    # re-deriving the upstream pair pipeline per round
+    Algorithm: alternating large-star / small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — a public map-reduce algorithm). Each half-round is one
+    min-agg + one co-partitioned join on the node id; the edge set
+    contracts toward a star forest rooted at each component's min in
+    O(log² n) rounds WORST CASE and ~log(diameter)-ish in practice —
+    unlike plain min-label propagation, whose O(diameter) round count
+    grew 10.6× on the 10× replica-chain scale probe (chains make
+    diameter proportional to dup-group size). The edge count never
+    grows: each round re-points existing edges, so peak shuffle volume
+    is bounded by the input pair count.
+
+    Convergence: a star forest is a fixpoint of both stars; detected
+    by an (edge-count, hash-sum) checksum going stable. The min-label
+    reference implementation is kept as `_propagate_minlabel` and the
+    two are cross-checked (plus a union-find ground truth and a
+    beyond-old-round-cap chain) in tests/test_components.py."""
+    # canonical child→parent orientation (parent < child). Self-loops
+    # stay in the persisted set (they carry node identity for the
+    # final labeling) but are filtered out of the contraction loop.
+    # Persisted once: the upstream pair pipeline is read exactly one
+    # time regardless of round count.
+    canon = (
+        base.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .persist()
+    )
+    edges = canon.filter(F.col("a") != F.col("b"))
+
+    prev_key, cached = None, edges
+    # O(log² n) bound; breaks at the star-forest fixpoint (real dup
+    # graphs converge in <10 rounds — extra headroom costs nothing)
+    for _ in range(40):
+        cur = cached
+        # ---- large-star: center u over its FULL neighborhood Γ(u);
+        # m = min(Γ(u) ∪ {u}); re-point every neighbor v > u to m.
+        # With child→parent rows, Γ needs both orientations.
+        sym = cur.select(
+            F.col("a").alias("c"), F.col("b").alias("n")
+        ).unionAll(cur.select(F.col("b").alias("c"), F.col("a").alias("n")))
+        mins = (
+            sym.groupBy("c")
+            .agg(F.min("n").alias("mn"))
+            .select("c", F.least("c", "mn").alias("m"))
+        )
+        large = (
+            sym.join(mins, "c")
+            .filter(F.col("n") > F.col("c"))
+            .select(F.col("n").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .persist()  # two consumers below (min-agg + parent join)
+        )
+        # ---- small-star: center u over its SMALLER neighbors P(u)
+        # (with downward edges that's exactly u's parent rows);
+        # m = min(P); re-point u and every p ∈ P to m.
+        mins2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        e_child = mins2.select("a", F.col("m").alias("b"))
+        e_par = (
+            large.join(mins2, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        nxt = (
+            e_child.unionAll(e_par)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            # lineage TRUNCATION, not just caching: each round's plan
+            # references the previous round's ~6×, so without a
+            # checkpoint the logical plan grows exponentially and the
+            # driver OOMs analyzing it by round ~8 (the standard
+            # iterative-DataFrame failure mode; GraphFrames does the
+            # same). localCheckpoint keeps the data on executors; a
+            # real cluster job would point this at a reliable
+            # checkpoint dir instead.
+            .localCheckpoint(eager=True)
+        )
+        # convergence checksum — one count + one hash-sum in a single
+        # job over the checkpointed rows
+        row = nxt.agg(
+            F.count("*").alias("c"),
+            F.sum(F.hash("a", "b").cast("long")).alias("h"),
+        ).collect()[0]
+        key = (row["c"], row["h"])
+        large.unpersist()
+        # nxt is already materialized (eager), so dropping the previous
+        # round's checkpoint cannot trigger an impossible recompute
+        if cached is not edges:
+            cached.unpersist()
+        cached = nxt
+        if key == prev_key:
+            break
+        prev_key = key
+
+    # star forest → labels: non-roots read their parent, roots and
+    # isolated nodes label themselves. Node universe comes from the
+    # canonical set WITH self-loops, so self-loop-only nodes still
+    # surface as singletons — the minlabel contract.
+    all_nodes = canon.select(F.col("a").alias("n")).unionAll(
+        canon.select(F.col("b").alias("n"))
+    )
+    if nodes is not None:
+        all_nodes = all_nodes.unionAll(nodes.select("n"))
+    all_nodes = all_nodes.distinct()
+    final = cached.select(
+        F.col("a").alias("n"), F.col("b").alias("label")
+    )
+    labels = (
+        all_nodes.join(final, "n", "left")
+        .select("n", F.coalesce("label", "n").alias("label"))
+        .persist()
+    )
+    labels.count()  # materialize before the edge input unpersists
+    canon.unpersist()
+    # the last checkpoint stays persisted: labels' cache may need it on
+    # eviction, and a truncated-lineage RDD cannot be recomputed
+    return labels
+
+
+def _propagate_minlabel(
+    base: DataFrame, nodes: DataFrame | None = None
+) -> DataFrame:
+    """Reference implementation: plain min-label propagation,
+    O(diameter) rounds of join+groupBy. Kept as the independent
+    cross-check for the star-contraction path (same output contract);
+    not used by any registered operator."""
     edges = base.unionAll(
         base.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()
@@ -702,8 +826,7 @@ def propagate_components(
     for _ in range(20):  # diameter cap; each round is 2 shuffles
         # persist BEFORE the convergence collect: the checksum job then
         # POPULATES the cache, so next round reuses this round's
-        # join+agg instead of recomputing it (persist-after-collect
-        # caches nothing and doubles every round's work)
+        # join+agg instead of recomputing it
         neighbor_min = (
             edges.join(labels, edges.a == labels.n)
             .select(F.col("b").alias("n"), "label")
