@@ -213,6 +213,7 @@ def test_skew_safe_distinct_avoids_hot_key_shuffle(spark, sf_dir):
 # scalar — constant cost at any scale), audited individually
 _BNLJ_ALLOWED = {
     "ann_cosine_topk",
+    "ann_pq_adc",  # 5-query broadcast probed against the PQ code table
     "recent_activity",
     "monitor_health_report",
     "tfidf_top_terms",

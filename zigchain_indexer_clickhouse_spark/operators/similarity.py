@@ -449,3 +449,282 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(scaled) * 1.0 / (10000 * F.count("*")), 6).alias("centroid"),
         F.count("*").alias("n_vecs"),
     )
+
+
+# --------------------------------------------------------------------------
+# 160. knn_graph_bucketed — all-nodes top-k neighbor graph via LSH buckets
+# --------------------------------------------------------------------------
+def _bucket_sql_terms(vec_expr: str = "v") -> str:
+    """DuckDB rendering of the sign-bit bucket id over ``vec_expr`` —
+    the same planes and 6-digit sign rounding as the Spark side."""
+    planes = _hyperplanes()
+    return " + ".join(
+        f"(CASE WHEN ROUND(list_dot_product({vec_expr}, "
+        f"[{', '.join(repr(x) for x in planes[j])}]::DOUBLE[]), 6) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(LSH_PLANES)
+    )
+
+
+def _bucket_col(v: str = "v"):
+    """Spark twin of :func:`_bucket_sql_terms` (sign-bit bucket id)."""
+    planes = _hyperplanes()
+    bucket = None
+    for j in range(LSH_PLANES):
+        lit_plane = F.array(*[F.lit(x) for x in planes[j]])
+        bit = F.when(
+            F.round(_dot(F.col(v), lit_plane), 6) > 0, F.lit(1 << j)
+        ).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+def _knn_graph_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, v, CAST({_bucket_sql_terms()} AS BIGINT) AS bucket FROM e
+    ),
+    probes AS (
+      SELECT vec_id AS src_id, v AS sv,
+             CASE WHEN p.p = 0 THEN bucket
+                  ELSE xor(bucket, (1::BIGINT << (p.p - 1))) END AS pb
+      FROM bucketed, generate_series(0, {LSH_PLANES}) p(p)
+    ),
+    scored AS (
+      SELECT pr.src_id, b.vec_id AS dst_id,
+             ROUND(list_dot_product(pr.sv, b.v)
+                   / (sqrt(list_dot_product(pr.sv, pr.sv))
+                      * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM probes pr JOIN bucketed b
+        ON b.bucket = pr.pb AND b.vec_id <> pr.src_id
+    )
+    SELECT src_id, dst_id, cosine, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                                   ORDER BY cosine DESC, dst_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOPK}
+    """
+
+
+@register("knn_graph_bucketed", oracle=_knn_graph_oracle())
+def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric k-NN graph over the whole corpus — the input structure
+    for graph-based semantic clustering and diversity sampling: every
+    node gets its top-{TOPK} cosine neighbors among the vectors sharing
+    one of its multi-probe LSH buckets (own bucket + every 1-bit flip).
+
+    This differs from `ann_lsh_bucketed` in the SCALE SHAPE, not just
+    the query set: there every query is broadcast (fine for a handful
+    of probe vectors); here EVERY node is a query, so the probe side is
+    exploded to (node, probe_bucket) rows and the candidate join runs
+    as a plain shuffle equi-join keyed on the bucket — both sides
+    exchange once on a bounded key, nothing is broadcast, and the plan
+    survives a corpus that is 1000x the executor memory. The top-k
+    window repartitions on src_id, the second and last exchange.
+    Probe buckets of one node are pairwise distinct, so no candidate
+    pair is scored twice (no dedup pass needed)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_double().alias("v")
+    )
+    return knn_graph_core(e)
+
+
+def knn_graph_core(e: DataFrame) -> DataFrame:
+    """The reusable graph core over an (vec_id, v: array<double>)
+    corpus — shared by the operator and the planted-twin recall gate in
+    tests/test_ann_graph_pq.py."""
+    b = e.withColumn("bucket", _bucket_col())
+    probes = b.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("v").alias("sv"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.expr(f"cast(bucket ^ {1 << j} as bigint)")
+                    for j in range(LSH_PLANES)
+                ],
+            )
+        ).alias("pb"),
+    )
+    scored = (
+        b.join(probes, (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("src_id")))
+        .select(
+            "src_id",
+            F.col("vec_id").alias("dst_id"),
+            F.round(
+                _dot(F.col("sv"), F.col("v"))
+                / (
+                    F.sqrt(_dot(F.col("sv"), F.col("sv")))
+                    * F.sqrt(_dot(F.col("v"), F.col("v")))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(), "dst_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# 161. ann_pq_adc — product quantization + asymmetric-distance scoring
+# --------------------------------------------------------------------------
+PQ_M = 8        # subspaces
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16       # codewords per subspace
+PQ_SCALE = 1000  # vectors quantized to integer thousandths (floor)
+
+
+def _pq_codebook() -> list[list[list[int]]]:
+    """Deterministic integer codebook [PQ_M][PQ_K][PQ_SUBDIM] in
+    [-{PQ_SCALE}, {PQ_SCALE}], derived from md5 exactly like
+    :func:`_hyperplanes` — inlined as literals into BOTH engines (a
+    production pipeline would train it with kmeans_lloyd and inline
+    the trained values the same way)."""
+    cb = []
+    for j in range(PQ_M):
+        rows = []
+        for k in range(PQ_K):
+            rows.append(
+                [
+                    int(hashlib.md5(f"pq:{j}:{k}:{i}".encode()).hexdigest()[:15], 16)
+                    % (2 * PQ_SCALE + 1)
+                    - PQ_SCALE
+                    for i in range(PQ_SUBDIM)
+                ]
+            )
+        cb.append(rows)
+    return cb
+
+
+def _pq_cb_spark(j: int) -> str:
+    cb = _pq_codebook()
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{x}L" for x in row) + ")" for row in cb[j]
+        )
+        + ")"
+    )
+
+
+def _pq_cb_sql(j: int) -> str:
+    cb = _pq_codebook()
+    return (
+        "[" + ", ".join("[" + ", ".join(str(x) for x in row) + "]" for row in cb[j])
+        + "]::BIGINT[][]"
+    )
+
+
+def _pq_oracle() -> str:
+    dist_cols = ",\n             ".join(
+        f"list_transform({_pq_cb_sql(j)}, c -> CAST(list_sum(list_transform("
+        f"list_zip(qv[{j * PQ_SUBDIM + 1}:{(j + 1) * PQ_SUBDIM}], c), "
+        f"p -> (struct_extract(p, 1) - struct_extract(p, 2))"
+        f" * (struct_extract(p, 1) - struct_extract(p, 2)))) AS BIGINT)) AS d{j}"
+        for j in range(PQ_M)
+    )
+    code_list = ", ".join(
+        f"list_position(d{j}, list_min(d{j}))" for j in range(PQ_M)
+    )
+    adc_terms = "\n               + ".join(
+        f"list_sum(list_transform(list_zip("
+        f"q.query_v[{j * PQ_SUBDIM + 1}:{(j + 1) * PQ_SUBDIM}], "
+        f"({_pq_cb_sql(j)})[c.codes[{j + 1}]]), "
+        f"p -> (struct_extract(p, 1) - struct_extract(p, 2))"
+        f" * (struct_extract(p, 1) - struct_extract(p, 2))))"
+        for j in range(PQ_M)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {PQ_SCALE}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, qv,
+             {dist_cols}
+      FROM e
+    ),
+    codes AS (SELECT vec_id, [{code_list}] AS codes FROM d),
+    q AS (SELECT vec_id AS q_id, qv AS query_v FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id AS query_id, c.vec_id AS neighbor_id,
+             CAST({adc_terms} AS BIGINT) AS adc_dist
+      FROM codes c, q WHERE c.vec_id <> q.q_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOPK}
+    """
+
+
+@register("ann_pq_adc", oracle=_pq_oracle())
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): each vector is
+    compressed to {PQ_M} codeword ids (one per {PQ_SUBDIM}-dim
+    subspace, nearest of {PQ_K} codewords by squared L2), and queries
+    score candidates by asymmetric distance — exact query subvector vs
+    the candidate's CODEWORD — so the search scans the {PQ_M}-byte code
+    table instead of the {DIM}-float embedding table (an 8x-32x
+    bandwidth cut, the reason IVF-PQ is the standard billion-vector
+    layout). Vectors are floor-quantized to integer thousandths and
+    the codebook is integer, so assignment and ADC are exact integer
+    arithmetic on both engines.
+
+    Scale shape: code assignment is a narrow per-row expression (one
+    scan, zero shuffles, codebook inlined as literals into codegen);
+    the query scan broadcasts the tiny query set over the code table —
+    at 100 TB you'd front it with the IVF cell filter
+    (`ann_ivf_coarse`) so each query scans one cell's codes. The ADC
+    'lookup table' is algebraic here: dist(q_sub, CB[code]) computed
+    inline — same integers a per-query LUT would hold."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT))"
+        ).alias("qv"),
+    )
+    with_codes = e
+    for j in range(PQ_M):
+        dist_expr = (
+            f"transform({_pq_cb_spark(j)}, c -> aggregate(zip_with("
+            f"slice(qv, {j * PQ_SUBDIM + 1}, {PQ_SUBDIM}), c, "
+            f"(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v))"
+        )
+        with_codes = with_codes.withColumn(
+            f"code{j}", F.expr(f"array_position({dist_expr}, array_min({dist_expr}))")
+        )
+    codes = with_codes.select(
+        "vec_id",
+        F.array(*[F.col(f"code{j}") for j in range(PQ_M)]).alias("codes"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("qv").alias("query_v")
+    )
+    adc = " + ".join(
+        f"aggregate(zip_with(slice(query_v, {j * PQ_SUBDIM + 1}, {PQ_SUBDIM}), "
+        f"element_at({_pq_cb_spark(j)}, CAST(element_at(codes, {j + 1}) AS INT)), "
+        f"(x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"
+        for j in range(PQ_M)
+    )
+    scored = (
+        codes.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(f"CAST({adc} AS BIGINT)").alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOPK)
+    )
