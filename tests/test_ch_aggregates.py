@@ -1,0 +1,117 @@
+"""CH aggregate analogs (ch_aggregates.py #162-163) + hybrid rank
+fusion (retrieval.py #164): the Misra-Gries superset guarantee, exact
+heavy-hitter output, sumMap reassembly, and RRF arithmetic."""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from zigchain_indexer_clickhouse_spark.catalog import load
+from zigchain_indexer_clickhouse_spark.operators.ch_aggregates import (
+    HH_K,
+    SKETCH_M,
+    _mg_shrink,
+    heavy_hitters_topk,
+    sum_map_daily,
+)
+from zigchain_indexer_clickhouse_spark.operators.retrieval import (
+    FUSE_TOPK,
+    RRF_C,
+    hybrid_rank_fusion,
+)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=2, max_value=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_mg_shrink_superset_guarantee(stream, n_chunks, m):
+    """Chunked MG (the exact per-partition fold mg_partition runs, with
+    m counters) must keep every item whose TRUE count exceeds
+    N/(m+1) — the mergeable-summaries bound the candidate pass relies
+    on."""
+    chunks = [stream[i::n_chunks] for i in range(n_chunks)]
+    counts: dict[int, int] = {}
+    for chunk in chunks:
+        for t, c in Counter(chunk).items():
+            counts[t] = counts.get(t, 0) + c
+        counts = _mg_shrink(counts, m)
+    true = Counter(stream)
+    n = len(stream)
+    for item, c in true.items():
+        if c * (m + 1) > n:
+            assert item in counts, (item, c, n, m)
+
+
+def test_mg_shrink_bounds_size_and_undercount():
+    counts = {f"t{i}": i + 1 for i in range(10)}
+    out = _mg_shrink(dict(counts), 4)
+    assert len(out) <= 4
+    # survivors are under-counted by exactly the pivot (5th largest = 6)
+    for t, c in out.items():
+        assert c == counts[t] - 6
+
+
+def test_heavy_hitters_exact_against_recount(spark, sf_dir):
+    rows = {r.token: (r.cnt, r.share_ppm)
+            for r in heavy_hitters_topk(spark, sf_dir).collect()}
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim("text"), " ")).alias("t"))
+        .collect()
+    )
+    true = Counter(r.t for r in tok)
+    n = len(tok)
+    expected = {t: c for t, c in true.items() if c * HH_K > n}
+    assert set(rows) == set(expected)
+    for t, (cnt, ppm) in rows.items():
+        assert cnt == expected[t]
+        assert ppm == cnt * 1_000_000 // n
+    # the sketch has real headroom over the report threshold
+    assert SKETCH_M + 1 > HH_K
+
+
+def test_sum_map_daily_reassembles_per_key_totals(spark, sf_dir):
+    rows = sum_map_daily(spark, sf_dir).collect()
+    assert rows
+    e = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    ).collect()
+    per: dict = {}
+    for r in e:
+        key = (r.day, r.event_type)
+        c, v = per.get(key, (0, 0))
+        per[key] = (c + 1, v + r.vc)
+    for r in rows:
+        entries = json.loads(r.sum_map)
+        keys = [x["k"] for x in entries]
+        assert keys == sorted(keys) and len(keys) == r.n_keys
+        for x in entries:
+            assert (x["cnt"], x["val_c"]) == per[(r.day, x["k"])]
+
+
+def test_hybrid_rank_fusion_rrf_arithmetic(spark, sf_dir):
+    rows = hybrid_rank_fusion(spark, sf_dir).collect()
+    assert 0 < len(rows) <= FUSE_TOPK
+    for r in rows:
+        expect = 0
+        if r.lex_rnk is not None:
+            assert r.lex_rnk >= 1
+            expect += 1_000_000 // (RRF_C + r.lex_rnk)
+        if r.sem_rnk is not None:
+            assert r.sem_rnk >= 1
+            expect += 1_000_000 // (RRF_C + r.sem_rnk)
+        assert r.rrf_ppm == expect and expect > 0
+    # output is ordered by fused score (ties by id) and a doc present
+    # in both legs outranks the same ranks split across two docs
+    scores = [(r.rrf_ppm, -r.id) for r in rows]
+    assert scores == sorted(scores, reverse=True)

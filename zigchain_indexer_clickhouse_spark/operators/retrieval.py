@@ -18,7 +18,7 @@ oracle replays exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zigchain_indexer_clickhouse_spark.catalog import load
@@ -92,6 +92,13 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     — conditional aggregates, not |query| joins; the df/N/avgdl stats
     collapse to single-row broadcasts. At 100 TB this is a scan + one
     doc-keyed agg; the query-dependent work is O(|query|) columns."""
+    return _bm25_scores(spark, sf_dir)
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25) for the fixed query — shared by bm25_rank and
+    hybrid_rank_fusion so the lexical leg is computed exactly once in
+    source. See bm25_rank's docstring for the plan shape."""
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
@@ -280,3 +287,154 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS BIGINT)"""
         ).alias("fp_rate_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# 164. hybrid_rank_fusion — RRF over the lexical (BM25) and semantic
+#      (embedding-cosine) legs
+# --------------------------------------------------------------------------
+RRF_C = 60        # the standard reciprocal-rank-fusion constant
+FUSE_TOPK = 20
+FUSE_QUERY_VEC = 0  # vec_id of the semantic query vector
+
+
+def _fusion_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    tf_cols = ", ".join(
+        f"SUM(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS tf_{t}"
+        for t in BM25_QUERY
+    )
+    df_cols = ", ".join(
+        f"COUNT(DISTINCT CASE WHEN tok = '{t}' THEN doc_id END) AS df_{t}"
+        for t in BM25_QUERY
+    )
+    score_terms = " + ".join(
+        f"""((stats.n_docs - df.df_{t} + 0.5) / (df.df_{t} + 0.5))
+            * (d.tf_{t} * {BM25_K1 + 1})
+            / (d.tf_{t} + {BM25_K1} * (1 - {BM25_B}
+               + {BM25_B} * d.dl / stats.avgdl))"""
+        for t in BM25_QUERY
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS dl, {tf_cols} FROM tok GROUP BY doc_id
+    ),
+    df AS (SELECT {df_cols} FROM tok WHERE tok IN ({terms})),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl
+      FROM per_doc
+    ),
+    lex AS (
+      SELECT doc_id AS id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rnk
+      FROM (
+        SELECT d.doc_id, ROUND({score_terms}, 4) AS bm25
+        FROM per_doc d, df, stats
+        WHERE {" + ".join(f"d.tf_{t}" for t in BM25_QUERY)} > 0
+      )
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    qv AS (SELECT v AS q FROM e WHERE vec_id = {FUSE_QUERY_VEC}),
+    sem AS (
+      SELECT vec_id AS id,
+             row_number() OVER (ORDER BY cosine DESC, vec_id) AS sem_rnk
+      FROM (
+        SELECT e.vec_id,
+               ROUND(list_dot_product(qv.q, e.v)
+                     / (sqrt(list_dot_product(qv.q, qv.q))
+                        * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+        FROM e, qv WHERE e.vec_id <> {FUSE_QUERY_VEC}
+      )
+    )
+    SELECT COALESCE(lex.id, sem.id) AS id,
+           CAST(lex.lex_rnk AS INT) AS lex_rnk,
+           CAST(sem.sem_rnk AS INT) AS sem_rnk,
+           CAST(COALESCE(1000000 // ({RRF_C} + lex.lex_rnk), 0)
+                + COALESCE(1000000 // ({RRF_C} + sem.sem_rnk), 0)
+                AS BIGINT) AS rrf_ppm
+    FROM lex FULL OUTER JOIN sem ON lex.id = sem.id
+    ORDER BY rrf_ppm DESC, id
+    LIMIT {FUSE_TOPK}
+    """
+
+
+@register("hybrid_rank_fusion", oracle=_fusion_oracle())
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: reciprocal-rank fusion (RRF, Cormack et al. 2009)
+    of the lexical BM25 leg (#138's scorer, shared source) and a
+    semantic embedding-cosine leg (query = vec_id {FUSE_QUERY_VEC}),
+    the standard way modern retrieval stacks combine an inverted index
+    with a vector index. Scores are integer ppm —
+    Σ 1000000 DIV ({RRF_C}+rank) over the legs a doc appears in — so
+    the fusion is arithmetic-exact on both engines; ranks order by the
+    ROUNDed leg scores with id tiebreaks (total order, both engines).
+
+    Plan: each leg ranks with ONE window (lexical: docs matching ≥1
+    query term — the posting-list-sized set, not the corpus; semantic:
+    broadcast 1-row query vector against the embedding scan), then a
+    full-outer equi-join on id fuses and TakeOrderedAndProject keeps
+    the top {FUSE_TOPK}. At 100 TB the legs are the existing #138/#37
+    shapes; fusion adds one keyed join over candidate sets that are
+    tiny by construction (posting lists / ANN shortlists), never the
+    corpus."""
+    lex_scores = _bm25_scores(spark, sf_dir)
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = lex_scores.select(
+        F.col("doc_id").alias("id"),
+        F.row_number().over(w_lex).cast("int").alias("lex_rnk"),
+    )
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    qv = e.filter(F.col("vec_id") == FUSE_QUERY_VEC).select(
+        F.col("v").alias("q")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        e.filter(F.col("vec_id") != FUSE_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("q"), F.col("v"))
+                / (F.sqrt(dot(F.col("q"), F.col("q")))
+                   * F.sqrt(dot(F.col("v"), F.col("v")))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w_sem = Window.orderBy(F.col("cosine").desc(), "vec_id")
+    sem = scored.select(
+        F.col("vec_id").alias("id"),
+        F.row_number().over(w_sem).cast("int").alias("sem_rnk"),
+    )
+    fused = (
+        lex.withColumnRenamed("id", "lid")
+        .join(sem.withColumnRenamed("id", "sid"),
+              F.col("lid") == F.col("sid"), "full_outer")
+        .select(
+            F.coalesce("lid", "sid").alias("id"),
+            "lex_rnk",
+            "sem_rnk",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 DIV ({RRF_C} + lex_rnk)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 DIV ({RRF_C} + sem_rnk)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf_ppm"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_ppm").desc(), "id").limit(FUSE_TOPK)
