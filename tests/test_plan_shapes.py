@@ -223,6 +223,8 @@ _BNLJ_ALLOWED = {
     "gap_backfill_window",  # 1-row capacity + window gate scalars
     "queue_cleanup",  # 1-row bounds + caps scalars into the drop filter
     "orchestrator_tick",  # 1-row counts x 1-row heights policy join
+    "lttb_downsample",  # 1-row series-bounds broadcast crossed in
+    "heavy_hitters_topk",  # 1-row token-total broadcast for the HAVING
 }
 
 
