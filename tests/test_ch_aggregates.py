@@ -115,3 +115,55 @@ def test_hybrid_rank_fusion_rrf_arithmetic(spark, sf_dir):
     # in both legs outranks the same ranks split across two docs
     scores = [(r.rrf_ppm, -r.id) for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_group_array_limited_order_and_cap(spark, sf_dir):
+    from zigchain_indexer_clickhouse_spark.operators.ch_aggregates import (
+        GA_N,
+        group_array_limited,
+    )
+
+    rows = group_array_limited(spark, sf_dir).collect()
+    assert rows
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    per: dict = {}
+    for r in e:
+        per.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    for r in rows:
+        v = sorted(per[r.user_id])
+        assert json.loads(r.first_events) == [t for _, _, t in v[:GA_N]]
+        assert json.loads(r.uniq_events) == sorted({t for _, _, t in v})
+        assert r.n_events == len(v)
+
+
+def test_min_max_map_daily_envelope(spark, sf_dir):
+    from zigchain_indexer_clickhouse_spark.operators.ch_aggregates import (
+        min_max_map_daily,
+    )
+
+    rows = min_max_map_daily(spark, sf_dir).collect()
+    assert rows
+    e = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        (1 + F.col("event_id") % 5).alias("w"),
+    ).collect()
+    per: dict = {}
+    wsum: dict = {}
+    for r in e:
+        key = (r.day, r.event_type)
+        lo, hi = per.get(key, (r.vc, r.vc))
+        per[key] = (min(lo, r.vc), max(hi, r.vc))
+        n, d = wsum.get(r.day, (0, 0))
+        wsum[r.day] = (n + r.vc * r.w, d + r.w)
+    for r in rows:
+        entries = json.loads(r.min_max_map)
+        assert [x["k"] for x in entries] == sorted(x["k"] for x in entries)
+        assert len(entries) == r.n_keys
+        for x in entries:
+            assert (x["min_c"], x["max_c"]) == per[(r.day, x["k"])]
+        n, d = wsum[r.day]
+        assert r.avg_weighted_m == (n * 1000) // d

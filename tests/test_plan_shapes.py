@@ -220,6 +220,7 @@ _BNLJ_ALLOWED = {
     "q11_value_concentration",
     "unigram_lm_score",  # 1-row corpus-total broadcast crossed in
     "bm25_rank",  # 1-row df-vector + 1-row corpus-stats broadcasts
+    "hybrid_rank_fusion",  # shares _bm25_scores' 1-row stat broadcasts
     "gap_backfill_window",  # 1-row capacity + window gate scalars
     "queue_cleanup",  # 1-row bounds + caps scalars into the drop filter
     "orchestrator_tick",  # 1-row counts x 1-row heights policy join

@@ -1,6 +1,8 @@
 """ClickHouse aggregate-function analogs that had no twin yet
-(SURVEY.md §2.2 #162-163): ``topK()`` heavy hitters and the
-``sumMap()`` map-valued aggregate.
+(SURVEY.md §2.2 #162-163, #168-169): ``topK()`` heavy hitters, the
+``sumMap()`` map-valued aggregate, ``groupArray(N)``/``groupUniqArray``
+ordered-collection aggregates, and ``minMap``/``maxMap`` +
+``avgWeighted``.
 
 - ``topK(k)`` in ClickHouse is a SpaceSaving sketch: approximate, but
   the items it exists to find — the ones above a frequency threshold —
@@ -28,7 +30,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zigchain_indexer_clickhouse_spark.catalog import load
@@ -175,4 +177,124 @@ def sum_map_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_map"),
             F.count("*").cast("int").alias("n_keys"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# 168. group_array_limited — groupArray(N) / groupUniqArray analogs
+# --------------------------------------------------------------------------
+GA_N = 5
+
+
+@register(
+    "group_array_limited",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+      '["' || string_agg(CASE WHEN rn <= {GA_N} THEN event_type END,
+                         '","' ORDER BY rn) || '"]' AS first_events,
+      '["' || array_to_string(list_sort(list_distinct(list(event_type))),
+                              '","') || '"]' AS uniq_events,
+      CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY user_id
+    """,
+)
+def group_array_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArray({GA_N})`` + ``groupUniqArray`` per user:
+    the first {GA_N} event types in (ts, event_id) order as an ordered
+    JSON array, the distinct set as a sorted JSON array, and the total
+    count — the "recent actions" collection shape the reference's
+    monitor page renders per work item.
+
+    Bounded state by construction: the ordered leg collects AT MOST
+    {GA_N} structs per key (rn computed first, collection filtered on
+    it — never "collect all then slice", which is unbounded at 100 TB);
+    the uniq leg is capped by event-type cardinality. The rn window and
+    the groupBy share the user_id hash partitioning — one exchange."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = e.select("user_id", "event_type", "ts", "event_id").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    first5 = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("rn") <= GA_N, F.struct("rn", "event_type")
+                )
+            )
+        ),
+        lambda x: x["event_type"],
+    )
+    return r.groupBy("user_id").agg(
+        F.to_json(first5).alias("first_events"),
+        F.to_json(F.array_sort(F.collect_set("event_type"))).alias(
+            "uniq_events"
+        ),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 169. min_max_map_daily — minMap/maxMap + avgWeighted analogs
+# --------------------------------------------------------------------------
+@register(
+    "min_max_map_daily",
+    oracle="""
+    WITH per AS (
+      SELECT CAST(ts AS DATE) AS day, event_type AS k,
+             MIN(CAST(round(value * 100) AS BIGINT)) AS min_c,
+             MAX(CAST(round(value * 100) AS BIGINT)) AS max_c,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * (1 + event_id % 5)) AS BIGINT) AS swv,
+             CAST(SUM(1 + event_id % 5) AS BIGINT) AS sw
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day,
+           '[' || string_agg(
+             '{"k":"' || k || '","min_c":' || min_c
+               || ',"max_c":' || max_c || '}',
+             ',' ORDER BY k) || ']' AS min_max_map,
+           CAST((CAST(SUM(swv) AS BIGINT) * 1000)
+                // CAST(SUM(sw) AS BIGINT) AS BIGINT)
+             AS avg_weighted_m,
+           CAST(COUNT(*) AS INT) AS n_keys
+    FROM per GROUP BY day
+    """,
+)
+def min_max_map_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``minMap``/``maxMap`` + ``avgWeighted`` per day: the
+    per-event-type min/max value cents as a key-sorted JSON map, and
+    the day's weight-averaged value in milli-cents (weight = a
+    deterministic 1..5 derived from event_id — standing in for the
+    per-row weight column ``avgWeighted(x, w)`` takes).
+
+    Same two-level shape as sum_map_daily (#163): (day, key) partials
+    collapse map-side, the day re-agg assembles the map in expression
+    land AND folds the weighted-average numerators/denominators carried
+    up from the first level — the weighted average costs zero extra
+    passes. Integer end-to-end; floor division replayed by the oracle."""
+    e = load(spark, sf_dir, "events")
+    vc = F.round(F.col("value") * 100).cast("long")
+    wt = 1 + F.col("event_id") % 5
+    per = e.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.col("event_type").alias("k"),
+    ).agg(
+        F.min(vc).alias("min_c"),
+        F.max(vc).alias("max_c"),
+        F.sum(vc * wt).alias("swv"),
+        F.sum(wt).alias("sw"),
+    )
+    return per.groupBy("day").agg(
+        F.to_json(
+            F.sort_array(F.collect_list(F.struct("k", "min_c", "max_c")))
+        ).alias("min_max_map"),
+        F.expr("(sum(swv) * 1000) div sum(sw)").alias("avg_weighted_m"),
+        F.count("*").cast("int").alias("n_keys"),
     )

@@ -628,3 +628,162 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("doc_freq"),
     )
     return stats.orderBy(F.col("term_freq").desc(), "token").limit(50)
+
+
+# --------------------------------------------------------------------------
+# 170. curation_funnel — composed filter pipeline with survival stats
+# --------------------------------------------------------------------------
+@register(
+    "curation_funnel",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lower(trim(text)) AS norm,
+             string_split(trim(text), ' ') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, norm, len(toks) AS n_words,
+             ROUND(list_sum(list_transform(toks, t -> strlen(t))) * 1.0
+                   / len(toks), 4) AS mwl,
+             ROUND(list_sum(list_transform(toks,
+                     t -> CASE WHEN t IN ('the','a','of','to','in')
+                               THEN 1 ELSE 0 END)) * 1.0 / len(toks), 4)
+               AS swf
+      FROM tok
+    ),
+    grams AS (
+      SELECT doc_id, toks[g.i] || ' ' || toks[g.i+1] AS gram
+      FROM tok, generate_series(1, 4000) g(i)
+      WHERE g.i <= len(toks) - 1
+    ),
+    pg AS (SELECT doc_id, gram, COUNT(*) AS c FROM grams
+           GROUP BY doc_id, gram),
+    rep AS (
+      SELECT doc_id,
+             CASE WHEN MAX(c) * 1.0 / SUM(c) <= 0.2 THEN 1 ELSE 0 END
+               AS r_keep
+      FROM pg GROUP BY doc_id
+    ),
+    base AS (
+      SELECT m.doc_id, m.norm, m.n_words,
+             CASE WHEN m.n_words BETWEEN 30 AND 100000
+                   AND m.mwl BETWEEN 3 AND 8
+                   AND m.swf <= 0.3 THEN 1 ELSE 0 END AS g_keep,
+             COALESCE(r.r_keep, 0) AS r_keep
+      FROM m LEFT JOIN rep r USING (doc_id)
+    ),
+    surv AS (
+      SELECT doc_id, norm, n_words,
+             ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+      FROM base WHERE g_keep = 1 AND r_keep = 1
+    )
+    SELECT 's0_all' AS stage, CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(COALESCE(SUM(n_words), 0) AS BIGINT) AS tokens FROM base
+    UNION ALL
+    SELECT 's1_gopher', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_words), 0) AS BIGINT)
+    FROM base WHERE g_keep = 1
+    UNION ALL
+    SELECT 's2_repetition', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_words), 0) AS BIGINT)
+    FROM base WHERE g_keep = 1 AND r_keep = 1
+    UNION ALL
+    SELECT 's3_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_words), 0) AS BIGINT)
+    FROM surv WHERE rn = 1
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-curation pipeline (the C4/Gopher/FineWeb
+    shape): gopher quality gate (#77) → within-doc repetition gate
+    (#78) → normalized exact dedup (#62), reported as a survival
+    funnel — docs and whitespace tokens remaining after each stage.
+    This is the report a training-data owner actually reads before a
+    run: where the corpus is being lost.
+
+    One raw-text scan computes the gopher metrics in expression land;
+    the repetition gate is one doc-keyed gram aggregate; dedup is one
+    norm-keyed row_number restricted to the docs still alive (never
+    the full corpus). The four stage rows are 1-row aggregates over
+    the shared per-doc flag frame — the filters themselves run ONCE,
+    not once per stage."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(F.trim("text")).alias("norm"),
+        F.split(F.trim("text"), " ").alias("toks"),
+    )
+    n_words = F.size("toks")
+    sum_len = F.aggregate(
+        F.transform("toks", lambda t: F.length(t)), F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_stop = F.aggregate(
+        F.transform(
+            "toks",
+            lambda t: F.when(
+                t.isin("the", "a", "of", "to", "in"), 1
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    m = d.select(
+        "doc_id",
+        "norm",
+        "toks",
+        n_words.cast("long").alias("n_words"),
+        F.round(sum_len * 1.0 / n_words, 4).alias("mwl"),
+        F.round(n_stop * 1.0 / n_words, 4).alias("swf"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i + 1, F.lit(2))),
+    )
+    rep = (
+        m.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (
+                (F.max("c") * 1.0 / F.sum("c")) <= 0.2
+            ).cast("int").alias("r_keep")
+        )
+    )
+    g_keep = (
+        F.col("n_words").between(30, 100000)
+        & F.col("mwl").between(3, 8)
+        & (F.col("swf") <= 0.3)
+    ).cast("int")
+    base = (
+        m.withColumn("g_keep", g_keep)
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            "norm",
+            "n_words",
+            "g_keep",
+            F.coalesce(F.col("r_keep"), F.lit(0)).alias("r_keep"),
+        )
+    )
+    wv = Window.partitionBy("norm").orderBy("doc_id")
+    surv = (
+        base.filter((F.col("g_keep") == 1) & (F.col("r_keep") == 1))
+        .withColumn("rn", F.row_number().over(wv))
+    )
+
+    def stage_row(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("long").alias("docs"),
+            F.coalesce(F.sum("n_words"), F.lit(0))
+            .cast("long")
+            .alias("tokens"),
+        ).select(F.lit(name).alias("stage"), "docs", "tokens")
+
+    return (
+        stage_row(base, "s0_all")
+        .unionAll(stage_row(base.filter(F.col("g_keep") == 1), "s1_gopher"))
+        .unionAll(stage_row(surv, "s2_repetition"))
+        .unionAll(stage_row(surv.filter(F.col("rn") == 1), "s3_dedup"))
+    )

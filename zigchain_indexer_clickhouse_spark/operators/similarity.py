@@ -728,3 +728,82 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# 171. jl_random_projection — Johnson-Lindenstrauss ±1 sign projection
+# --------------------------------------------------------------------------
+JL_OUT_DIM = 16
+JL_IN_DIM = 64
+# Knuth multiplicative-hash constant; the (j*101+d) index mix keeps
+# (j, d) pairs distinct within the 16x64 sign matrix.
+JL_HASH_A = 2654435761
+
+
+@register(
+    "jl_random_projection",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                  AS BIGINT) AS q,
+             generate_subscripts(embedding, 1) - 1 AS d
+      FROM embeddings
+    ),
+    c AS (
+      SELECT vec_id, label, j.j AS j,
+             CAST(SUM(q * CASE WHEN (((j.j * 101 + d) * {JL_HASH_A})
+                                     % 4294967296) // 65536 % 2 = 0
+                              THEN 1 ELSE -1 END) AS BIGINT) AS p
+      FROM e, generate_series(0, {JL_OUT_DIM - 1}) j(j)
+      GROUP BY vec_id, label, j.j
+    )
+    SELECT vec_id, label,
+           '[' || string_agg(CAST(p AS VARCHAR), ',' ORDER BY j) || ']'
+             AS proj_json
+    FROM c GROUP BY vec_id, label
+    """,
+)
+def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction:
+    {JL_IN_DIM}-dim embeddings -> {JL_OUT_DIM}-dim via a ±1 sign
+    matrix (Achlioptas 2003: database-friendly random projections —
+    ±1 entries preserve pairwise distances in expectation like
+    Gaussian ones, but need only integer arithmetic). The sign matrix
+    is never materialized: entry (j, d) is the parity of one bit of a
+    multiplicative hash, recomputed identically on both engines.
+
+    The scale pre-step for every downstream ANN/dedup pass: shrinking
+    vectors 4x cuts candidate-scoring I/O 4x. ZERO shuffles — the
+    projection is one narrow per-row expression (nested higher-order
+    functions over the embedding array, all inside codegen); vectors
+    are round-quantized to integer thousandths first so the projection
+    sums are exact longs and the DuckDB oracle replays them
+    bit-for-bit."""
+    e = load(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda v: F.round(v.cast("double") * 1000).cast("long"),
+    )
+
+    def sign(j, d):
+        h = (j * 101 + d) * F.lit(JL_HASH_A)
+        bit = F.shiftright(h % F.lit(4294967296), 16) % 2
+        return F.when(bit == 0, F.lit(1)).otherwise(F.lit(-1)).cast("long")
+
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(JL_OUT_DIM - 1)),
+        lambda j: F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.sequence(F.lit(0), F.lit(JL_IN_DIM - 1)),
+                lambda v, d: v * sign(j, d),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        e.withColumn("q", q)
+        .select("vec_id", "label", F.to_json(proj).alias("proj_json"))
+    )
