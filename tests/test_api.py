@@ -157,3 +157,64 @@ def test_auto_compact_bounds_file_count(api, tmp_path, monkeypatch):
     files = list((tmp_path / "index_state").glob("*.parquet"))
     # 25 appends with compaction every 10 → far fewer than 25 data files
     assert len(files) <= 12
+
+
+def test_run_with_retry_transient_then_success(api):
+    """db.js retry policy: transient errors back off linearly per class
+    and retry; the call succeeds once the fault clears."""
+    sleeps: list[float] = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("ECONNREFUSED storage endpoint")
+        return "ok"
+
+    assert api.run_with_retry(flaky, retries=3, sleeper=sleeps.append) == "ok"
+    assert calls["n"] == 3
+    assert sleeps == [2.0, 4.0]  # connection class: 2s * attempt
+
+
+def test_run_with_retry_timeout_class_and_exhaustion(api):
+    sleeps: list[float] = []
+
+    def always_slow():
+        raise RuntimeError("query timed out after 60000ms")
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="timed out"):
+        api.run_with_retry(always_slow, retries=3, sleeper=sleeps.append)
+    assert sleeps == [1.0, 2.0]  # timeout class: 1s * attempt, no
+    # sleep after the final attempt — it re-raises instead
+
+
+def test_run_with_retry_nontransient_raises_immediately(api):
+    sleeps: list[float] = []
+
+    def broken():
+        raise ValueError("syntax error in query")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        api.run_with_retry(broken, sleeper=sleeps.append)
+    assert sleeps == []  # db.js: `else throw err` — no retry
+
+
+def test_test_connection_health_walk(api):
+    """test_connection.js health walk: empty engine reports no tables
+    and no state; after the orchestrator records a height the report
+    carries it with a fresh staleness age."""
+    fresh = api.test_connection()
+    assert fresh["tables"] == []
+    assert fresh["last_processed_height"] is None
+    assert fresh["state_age_s"] is None
+    assert fresh["version"]  # engine version, like SELECT version()
+
+    api.update_last_indexed_height("orchestrator", 4321)
+    report = api.testClickHouseConnection()  # reference export alias
+    assert "index_state" in report["tables"]
+    assert report["last_processed_height"] == 4321
+    assert report["state_age_s"] is not None and report["state_age_s"] < 300

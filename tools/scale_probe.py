@@ -54,6 +54,18 @@ QUERIES = [
     "msg_multi_decode",       # multi-type dispatch + fallback
     "seed_subtract_overlaps", # interval subtraction, one window pass
     "gap_backfill_window",    # stripe-windowed islands + gate scalars
+    # round-5 late additions (#156-171)
+    "bpe_pair_stats",         # adjacent-pair explosion + map-side agg
+    "heavy_hitters_topk",     # MG sketch pass + candidate-pruned recount
+    "knn_graph_bucketed",     # all-nodes bucket join (see note: replicas
+                              # are EXACT vector copies, so bucket density
+                              # grows 10x and pair work ~100x — the
+                              # worst-case load, not linear growth)
+    "lttb_downsample",        # time-bucket argmax + 1-row bounds
+    "ema_time_decay",         # (key,day) rollup + tiny contribution join
+    "group_array_limited",    # rn-bounded collection, shared partitioning
+    "curation_funnel",        # composed gopher/repetition/dedup funnel
+    "jl_random_projection",   # pure narrow expression (scan floor)
 ]
 
 
@@ -140,6 +152,13 @@ def main() -> None:
         if times["base_rows"]:
             entry["output_growth"] = round(
                 times["scaled_rows"] / times["base_rows"], 1
+            )
+        if name == "knn_graph_bucketed":
+            entry["note"] = (
+                "replica embeddings are EXACT copies, so every LSH bucket "
+                "is 10x denser and within-bucket pair work grows ~100x — "
+                "a worst-case density probe, not a linear scale-up; judge "
+                "on time vs pair-work, not replicas"
             )
         if name == "dedup_minhash_lsh":
             entry["note"] = (

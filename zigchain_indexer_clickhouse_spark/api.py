@@ -370,6 +370,87 @@ class IndexerAPI:
             cur += size
         return out
 
+    # -- client-level resilience (src/database/db.js) -----------------------
+    # per-class linear backoff seconds (db.js:48-55: connection errors
+    # back off 2s*attempt, timeouts 1s*attempt)
+    TRANSIENT_BACKOFF = {"connection": 2.0, "timeout": 1.0}
+
+    @staticmethod
+    def _classify_transient(err: Exception) -> str | None:
+        """db.js's transient-error taxonomy: connection-level failures
+        (ECONNREFUSED / ENOTFOUND — here: refused/unreachable storage)
+        and timeouts retry; everything else is a real error."""
+        msg = str(err)
+        if any(
+            s in msg
+            for s in (
+                "ECONNREFUSED",
+                "ENOTFOUND",
+                "Connection refused",
+                "UnknownHost",
+            )
+        ):
+            return "connection"
+        if "timeout" in msg.lower() or "timed out" in msg.lower():
+            return "timeout"
+        return None
+
+    def run_with_retry(self, fn, retries: int = 3, sleeper=time.sleep):
+        """The runClickHouseQuery / insertClickHouse retry policy
+        (db.js:31-98): call ``fn`` (any thunk — a query action, an
+        insert); on a TRANSIENT error (connection refused / timeout)
+        back off linearly per class and retry up to ``retries``
+        attempts, re-raising the last transient error on exhaustion;
+        any non-transient error re-raises immediately, exactly like
+        db.js's ``else throw err``. ``sleeper`` is injectable so tests
+        assert the backoff schedule without sleeping."""
+        last: Exception | None = None
+        for attempt in range(1, retries + 1):
+            try:
+                return fn()
+            except Exception as err:  # noqa: BLE001 — classify below
+                cls = self._classify_transient(err)
+                if cls is None:
+                    raise
+                last = err
+                if attempt < retries:
+                    sleeper(self.TRANSIENT_BACKOFF[cls] * attempt)
+        assert last is not None
+        raise last
+
+    def test_connection(self, index_name: str = "orchestrator") -> dict:
+        """testClickHouseConnection (db.js:99-113) + the health walk of
+        scripts/test_connection.js:22-58: engine version, which of the
+        expected tables exist under base_path, and the named index
+        state's last height + staleness seconds (None when the indexer
+        has not started — the script's '⚠️ no index state' branch).
+        Returns a plain dict; an operational point-read like the
+        reference's console check, not a registered analytics query."""
+        expected = ("blocks", "work_queue", "failed_blocks", "index_state")
+        tables = [t for t in expected if os.path.isdir(self._path(t))]
+        out: dict = {
+            "version": self.spark.version,
+            "tables": tables,
+            "last_processed_height": None,
+            "state_age_s": None,
+        }
+        state = (
+            self._final(
+                self._read_log("index_state", _INDEX_STATE_SCHEMA),
+                ["index_name"],
+            )
+            .filter(F.col("index_name") == index_name)
+            .collect()
+        )
+        if state:
+            out["last_processed_height"] = state[0]["last_processed_height"]
+            updated = state[0]["updated_at"]
+            if updated is not None:
+                out["state_age_s"] = max(
+                    0.0, round(time.time() - updated.timestamp(), 3)
+                )
+        return out
+
     # camelCase aliases — the reference's exact export names
     getLastIndexedHeight = get_last_indexed_height
     updateLastIndexedHeight = update_last_indexed_height
@@ -383,3 +464,5 @@ class IndexerAPI:
     addFailedBlock = add_failed_block
     removeFailedBlock = remove_failed_block
     splitRange = split_range
+    runClickHouseQuery = run_with_retry
+    testClickHouseConnection = test_connection
