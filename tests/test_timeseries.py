@@ -139,3 +139,54 @@ def test_ema_time_decay_matches_recompute(spark, sf_dir):
             days[tgt - lag] for lag in range(EMA_W + 1) if tgt - lag in days
         ]
         assert min(window_means) <= r.ema_m <= max(window_means)
+
+
+def test_quantile_exact_weighted_matches_recompute(spark, sf_dir):
+    from zigchain_indexer_clickhouse_spark.operators.ch_aggregates import (
+        quantile_exact_weighted,
+    )
+
+    raw = _raw_events(spark, sf_dir)
+    per = {}
+    for r in raw:
+        per.setdefault(r.event_type, []).append((r.y, 1 + r.event_id % 5))
+    rows = quantile_exact_weighted(spark, sf_dir).collect()
+    assert len(rows) == len(per)
+    for r in rows:
+        vals = sorted(per[r.event_type])
+        tot = sum(w for _, w in vals)
+        assert r.total_w == tot
+
+        def pick(num, den):
+            cum = 0
+            for v, w in vals:
+                cum += w
+                if cum * den >= tot * num:
+                    return v
+            raise AssertionError("quantile fell off the end")
+
+        assert r.p50_c == pick(1, 2)
+        assert r.p90_c == pick(9, 10)
+
+
+def test_stream_heavy_hitters_exact_two_pass(spark, sf_dir):
+    """The streamed MG candidate pass + exact recount must equal a
+    brute-force batch recount — the sketch bounds state, never the
+    answer (superset guarantee per user-hash stripe)."""
+    from collections import Counter
+
+    from zigchain_indexer_clickhouse_spark.streaming.event_stream import (
+        SH_K,
+        stream_heavy_hitters,
+    )
+
+    raw = _raw_events(spark, sf_dir)
+    true = Counter(r.user_id for r in raw)
+    n = len(raw)
+    expected = {u: c for u, c in true.items() if c * SH_K > n}
+    rows = {r.user_id: (r.cnt, r.share_ppm)
+            for r in stream_heavy_hitters(spark, sf_dir).collect()}
+    assert set(rows) == set(expected)
+    for u, (cnt, ppm) in rows.items():
+        assert cnt == expected[u]
+        assert ppm == cnt * 1_000_000 // n

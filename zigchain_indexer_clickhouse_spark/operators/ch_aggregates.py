@@ -298,3 +298,67 @@ def min_max_map_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(sum(swv) * 1000) div sum(sw)").alias("avg_weighted_m"),
         F.count("*").cast("int").alias("n_keys"),
     )
+
+
+# --------------------------------------------------------------------------
+# 172. quantile_exact_weighted — ClickHouse quantileExactWeighted analog
+# --------------------------------------------------------------------------
+@register(
+    "quantile_exact_weighted",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_c,
+             CAST(SUM(1 + event_id % 5) AS BIGINT) AS w
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, value_c, w,
+             SUM(w) OVER (PARTITION BY event_type ORDER BY value_c
+                          ROWS UNBOUNDED PRECEDING) AS cumw,
+             SUM(w) OVER (PARTITION BY event_type) AS totw
+      FROM g
+    )
+    SELECT event_type,
+           CAST(MIN(CASE WHEN cumw * 2 >= totw THEN value_c END)
+                AS BIGINT) AS p50_c,
+           CAST(MIN(CASE WHEN cumw * 10 >= totw * 9 THEN value_c END)
+                AS BIGINT) AS p90_c,
+           CAST(MAX(totw) AS BIGINT) AS total_w
+    FROM c GROUP BY event_type
+    """,
+)
+def quantile_exact_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted(0.5|0.9)(value, w)`` per
+    event_type: the smallest value whose cumulative weight reaches the
+    quantile of the total weight — the EXACT definition, not a sketch,
+    with the same deterministic 1..5 weight as min_max_map_daily.
+
+    Scale shape: duplicates collapse FIRST ((key, value) pre-aggregate
+    — map-side combinable, so the exchange carries one row per distinct
+    cent value, not per event), then two same-key window passes
+    (ordered cumsum + per-key total) and one aggregate, all sharing the
+    event_type partitioning. Integer comparisons only — cumw*2 >= totw
+    avoids any division — so the oracle replays bit-for-bit."""
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_c"),
+    ).agg(F.sum(1 + F.col("event_id") % 5).alias("w"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("value_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    c = g.withColumn("cumw", F.sum("w").over(wc)).withColumn(
+        "totw", F.sum("w").over(wt)
+    )
+    return c.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cumw") * 2 >= F.col("totw"), F.col("value_c"))
+        ).alias("p50_c"),
+        F.min(
+            F.when(F.col("cumw") * 10 >= F.col("totw") * 9, F.col("value_c"))
+        ).alias("p90_c"),
+        F.max("totw").alias("total_w"),
+    )

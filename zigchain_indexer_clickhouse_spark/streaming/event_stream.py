@@ -628,3 +628,99 @@ def stream_agg_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("min_v"), 4).alias("min_value"),
         F.round(F.max("max_v"), 4).alias("max_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# 173. stream_heavy_hitters — stateful Misra-Gries topK over the stream
+# --------------------------------------------------------------------------
+# user_id hash-stripes for the stateful sketch: state is one ≤SH_M-entry
+# counter dict per stripe, NOT per user — bounded memory no matter how
+# many distinct users the stream ever sees.
+SH_STRIPES = 16
+SH_K = 150       # report users with count > N / SH_K
+SH_M = 4 * SH_K  # MG counters per stripe (superset guarantee: M+1 > K)
+
+
+def _mg_stripe_fn(key, pdf_iter, state):
+    """Per-stripe streaming Misra-Gries: fold each micro-batch into the
+    persistent counter dict (two parallel arrays in state), shrink to
+    SH_M entries, and emit the CURRENT candidate set. Users hash to
+    exactly one stripe, so a user's full global count accumulates in
+    one sketch — the superset guarantee of the batch twin (#162)
+    carries over per stripe."""
+    import pandas as pd  # local import: runs on executors
+
+    from zigchain_indexer_clickhouse_spark.operators.ch_aggregates import (
+        _mg_shrink,
+    )
+
+    users, counts = state.get if state.exists else ([], [])
+    d = dict(zip(users, counts))
+    for pdf in pdf_iter:
+        for u, c in pdf["user_id"].value_counts().items():
+            d[int(u)] = d.get(int(u), 0) + int(c)
+        d = _mg_shrink(d, SH_M)
+    state.update((list(d.keys()), list(d.values())))
+    yield pd.DataFrame({"user_id": list(d.keys())})
+
+
+@register(
+    "stream_heavy_hitters",
+    oracle=f"""
+    WITH t AS (SELECT COUNT(*) AS n FROM events)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(*) * 1000000 // n AS BIGINT) AS share_ppm
+    FROM events, t GROUP BY user_id, n
+    HAVING COUNT(*) * {SH_K} > n
+    """,
+)
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ClickHouse ``topK``: which users dominate the event
+    stream (the flood/looping-worker signal the reference's monitor
+    hunts for, maintained live instead of by rescanning). The sketch
+    runs as a CUSTOM STATEFUL OPERATOR — applyInPandasWithState keyed
+    by user-hash stripe, each stripe folding micro-batches into a
+    persistent ≤{SH_M}-counter Misra-Gries summary — then an exact
+    recount restricted to the streamed candidate set verifies, so the
+    sketch bounds STATE MEMORY, never the answer (same two-pass
+    exactness as the batch twin #162, which is what keeps a streaming
+    sketch oracle-backed at all).
+
+    Scale shape: state is {SH_STRIPES} stripes x {SH_M} counters TOTAL
+    regardless of user cardinality — the unbounded-key-state trap of
+    naive streaming groupBy(user) is exactly what this avoids; each
+    micro-batch shuffles once on the stripe key. The verify pass is a
+    broadcast-candidate semi-join + one keyed count, identical to the
+    topK read-side merge of a CH AggregatingMergeTree."""
+    from zigchain_indexer_clickhouse_spark.catalog import load
+
+    s = _read_event_stream(spark, sf_dir)
+    out = (
+        s.select("user_id")
+        .withColumn("stripe", F.pmod("user_id", F.lit(SH_STRIPES)))
+        .groupBy("stripe")
+        .applyInPandasWithState(
+            _mg_stripe_fn,
+            outputStructType="user_id long",
+            stateStructType="users array<long>, counts array<long>",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    cands = _run_append_to_memory(
+        out, "stream_heavy_hitters", mode="update"
+    ).select("user_id").distinct()
+    e = load(spark, sf_dir, "events")
+    total = e.agg(F.count("*").alias("n"))
+    return (
+        e.join(F.broadcast(cands), "user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * SH_K > F.col("n"))
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("(cnt * 1000000) div n").alias("share_ppm"),
+        )
+    )
