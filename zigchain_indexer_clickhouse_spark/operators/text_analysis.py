@@ -251,3 +251,120 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
         F.col("rnk") <= 5
     )
+
+
+# --------------------------------------------------------------------------
+# 174. winnowing_fingerprint — Schleimer/MOSS winnowing candidate pairs
+# --------------------------------------------------------------------------
+WIN_K = 3    # k-gram size (words)
+WIN_W = 4    # winnowing window: one fingerprint per w consecutive grams
+WIN_DF_CAP = 32   # drop fingerprints shared by more docs (boilerplate)
+WIN_MIN_SHARED = 2
+
+
+def _winnow_oracle() -> str:
+    from zigchain_indexer_clickhouse_spark.functions.hashing import (
+        portable_hash_sql,
+    )
+
+    gram = " || ' ' || ".join(
+        f"toks[s.i + {j}]" for j in range(WIN_K)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, s.i,
+             {portable_hash_sql(f"({gram})")} AS h
+      FROM tok, generate_series(1, 4000) s(i)
+      WHERE s.i <= len(toks) - {WIN_K - 1}
+    ),
+    w AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WIN_W - 1} FOLLOWING) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM g
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM w
+      WHERE i <= n_grams - {WIN_W - 1}
+    ),
+    ok AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING COUNT(*) BETWEEN 2 AND {WIN_DF_CAP}
+    ),
+    pruned AS (SELECT f.doc_id, f.fp FROM fps f JOIN ok USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM pruned a JOIN pruned b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {WIN_MIN_SHARED}
+    """
+
+
+@register("winnowing_fingerprint", oracle=_winnow_oracle())
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS local fingerprinting algorithm) driving candidate
+    pair generation: hash every {WIN_K}-word gram, keep the MIN hash of
+    each {WIN_W}-gram window (guaranteed: any shared substring of
+    {WIN_K + WIN_W - 1}+ words produces at least one shared
+    fingerprint), then pair documents sharing >= {WIN_MIN_SHARED}
+    fingerprints. The local-min selection is what makes the sketch
+    position-independent — unlike stride sampling, an insertion
+    upstream cannot shift every later sample.
+
+    Scale shape: gram hashing AND window-min selection run in
+    expression land (transform/slice/array_min over the token array —
+    ZERO shuffle before fingerprints explode, and only distinct
+    (doc, fp) pairs ever leave the scan). Pairing is an equi-join on
+    the fingerprint key with boilerplate fingerprints capped at
+    df <= {WIN_DF_CAP} first (the stop-shingle idiom of
+    dedup_exact_substring) — candidate work is O(sum df^2) over
+    surviving fingerprints, never all-pairs. Only FULL windows emit
+    (docs with fewer than {WIN_K + WIN_W - 1} words have no
+    fingerprint), identically on both engines."""
+    from zigchain_indexer_clickhouse_spark.functions.hashing import (
+        portable_hash,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim("text"), " ").alias("toks")
+    )
+    hs = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - WIN_K),
+        lambda i: portable_hash(
+            F.concat_ws(" ", F.slice(F.col("toks"), i + 1, F.lit(WIN_K)))
+        ),
+    )
+    fps_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("hs") - WIN_W),
+            lambda p: F.array_min(F.slice(F.col("hs"), p + 1, F.lit(WIN_W))),
+        )
+    )
+    fps = (
+        d.filter(F.size("toks") >= WIN_K + WIN_W - 1)
+        .withColumn("hs", hs)
+        .select("doc_id", F.explode(fps_arr).alias("fp"))
+    )
+    ok = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df").between(2, WIN_DF_CAP))
+        .select("fp")
+    )
+    pruned = fps.join(ok, "fp")
+    a = pruned.select(F.col("fp").alias("jfp"), F.col("doc_id").alias("doc_a"))
+    b = pruned.select(F.col("fp").alias("jfp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "jfp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WIN_MIN_SHARED)
+    )
