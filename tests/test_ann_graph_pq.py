@@ -17,6 +17,7 @@ from zigchain_indexer_clickhouse_spark.operators.similarity import (
     PQ_SCALE,
     PQ_SUBDIM,
     TOPK,
+    _hyperplanes,
     _pq_codebook,
     ann_pq_adc,
     knn_graph_bucketed,
@@ -131,3 +132,66 @@ def test_pq_codebook_is_deterministic_and_bounded():
     # spot-pin one value so a silent derivation change can't slip by
     h = int(hashlib.md5(b"pq:0:0:0").hexdigest()[:15], 16)
     assert cb[0][0][0] == h % (2 * PQ_SCALE + 1) - PQ_SCALE
+
+
+def test_knn_graph_duplicate_collapse_is_exact(spark, sf_dir):
+    """The round-5 exact-duplicate collapse must be invisible in the
+    OUTPUT: a corpus where every vector appears 3x (distinct ids) must
+    yield, per node, exactly the brute-force per-node top-k — co-copies
+    at the self-cosine, external neighbors expanded per copy, ranks
+    re-tied on (cosine desc, dst_id)."""
+    import math
+    from collections import defaultdict
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .limit(40)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    copies = base
+    for off in (10_000, 20_000):
+        copies = copies.unionAll(
+            base.select((F.col("vec_id") + off).alias("vec_id"), "v")
+        )
+    rows = knn_graph_core(copies).collect()
+
+    # brute force in Python over the same multiset
+    vecs = {r.vec_id: list(r.v) for r in copies.collect()}
+    planes = _hyperplanes()
+
+    def bucket(v):
+        b = 0
+        for j, p in enumerate(planes):
+            if round(sum(a * c for a, c in zip(v, p)), 6) > 0:
+                b |= 1 << j
+        return b
+
+    def cos(u, w):
+        d = sum(a * c for a, c in zip(u, w))
+        return round(
+            d / (math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(c * c for c in w))),
+            6,
+        )
+
+    probes = {
+        i: {bucket(v)} | {bucket(v) ^ (1 << j) for j in range(len(planes))}
+        for i, v in vecs.items()
+    }
+    buckets = {i: bucket(v) for i, v in vecs.items()}
+    expected = defaultdict(list)
+    for i, v in vecs.items():
+        cands = [
+            (cos(v, vecs[j]), j)
+            for j in vecs
+            if j != i and buckets[j] in probes[i]
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        expected[i] = cands[:TOPK]
+
+    got = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.src_id, r.rnk)):
+        got[r.src_id].append((r.cosine, r.dst_id))
+    assert dict(got) == {k: v for k, v in expected.items() if v}

@@ -155,10 +155,13 @@ def main() -> None:
             )
         if name == "knn_graph_bucketed":
             entry["note"] = (
-                "replica embeddings are EXACT copies, so every LSH bucket "
-                "is 10x denser and within-bucket pair work grows ~100x — "
-                "a worst-case density probe, not a linear scale-up; judge "
-                "on time vs pair-work, not replicas"
+                "replica embeddings are EXACT copies — the worst-case "
+                "bucket-density load (10x denser buckets, ~100x naive pair "
+                "work). The round-5 exact-duplicate collapse computes the "
+                "graph once per DISTINCT vector and expands exactly, so "
+                "wall tracks distinct density (pre-fix this row measured "
+                "79.9x; the collapse is bit-exact, see "
+                "tests/test_ann_graph_pq.py)"
             )
         if name == "dedup_minhash_lsh":
             entry["note"] = (

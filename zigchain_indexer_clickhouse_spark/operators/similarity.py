@@ -533,8 +533,28 @@ def knn_graph_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_graph_core(e: DataFrame) -> DataFrame:
     """The reusable graph core over an (vec_id, v: array<double>)
     corpus — shared by the operator and the planted-twin recall gate in
-    tests/test_ann_graph_pq.py."""
-    b = e.withColumn("bucket", _bucket_col())
+    tests/test_ann_graph_pq.py.
+
+    Exact-duplicate collapse (round 5, after the 10× probe measured
+    ~80× wall on exact-copy replicas): identical vectors have identical
+    buckets, probes, AND cosines — extra hyperplane bits can never
+    split them — so the bucket join runs ONCE per distinct vector and
+    the result expands back exactly. Per duplicate-group (rep = min
+    vec_id, members sorted): rep-level candidates expand to the dst
+    group's members, co-members join at the self-cosine, the rep list
+    truncates at top-(k+1) (removing one element — the member itself —
+    shifts ranks by at most one), and each member takes the first k of
+    the rep list minus itself. Bit-exact vs the brute per-node graph
+    (tests/test_ann_graph_pq.py::test_knn_graph_duplicate_collapse):
+    pair work scales with DISTINCT bucket density, so a corpus that is
+    10× exact copies costs ~10×, not ~100×."""
+    groups = e.groupBy("v").agg(
+        F.min("vec_id").alias("rep"),
+        F.sort_array(F.collect_list("vec_id")).alias("members"),
+        F.count("*").alias("m"),
+    )
+    reps = groups.select(F.col("rep").alias("vec_id"), "v")
+    b = reps.withColumn("bucket", _bucket_col())
     probes = b.select(
         F.col("vec_id").alias("src_id"),
         F.col("v").alias("sv"),
@@ -552,7 +572,7 @@ def knn_graph_core(e: DataFrame) -> DataFrame:
         b.join(probes, (F.col("bucket") == F.col("pb")) & (F.col("vec_id") != F.col("src_id")))
         .select(
             "src_id",
-            F.col("vec_id").alias("dst_id"),
+            F.col("vec_id").alias("dst_rep"),
             F.round(
                 _dot(F.col("sv"), F.col("v"))
                 / (
@@ -563,10 +583,44 @@ def knn_graph_core(e: DataFrame) -> DataFrame:
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(), "dst_id")
+    # expand dst reps to their group members (no-op when all groups
+    # are singletons: the join keys rep → [rep])
+    gm = groups.select(
+        F.col("rep").alias("dst_rep"), F.col("members").alias("dms")
+    )
+    expanded = scored.join(gm, "dst_rep").select(
+        "src_id", F.explode("dms").alias("dst_id"), "cosine"
+    )
+    # co-members of a duplicate group are each other's candidates at
+    # the self-cosine — the EXACT expression the brute pair scoring
+    # evaluates on two identical arrays
+    self_cos = F.round(
+        _dot(F.col("v"), F.col("v"))
+        / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
+        6,
+    )
+    selfrows = groups.filter(F.col("m") > 1).select(
+        F.col("rep").alias("src_id"),
+        F.explode("members").alias("dst_id"),
+        self_cos.alias("cosine"),
+    )
+    allc = expanded.unionByName(selfrows)
+    wr = Window.partitionBy("src_id").orderBy(F.col("cosine").desc(), "dst_id")
+    rep_list = (
+        allc.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOPK + 1)
+        .select("src_id", "dst_id", "cosine")
+    )
+    sm = groups.select(
+        F.col("rep").alias("src_id"), F.explode("members").alias("u")
+    )
+    wu = Window.partitionBy("u").orderBy(F.col("cosine").desc(), "dst_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        rep_list.join(sm, "src_id")
+        .filter(F.col("dst_id") != F.col("u"))
+        .withColumn("rnk", F.row_number().over(wu).cast("int"))
         .filter(F.col("rnk") <= TOPK)
+        .select(F.col("u").alias("src_id"), "dst_id", "cosine", "rnk")
     )
 
 
