@@ -143,9 +143,16 @@ def main() -> None:
         qs[name](spark, dst).count()
         times = {}
         for label, d in [("base", SRC), ("scaled", dst)]:
-            t0 = time.time()
-            n_rows = qs[name](spark, d).count()
-            times[label] = round(time.time() - t0, 3)
+            # best-of-2 like bench.py: a single timed run is hostage to
+            # shared-stage eviction/rebuild timing (tx_envelope_decode
+            # measured 4x-12x across single-run probes; its warm decode
+            # is linear)
+            best, n_rows = float("inf"), 0
+            for _ in range(2):
+                t0 = time.time()
+                n_rows = qs[name](spark, d).count()
+                best = min(best, time.time() - t0)
+            times[label] = round(best, 3)
             times[f"{label}_rows"] = n_rows
         factor = round(times["scaled"] / max(times["base"], 1e-9), 2)
         entry = {**times, "scale_factor": factor}
