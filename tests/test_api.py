@@ -218,3 +218,56 @@ def test_test_connection_health_walk(api):
     assert "index_state" in report["tables"]
     assert report["last_processed_height"] == 4321
     assert report["state_age_s"] is not None and report["state_age_s"] < 300
+
+
+def test_ch_sql_translates_reference_dialect():
+    """Pure-text translation of the constructs the reference's SQL
+    actually uses (clickhouse_queries.js:155,165,222;
+    orchestrator.js:255,388)."""
+    t = IndexerAPI.ch_sql
+    assert t("SELECT count() as count FROM work_queue FINAL "
+             "WHERE status = 'pending'") == (
+        "SELECT count(*) as count FROM work_queue  WHERE status = 'pending'"
+    )
+    assert t("SELECT COALESCE(MAX(height), CAST(0 AS UInt64)) AS max_h "
+             "FROM blocks") == (
+        "SELECT COALESCE(MAX(height), CAST(0 AS BIGINT)) AS max_h FROM blocks"
+    )
+    assert t("SELECT intDiv(height, 100000) AS p, argMax(h, ts), "
+             "uniqExact(u), uniq(v), toStartOfDay(ts), toDate(ts), "
+             "toUInt32(x), NOW()") == (
+        "SELECT (height div 100000) AS p, max_by(h, ts), "
+        "count(DISTINCT u), approx_count_distinct(v), "
+        "date_trunc('DAY', ts), CAST(ts AS DATE), "
+        "CAST(x AS BIGINT), current_timestamp()"
+    )
+
+
+def test_ch_query_runs_reference_strings_verbatim(api):
+    """The reference's literal query texts execute unchanged through
+    ch_query over the FINAL views."""
+    api.insert_work_queue([
+        {"id": 1, "start_height": 1, "end_height": 10},
+        {"id": 2, "start_height": 11, "end_height": 20},
+        {"id": 3, "start_height": 21, "end_height": 30},
+    ])
+    api.update_work_queue_status(2, "processing")
+
+    # clickhouse_queries.js:155
+    r = api.ch_query(
+        "SELECT count() as count FROM work_queue FINAL "
+        "WHERE status = 'pending'"
+    ).collect()
+    assert r[0]["count"] == 2
+    # clickhouse_queries.js:165
+    rows = api.ch_query(
+        "SELECT * FROM work_queue FINAL WHERE status = 'pending' "
+        "ORDER BY id LIMIT 1"
+    ).collect()
+    assert [x["id"] for x in rows] == [1]
+    # orchestrator.js:255
+    r = api.ch_query(
+        "SELECT COUNT(*) as count FROM work_queue FINAL "
+        "WHERE status IN ('pending', 'processing')"
+    ).collect()
+    assert r[0]["count"] == 3

@@ -370,6 +370,68 @@ class IndexerAPI:
             cur += size
         return out
 
+    # -- ClickHouse SQL dialect shim ----------------------------------------
+    @staticmethod
+    def ch_sql(sql: str) -> str:
+        """Translate the ClickHouse SQL dialect the reference actually
+        writes (clickhouse_queries.js / orchestrator.js / monitor) into
+        Spark SQL, so a user can paste their query strings verbatim:
+
+        - ``FROM t FINAL`` → ``FROM t`` (FINAL-at-read is built into
+          every view this engine serves — the merge IS the read path)
+        - ``count()`` → ``count(*)``
+        - ``CAST(x AS UInt8/16/32/64 | Int64)`` / ``toUInt*/toInt64``
+          → BIGINT casts
+        - ``NOW()`` → ``current_timestamp()``
+        - ``intDiv(a, b)`` → ``(a div b)``
+        - ``argMax(a, b)`` / ``argMin`` → ``max_by`` / ``min_by``
+        - ``uniqExact(x)`` → ``count(DISTINCT x)``;
+          ``uniq(x)`` → ``approx_count_distinct(x)``
+        - ``toStartOfDay(x)`` → ``date_trunc('DAY', x)``;
+          ``toDate(x)`` → ``CAST(x AS DATE)``
+
+        Pure text translation for the constructs the reference uses —
+        not a full CH parser; anything it does not recognize passes
+        through to Spark SQL untouched."""
+        import re as _re
+
+        out = _re.sub(r"\bFINAL\b", "", sql)
+        out = _re.sub(r"\bcount\(\s*\)", "count(*)", out,
+                      flags=_re.IGNORECASE)
+        out = _re.sub(
+            r"CAST\(([^()]+) AS UInt(?:8|16|32|64)\)",
+            r"CAST(\1 AS BIGINT)", out, flags=_re.IGNORECASE,
+        )
+        out = _re.sub(
+            r"CAST\(([^()]+) AS Int(?:8|16|32|64)\)",
+            r"CAST(\1 AS BIGINT)", out,
+        )
+        out = _re.sub(r"\bto(?:UInt|Int)(?:8|16|32|64)\(([^()]+)\)",
+                      r"CAST(\1 AS BIGINT)", out)
+        out = _re.sub(r"\bNOW\(\)", "current_timestamp()", out,
+                      flags=_re.IGNORECASE)
+        out = _re.sub(r"\bintDiv\(([^(),]+),\s*([^()]+)\)",
+                      r"(\1 div \2)", out)
+        out = _re.sub(r"\bargMax\(([^(),]+),\s*([^()]+)\)",
+                      r"max_by(\1, \2)", out)
+        out = _re.sub(r"\bargMin\(([^(),]+),\s*([^()]+)\)",
+                      r"min_by(\1, \2)", out)
+        out = _re.sub(r"\buniqExact\(([^()]+)\)",
+                      r"count(DISTINCT \1)", out)
+        out = _re.sub(r"\buniq\(([^()]+)\)",
+                      r"approx_count_distinct(\1)", out)
+        out = _re.sub(r"\btoStartOfDay\(([^()]+)\)",
+                      r"date_trunc('DAY', \1)", out)
+        out = _re.sub(r"\btoDate\(([^()]+)\)", r"CAST(\1 AS DATE)", out)
+        return out
+
+    def ch_query(self, sql: str) -> DataFrame:
+        """Run a ClickHouse-dialect query string verbatim: translate
+        with :meth:`ch_sql`, then execute over the FINAL views like
+        :meth:`query`. The switch-engines path for a reference user's
+        existing query text."""
+        return self.query(self.ch_sql(sql))
+
     # -- client-level resilience (src/database/db.js) -----------------------
     # per-class linear backoff seconds (db.js:48-55: connection errors
     # back off 2s*attempt, timeouts 1s*attempt)
