@@ -18,7 +18,7 @@ from __future__ import annotations
 from functools import reduce
 from itertools import combinations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zigchain_indexer_clickhouse_spark.catalog import load
@@ -910,4 +910,97 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("doc_id"),
         F.col("label").cast("long").alias("cluster_id"),
         (F.col("n") == F.col("label")).cast("int").alias("is_keeper"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 175. dedup_keep_best — quality-aware canonical selection per cluster
+# --------------------------------------------------------------------------
+def _keep_best_oracle() -> str:
+    from zigchain_indexer_clickhouse_spark.functions.text import (
+        stopword_hits_sql,
+    )
+
+    toks = "string_split(trim(text), ' ')"
+    return f"""
+    WITH ndc AS ({_near_dup_clusters_oracle()}),
+    q AS (
+      SELECT doc_id,
+             LEAST(len({toks}), 100) * 5
+               + ({stopword_hits_sql(toks, "en")} * 500) // len({toks})
+               AS q_m
+      FROM ({_CORPUS_NEAR})
+    ),
+    j AS (
+      SELECT ndc.cluster_id, ndc.doc_id, q.q_m,
+             ROW_NUMBER() OVER (PARTITION BY ndc.cluster_id
+                                ORDER BY q.q_m DESC, ndc.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY ndc.cluster_id) AS n_members
+      FROM ndc JOIN q USING (doc_id)
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS keep_id,
+           CAST(q_m AS BIGINT) AS keep_q_m,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM j WHERE rn = 1
+    """
+
+
+@register("dedup_keep_best", oracle=_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection — the step most dedup
+    pipelines get wrong: after clustering near-duplicates (#145), keep
+    the HIGHEST-QUALITY member of each cluster, not the arbitrary min
+    id (web crawls routinely carry a clean original next to a mangled
+    scrape; min-id keeps whichever was crawled first). Quality is an
+    integer milli-score — min(tokens,100)*5 + stopword-share*500 — so
+    the per-cluster argmax is exact on both engines (the q2/q15 rule:
+    anything that feeds an ORDERING or EQUALITY is integer, never a
+    rounded float).
+
+    Plan: reuses #145's composed pipeline (shared persisted minhash
+    stage, band-bucket candidates, star-contraction components) as-is,
+    joins the per-doc score (pure expression scan), and picks per
+    cluster with one row_number window — the join and the window both
+    key on the cluster-bearing side. Output is one row per cluster:
+    the survivor, its score, and how many near-dups it absorbed."""
+    from zigchain_indexer_clickhouse_spark.functions.text import (
+        stopword_hits,
+        tokens,
+    )
+
+    labels = near_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    # score the SAME corpus the clusters were formed over (documents +
+    # synthetic near-copies) — scoring the raw table would silently
+    # drop the copies from their clusters at the join
+    d = _corpus(spark, sf_dir, near=True)
+    toks = tokens(F.col("text"))
+    q = d.select(
+        "doc_id",
+        F.size(toks).alias("nt"),
+        stopword_hits(toks, "en").alias("sh"),
+    ).select(
+        "doc_id",
+        (
+            F.least(F.col("nt"), F.lit(100)) * 5
+            + F.expr("(sh * 500) div nt")
+        ).alias("q_m"),
+    )
+    j = labels.join(q, "doc_id")
+    wq = Window.partitionBy("cluster_id").orderBy(
+        F.col("q_m").desc(), "doc_id"
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(wq))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cluster_id").cast("long"),
+            F.col("doc_id").cast("long").alias("keep_id"),
+            F.col("q_m").cast("long").alias("keep_q_m"),
+            F.col("n_members").cast("long"),
+            (F.col("n_members") - 1).cast("long").alias("n_dropped"),
+        )
     )
