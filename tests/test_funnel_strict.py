@@ -1,0 +1,74 @@
+"""Strict-order funnel (#177) and tolerance as-of (#176): Python
+recompute plus the cross-mode dominance property (strict can never
+out-level the interleave-tolerant base funnel)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from datetime import timedelta
+
+from zigchain_indexer_clickhouse_spark.catalog import load
+from zigchain_indexer_clickhouse_spark.operators.funnel import (
+    window_funnel,
+    window_funnel_strict,
+)
+from zigchain_indexer_clickhouse_spark.operators.olap_extra import (
+    ASOF_TOL_MIN,
+    asof_join_tolerance,
+)
+
+_FUNNEL = ("signup", "click", "purchase")
+
+
+def test_strict_funnel_matches_recompute_and_never_exceeds_base(spark, sf_dir):
+    raw = (
+        load(spark, sf_dir, "events")
+        .filter("event_type IN ('signup','click','purchase')")
+        .collect()
+    )
+    seq = defaultdict(list)
+    for r in raw:
+        seq[r.user_id].append((r.ts, r.event_id, r.event_type))
+    expected = {}
+    for u, v in seq.items():
+        v.sort()
+        anchor = next((i for i, x in enumerate(v) if x[2] == "signup"), None)
+        if anchor is None:
+            continue
+        ts1 = v[anchor][0]
+        end = ts1 + timedelta(days=7)
+        lvl = 1
+        if anchor + 1 < len(v) and v[anchor + 1][2] == "click" \
+                and v[anchor + 1][0] <= end:
+            lvl = 2
+            if anchor + 2 < len(v) and v[anchor + 2][2] == "purchase" \
+                    and v[anchor + 2][0] <= end:
+                lvl = 3
+        expected[u] = (ts1, lvl)
+
+    rows = {r.user_id: (r.funnel_start, r.level)
+            for r in window_funnel_strict(spark, sf_dir).collect()}
+    assert rows == expected
+
+    base = {r.user_id: r.level for r in window_funnel(spark, sf_dir).collect()}
+    assert set(rows) == set(base)
+    assert all(rows[u][1] <= base[u] for u in rows)
+    # strict must actually bite somewhere or the mode adds nothing
+    assert any(rows[u][1] < base[u] for u in rows)
+
+
+def test_asof_tolerance_staleness_and_directions(spark, sf_dir):
+    rows = asof_join_tolerance(spark, sf_dir).collect()
+    assert rows
+    tol = timedelta(minutes=ASOF_TOL_MIN)
+    saw_stale_null = saw_fresh = 0
+    for r in rows:
+        if r.back_ts is not None:
+            assert r.back_ts <= r.ts and r.ts - r.back_ts <= tol
+            assert r.back_value is not None
+            saw_fresh += 1
+        else:
+            saw_stale_null += 1
+        if r.fwd_ts is not None:
+            assert r.fwd_ts > r.ts  # strictly after, never self
+    assert saw_fresh > 0 and saw_stale_null > 0

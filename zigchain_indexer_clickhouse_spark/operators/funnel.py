@@ -227,3 +227,88 @@ def sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("match_signup_click_purchase"),
         F.col("seq").rlike("ee").cast("int").alias("match_double_error"),
     )
+
+
+# --------------------------------------------------------------------------
+# 177. window_funnel_strict — windowFunnel('strict_order') mode
+# --------------------------------------------------------------------------
+@register(
+    "window_funnel_strict",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase')
+    ),
+    a AS (
+      SELECT user_id, MIN(rn) AS rn1 FROM f
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    j AS (
+      SELECT a.user_id, f1.ts AS ts1,
+             f2.event_type AS t2, f2.ts AS ts2,
+             f3.event_type AS t3, f3.ts AS ts3
+      FROM a
+      JOIN f f1 ON f1.user_id = a.user_id AND f1.rn = a.rn1
+      LEFT JOIN f f2 ON f2.user_id = a.user_id AND f2.rn = a.rn1 + 1
+      LEFT JOIN f f3 ON f3.user_id = a.user_id AND f3.rn = a.rn1 + 2
+    )
+    SELECT user_id, ts1 AS funnel_start,
+           CAST(CASE WHEN t2 = 'click' AND ts2 <= ts1 + INTERVAL 7 DAY
+                      AND t3 = 'purchase' AND ts3 <= ts1 + INTERVAL 7 DAY
+                     THEN 3
+                     WHEN t2 = 'click' AND ts2 <= ts1 + INTERVAL 7 DAY
+                     THEN 2
+                     ELSE 1 END AS INT) AS level
+    FROM j
+    """,
+)
+def window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(7d)('strict_order')``: the funnel only
+    advances while the funnel-relevant event stream is EXACTLY the
+    expected sequence — any interleaved funnel event of the wrong type
+    terminates the chain at its current level (the base #81 mode skips
+    past interleaving; strict_order is how you measure a flow users
+    must not wander out of). Anchored at the user's first signup like
+    #81, so the two modes are directly comparable.
+
+    Plan shape: ONE window over the funnel-filtered stream assigns
+    per-user sequence numbers and leads; the anchor row then reads the
+    next two funnel events from its own lead columns — no fold needed,
+    because strict order means the chain IS positions rn1, rn1+1,
+    rn1+2. A single user_id shuffle; the funnel filter prunes the scan
+    to the three event types before the exchange."""
+    f = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    ).select("user_id", "ts", "event_id", "event_type")
+    from pyspark.sql import Window as W
+
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    led = f.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.row_number().over(wo).alias("rn"),
+        F.lead("event_type", 1).over(wo).alias("t2"),
+        F.lead("ts", 1).over(wo).alias("ts2"),
+        F.lead("event_type", 2).over(wo).alias("t3"),
+        F.lead("ts", 2).over(wo).alias("ts3"),
+    )
+    # anchor = the user's FIRST signup row
+    wa = W.partitionBy("user_id").orderBy(
+        (F.col("event_type") != "signup").cast("int"), "rn"
+    )
+    anchor = (
+        led.withColumn("arn", F.row_number().over(wa))
+        .filter((F.col("arn") == 1) & (F.col("event_type") == "signup"))
+    )
+    win_end = F.col("ts") + F.expr("INTERVAL 7 DAY")
+    lvl2 = (F.col("t2") == "click") & (F.col("ts2") <= win_end)
+    lvl3 = lvl2 & (F.col("t3") == "purchase") & (F.col("ts3") <= win_end)
+    return anchor.select(
+        "user_id",
+        F.col("ts").alias("funnel_start"),
+        F.when(lvl3, 3).when(lvl2, 2).otherwise(1).cast("int").alias("level"),
+    )

@@ -812,3 +812,113 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         F.broadcast(top), s.s_suppkey == top.supplier_no
     ).select("s_suppkey", "s_name", "total_revenue_c")
+
+
+# --------------------------------------------------------------------------
+# 176. asof_join_tolerance — bounded-staleness + bidirectional as-of
+# --------------------------------------------------------------------------
+ASOF_TOL_MIN = 60  # staleness bound for the backward leg, minutes
+
+
+@register(
+    "asof_join_tolerance",
+    oracle=f"""
+    WITH snaps AS (
+      SELECT user_id, ts AS snap_ts, MAX(value) AS snap_value
+      FROM events WHERE event_id % 100 = 0
+      GROUP BY user_id, ts
+    ),
+    back AS (
+      SELECT e.event_id, e.user_id, e.ts, b.snap_ts AS b_ts,
+             b.snap_value AS b_value
+      FROM events e
+      ASOF LEFT JOIN snaps b
+        ON e.user_id = b.user_id AND e.ts >= b.snap_ts
+    )
+    SELECT bk.event_id, bk.user_id, bk.ts,
+           CASE WHEN bk.b_ts >= bk.ts - INTERVAL {ASOF_TOL_MIN} MINUTE
+                THEN bk.b_ts END AS back_ts,
+           CASE WHEN bk.b_ts >= bk.ts - INTERVAL {ASOF_TOL_MIN} MINUTE
+                THEN bk.b_value END AS back_value,
+           f.snap_ts AS fwd_ts, f.snap_value AS fwd_value
+    FROM back bk
+    ASOF LEFT JOIN snaps f
+      ON bk.user_id = f.user_id AND bk.ts < f.snap_ts
+    """,
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound and both directions — the
+    feature-store/backtest enrichment shape: each event takes the
+    latest per-user snapshot at-or-before its timestamp ONLY if it is
+    at most {ASOF_TOL_MIN} minutes old (a stale feature is worse than
+    no feature), plus the next snapshot strictly after (the
+    lookahead/label leg of a backtest).
+
+    Same UNION + WINDOW formulation as asof_join (#76) — Spark has no
+    ASOF operator and a range join degenerates per key — but run in
+    BOTH directions over one union: a forward pass carries the last
+    snapshot at-or-before, a backward pass (same partitioning, reversed
+    order) carries the first snapshot after; the tolerance is a plain
+    column predicate applied AFTER the carry, exactly as the oracle
+    nulls stale rows post-ASOF. Still ONE shuffle on user_id — the
+    second window reuses the first's hash partitioning with only a
+    sort between."""
+    e = load(spark, sf_dir, "events")
+    snaps = (
+        e.filter(F.col("event_id") % 100 == 0)
+        .groupBy("user_id", F.col("ts").alias("snap_ts"))
+        .agg(F.max("value").alias("snap_value"))
+    )
+    tagged_s = snaps.select(
+        "user_id",
+        F.col("snap_ts").alias("ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("snap_ts").alias("s_ts"),
+        F.col("snap_value").alias("s_value"),
+        F.lit(0).alias("is_event"),
+    )
+    tagged_e = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("timestamp").alias("s_ts"),
+        F.lit(None).cast("double").alias("s_value"),
+        F.lit(1).alias("is_event"),
+    )
+    u = tagged_s.unionAll(tagged_e)
+    # backward carry: snapshots sort BEFORE events at equal ts (>=)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward carry: reversed order; events sort after snapshots there
+    # too (is_event desc puts the event first when scanning backward,
+    # so an equal-ts snapshot is NOT its own forward match — strict >)
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_event").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "is_event",
+        F.last("s_ts", ignorenulls=True).over(wb).alias("b_ts"),
+        F.last("s_value", ignorenulls=True).over(wb).alias("b_value"),
+        F.last("s_ts", ignorenulls=True).over(wf).alias("f_ts"),
+        F.last("s_value", ignorenulls=True).over(wf).alias("f_value"),
+    ).filter(F.col("is_event") == 1)
+    fresh = F.col("b_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOL_MIN} MINUTE"
+    )
+    return filled.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("b_ts")).alias("back_ts"),
+        F.when(fresh, F.col("b_value")).alias("back_value"),
+        F.col("f_ts").alias("fwd_ts"),
+        F.col("f_value").alias("fwd_value"),
+    )
