@@ -167,3 +167,59 @@ def test_min_max_map_daily_envelope(spark, sf_dir):
             assert (x["min_c"], x["max_c"]) == per[(r.day, x["k"])]
         n, d = wsum[r.day]
         assert r.avg_weighted_m == (n * 1000) // d
+
+
+def test_heavy_hitters_weighted_exact_against_recount(spark, sf_dir):
+    from zigchain_indexer_clickhouse_spark.operators.ch_aggregates import (
+        HHW_K,
+        HHW_M,
+        heavy_hitters_weighted,
+    )
+
+    rows = {r.user_id: (r.weight, r.share_ppm)
+            for r in heavy_hitters_weighted(spark, sf_dir).collect()}
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("w")
+    ).collect()
+    per: dict = {}
+    tot = 0
+    for r in e:
+        per[r.user_id] = per.get(r.user_id, 0) + r.w
+        tot += r.w
+    expected = {u: w for u, w in per.items() if w * HHW_K > tot}
+    assert rows.keys() == expected.keys() and rows
+    for u, (w, ppm) in rows.items():
+        assert w == expected[u]
+        assert ppm == w * 1_000_000 // tot
+    assert HHW_M + 1 > HHW_K  # the weighted MG superset headroom
+
+
+def test_ttl_group_by_rollup_partitions_and_conserves_mass(spark, sf_dir):
+    from zigchain_indexer_clickhouse_spark.operators.matviews import (
+        TTL_ROLLUP_CUTOFF,
+        ttl_group_by_rollup,
+    )
+
+    rows = ttl_group_by_rollup(spark, sf_dir).collect()
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+    ).collect()
+    import datetime
+
+    cutoff = datetime.date.fromisoformat(TTL_ROLLUP_CUTOFF)
+
+    def day(v):
+        return v.date() if isinstance(v, datetime.datetime) else v
+
+    n_raw_expected = sum(1 for r in o if day(r.o_orderdate) >= cutoff)
+    raw = [r for r in rows if r.granularity == "raw"]
+    rolled = [r for r in rows if r.granularity == "rolled"]
+    assert len(raw) == n_raw_expected
+    assert all(r.n_rows == 1 and r.part_month >= cutoff.replace(day=1)
+               for r in raw)
+    assert all(r.part_month < cutoff for r in rolled)
+    # mass conservation: the rollup loses no rows and no cents
+    assert sum(r.n_rows for r in rows) == len(o)
+    assert sum(r.total_cents for r in rows) == sum(r.c for r in o)

@@ -35,6 +35,7 @@ _PROBED = [
     # different streams under different layouts; the exact verify pass
     # must erase that
     "heavy_hitters_topk",
+    "heavy_hitters_weighted",
     # integer-geometry argmax: the per-bucket row_number pick must not
     # depend on which executor saw the bucket
     "lttb_downsample",

@@ -226,6 +226,7 @@ _BNLJ_ALLOWED = {
     "orchestrator_tick",  # 1-row counts x 1-row heights policy join
     "lttb_downsample",  # 1-row series-bounds broadcast crossed in
     "heavy_hitters_topk",  # 1-row token-total broadcast for the HAVING
+    "heavy_hitters_weighted",  # 1-row weight-total broadcast, same shape
 }
 
 

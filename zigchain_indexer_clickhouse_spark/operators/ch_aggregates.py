@@ -362,3 +362,69 @@ def quantile_exact_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_c"),
         F.max("totw").alias("total_w"),
     )
+
+
+# --------------------------------------------------------------------------
+# 179. heavy_hitters_weighted — ClickHouse topKWeighted() analog
+# --------------------------------------------------------------------------
+# Weighted threshold: value mass is far flatter than token frequency
+# (no Zipf head), so the report bar sits at 1/200 of total value.
+HHW_K = 200
+HHW_M = 4 * HHW_K
+
+
+@register(
+    "heavy_hitters_weighted",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS w FROM events
+    ),
+    t AS (SELECT CAST(SUM(w) AS BIGINT) AS totw FROM v)
+    SELECT user_id, CAST(SUM(w) AS BIGINT) AS weight,
+           CAST(SUM(w) * 1000000 // totw AS BIGINT) AS share_ppm
+    FROM v, t GROUP BY user_id, totw
+    HAVING SUM(w) * {HHW_K} > totw
+    """,
+)
+def heavy_hitters_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topKWeighted``: which users carry more than 1/{HHW_K}
+    of the total event VALUE (cents), not event count — the
+    revenue-concentration twin of #162. Same exact two-pass scheme,
+    with the Misra-Gries pass folding WEIGHTED increments (the MG
+    bound generalizes verbatim: any key with weight share > 1/(m+1)
+    of a partition's weight survives an m-counter summary, and
+    summaries merge by weight-sum + shrink), then an exact weighted
+    recount restricted to the broadcast candidates.
+
+    Scale shape identical to #162: map-only sketch pass (zero
+    shuffle), candidate-pruned exchange, 1-row total. The sketch
+    bounds memory; the verify pass makes the answer exact and
+    layout-independent."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("w")
+    )
+
+    def mg_weighted(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[int, int] = {}
+        for pdf in batches:
+            for u, w in pdf.groupby("user_id")["w"].sum().items():
+                counts[int(u)] = counts.get(int(u), 0) + int(w)
+            counts = _mg_shrink(counts, HHW_M)
+        yield pd.DataFrame({"user_id": list(counts.keys())})
+
+    candidates = (
+        e.mapInPandas(mg_weighted, schema="user_id long").distinct()
+    )
+    total = e.agg(F.sum("w").alias("totw"))
+    return (
+        e.join(F.broadcast(candidates), "user_id")
+        .groupBy("user_id")
+        .agg(F.sum("w").alias("weight"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("weight") * HHW_K > F.col("totw"))
+        .select(
+            "user_id",
+            "weight",
+            F.expr("(weight * 1000000) div totw").alias("share_ppm"),
+        )
+    )

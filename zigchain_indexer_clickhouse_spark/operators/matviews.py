@@ -448,3 +448,70 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("finalize_events_count").cast("long").alias("total_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 178. ttl_group_by_rollup — ClickHouse `TTL ... GROUP BY` aging rollup
+# --------------------------------------------------------------------------
+TTL_ROLLUP_CUTOFF = "1997-01-01"
+
+
+@register(
+    "ttl_group_by_rollup",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS part_month,
+           o_orderstatus, 'rolled' AS granularity,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+    FROM orders WHERE o_orderdate < DATE '{TTL_ROLLUP_CUTOFF}'
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE), o_orderstatus,
+           'raw', 1, CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey
+    FROM orders WHERE o_orderdate >= DATE '{TTL_ROLLUP_CUTOFF}'
+    """,
+)
+def ttl_group_by_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``TTL o_orderdate + INTERVAL ... GROUP BY`` — aging
+    ROLLS UP instead of deleting: rows older than the cutoff collapse
+    to (month, status) aggregates while recent rows stay at full
+    granularity, one unified relation (the storage idiom behind
+    "keep raw for 90 days, monthly forever"). partition_ttl (#91) is
+    the DELETE flavor; this is the GROUP BY flavor.
+
+    Plan: ONE scan split by the cutoff predicate — the aged branch is
+    a map-side-combinable aggregate (its exchange carries month×status
+    partials only), the recent branch is a zero-shuffle projection;
+    union of the two. On parquet the physical rewrite is
+    partition-aligned exactly like #91: only aged partitions are ever
+    rewritten, recent partitions are untouched — which is what makes
+    TTL GROUP BY viable at 100 TB."""
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit(TTL_ROLLUP_CUTOFF).cast("date")
+    month = F.date_trunc("month", "o_orderdate").cast("date")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    rolled = (
+        o.filter(F.col("o_orderdate") < cutoff)
+        .groupBy(month.alias("part_month"), "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(cents).alias("total_cents"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .select(
+            "part_month", "o_orderstatus",
+            F.lit("rolled").alias("granularity"),
+            "n_rows", "total_cents", "min_key",
+        )
+    )
+    raw = o.filter(F.col("o_orderdate") >= cutoff).select(
+        month.alias("part_month"),
+        "o_orderstatus",
+        F.lit("raw").alias("granularity"),
+        F.lit(1).cast("long").alias("n_rows"),
+        cents.alias("total_cents"),
+        F.col("o_orderkey").alias("min_key"),
+    )
+    return rolled.unionByName(raw)
