@@ -7,6 +7,9 @@ from __future__ import annotations
 from collections import defaultdict
 from datetime import timedelta
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from zigchain_indexer_clickhouse_spark.catalog import load
 from zigchain_indexer_clickhouse_spark.operators.funnel import (
     window_funnel,
@@ -72,3 +75,61 @@ def test_asof_tolerance_staleness_and_directions(spark, sf_dir):
         if r.fwd_ts is not None:
             assert r.fwd_ts > r.ts  # strictly after, never self
     assert saw_fresh > 0 and saw_stale_null > 0
+
+
+def test_sequence_count_equals_greedy_matcher(spark, sf_dir):
+    """The bracket-matching closed form must equal a literal greedy
+    left-to-right matcher over every user's event sequence."""
+    from zigchain_indexer_clickhouse_spark.operators.funnel import (
+        sequence_count,
+    )
+
+    raw = (
+        load(spark, sf_dir, "events")
+        .filter("event_type IN ('signup','click')")
+        .collect()
+    )
+    seq = defaultdict(list)
+    for r in raw:
+        seq[r.user_id].append((r.ts, r.event_id, r.event_type))
+    expected = {}
+    for u, v in seq.items():
+        v.sort()
+        open_signups = matches = n_a = n_b = 0
+        for _, _, t in v:
+            if t == "signup":
+                open_signups += 1
+                n_a += 1
+            else:
+                n_b += 1
+                if open_signups > 0:
+                    open_signups -= 1
+                    matches += 1
+        expected[u] = (n_a, n_b, matches)
+    rows = {r.user_id: (r.n_signups, r.n_clicks, r.n_matches)
+            for r in sequence_count(spark, sf_dir).collect()}
+    assert rows == expected
+    # the matcher must actually skip some clicks somewhere (a click
+    # with nothing open), or the closed form was never exercised
+    assert any(b > m for _, b, m in expected.values())
+
+
+@given(st.lists(st.sampled_from("ab"), min_size=0, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_bracket_closed_form_property(pattern):
+    """Property: matches == total_b - max(0, max_prefix(cum_b - cum_a))
+    for EVERY a/b sequence, vs the greedy matcher."""
+    open_a = matches = 0
+    cum_a = cum_b = 0
+    max_excess = 0
+    for ch in pattern:
+        if ch == "a":
+            open_a += 1
+            cum_a += 1
+        else:
+            cum_b += 1
+            if open_a:
+                open_a -= 1
+                matches += 1
+        max_excess = max(max_excess, cum_b - cum_a)
+    assert matches == pattern.count("b") - max(0, max_excess)

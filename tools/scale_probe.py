@@ -66,6 +66,14 @@ QUERIES = [
     "group_array_limited",    # rn-bounded collection, shared partitioning
     "curation_funnel",        # composed gopher/repetition/dedup funnel
     "jl_random_projection",   # pure narrow expression (scan floor)
+    # round-5 final additions (#172-179)
+    "quantile_exact_weighted",  # (key,value) pre-agg + same-key windows
+    "winnowing_fingerprint",    # expression-land window-min + fp equi-join
+    "dedup_keep_best",          # composed clusters + score join + argmax
+    "asof_join_tolerance",      # one union, both carry directions
+    "window_funnel_strict",     # one window with leads on the funnel stream
+    "ttl_group_by_rollup",      # cutoff-split scan: agg branch + raw branch
+    "heavy_hitters_weighted",   # weighted MG sketch + pruned recount
 ]
 
 

@@ -14,7 +14,7 @@ semantics are cross-checked against an independent derivation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zigchain_indexer_clickhouse_spark.catalog import load
@@ -311,4 +311,73 @@ def window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("funnel_start"),
         F.when(lvl3, 3).when(lvl2, 2).otherwise(1).cast("int").alias("level"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 180. sequence_count — ClickHouse sequenceCount('(?1)(?2)') analog
+# --------------------------------------------------------------------------
+@register(
+    "sequence_count",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('signup', 'click')
+    ),
+    c AS (
+      SELECT user_id, a, b,
+             SUM(b) OVER w - SUM(a) OVER w AS excess
+      FROM f
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id,
+           CAST(SUM(a) AS BIGINT) AS n_signups,
+           CAST(SUM(b) AS BIGINT) AS n_clicks,
+           CAST(SUM(b) - GREATEST(MAX(excess), 0) AS BIGINT) AS n_matches
+    FROM c GROUP BY user_id
+    """,
+)
+def sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1)(?2)')(ts, signup, click)``:
+    how many NON-OVERLAPPING signup→click chains each user completes
+    (greedy left-to-right matching — each click consumes the earliest
+    unconsumed signup before it).
+
+    The fold the greedy matcher suggests is unnecessary: pairing
+    signups (+1, open) with clicks (close if any open) is bracket
+    matching, and bracket matching has a closed form —
+    ``matches = total_clicks − max(0, max_prefix(cum_clicks −
+    cum_signups))`` (the max prefix excess counts exactly the clicks
+    that arrive with nothing open). That turns an inherently
+    sequential-looking operator into ONE per-user running-sum window
+    plus an aggregate on the same key — a single shuffle, no
+    higher-order fold, and an oracle that replays the same arithmetic.
+    The funnel filter prunes the scan to two event types before the
+    exchange."""
+    f = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "signup").cast("int").alias("a"),
+        (F.col("event_type") == "click").cast("int").alias("b"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = f.withColumn(
+        "excess", F.sum("b").over(w) - F.sum("a").over(w)
+    )
+    return c.groupBy("user_id").agg(
+        F.sum("a").cast("long").alias("n_signups"),
+        F.sum("b").cast("long").alias("n_clicks"),
+        (F.sum("b") - F.greatest(F.max("excess"), F.lit(0)))
+        .cast("long")
+        .alias("n_matches"),
     )
