@@ -69,3 +69,28 @@ def test_winnowing_coverage_guarantee():
     doc_a = ["x%d" % i for i in range(7)] + run + ["y%d" % i for i in range(5)]
     doc_b = ["z%d" % i for i in range(11)] + run
     assert _doc_fps(doc_a) & _doc_fps(doc_b)
+
+
+def test_source_overlap_matrix_matches_recompute(spark, sf_dir):
+    from zigchain_indexer_clickhouse_spark.operators.corpus_quality import (
+        source_overlap_matrix,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("source", "text").collect()
+    vocab = defaultdict(set)
+    for r in docs:
+        toks = r.text.strip().split(" ")
+        for i in range(len(toks) - 2):
+            vocab[r.source].add(_phash(" ".join(toks[i:i + 3])))
+    expected = {}
+    srcs = sorted(vocab)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            inter = len(vocab[sa] & vocab[sb])
+            if inter:
+                union = len(vocab[sa]) + len(vocab[sb]) - inter
+                expected[(sa, sb)] = (inter, inter * 1_000_000 // union)
+    rows = {(r.src_a, r.src_b): (r.n_shared, r.jaccard_ppm)
+            for r in source_overlap_matrix(spark, sf_dir).collect()}
+    assert rows == expected
+    assert all(0 < ppm <= 1_000_000 for _, ppm in rows.values())

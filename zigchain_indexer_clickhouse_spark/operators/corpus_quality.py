@@ -336,3 +336,96 @@ def contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_bench_matches"),
         F.round(F.max("j"), 4).alias("max_jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# 181. source_overlap_matrix — cross-source n-gram contamination matrix
+# --------------------------------------------------------------------------
+def _source_overlap_oracle() -> str:
+    from zigchain_indexer_clickhouse_spark.functions.hashing import (
+        portable_hash_sql,
+    )
+
+    gram = "(toks[s.i] || ' ' || toks[s.i + 1] || ' ' || toks[s.i + 2])"
+    return f"""
+    WITH tok AS (
+      SELECT source, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT source, {portable_hash_sql(gram)} AS h
+      FROM tok, generate_series(1, 4000) s(i)
+      WHERE s.i <= len(toks) - 2
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           CAST(COUNT(*) * 1000000
+                // (sa.n + sb.n - COUNT(*)) AS BIGINT) AS jaccard_ppm
+    FROM sh a
+    JOIN sh b ON a.h = b.h AND a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    GROUP BY a.source, b.source, sa.n, sb.n
+    """
+
+
+@register("source_overlap_matrix", oracle=_source_overlap_oracle())
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix — per pair of corpus sources,
+    how many distinct 3-word shingles they share and the Jaccard in
+    ppm. This is the dataset-governance report behind "did source A
+    scrape source B": contamination_check/#130 test documents against
+    a BENCHMARK; this audits the corpus against ITSELF, pairwise by
+    provenance.
+
+    Scale shape: shingles hash in expression land and collapse to
+    DISTINCT (source, hash) rows before anything joins — the unit of
+    work is the source-level shingle VOCABULARY, not the corpus. The
+    pair join keys on the hash; each hash's group is bounded by the
+    number of sources (not documents), so worst-case pair fan-out per
+    hash is C(n_sources, 2) — a governance-dashboard cardinality, with
+    the sizes dimension broadcast back onto the pairs."""
+    from zigchain_indexer_clickhouse_spark.functions.hashing import (
+        portable_hash,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.split(F.trim("text"), " ").alias("toks")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 3),
+        lambda i: portable_hash(
+            F.concat_ws(" ", F.slice(F.col("toks"), i + 1, F.lit(3)))
+        ),
+    )
+    sh = (
+        d.filter(F.size("toks") >= 3)
+        .select("source", F.explode(grams).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("h").alias("jh"), F.col("source").alias("src_a"))
+    b = sh.select(F.col("h").alias("jh"), F.col("source").alias("src_b"))
+    pairs = (
+        a.join(b, "jh")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("source").alias("src_a"),
+                                     F.col("n").alias("na"))), "src_a"
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("src_b"),
+                                     F.col("n").alias("nb"))), "src_b"
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.expr("(n_shared * 1000000) div (na + nb - n_shared)")
+            .alias("jaccard_ppm"),
+        )
+    )
