@@ -190,3 +190,67 @@ def test_stream_heavy_hitters_exact_two_pass(spark, sf_dir):
     for u, (cnt, ppm) in rows.items():
         assert cnt == expected[u]
         assert ppm == cnt * 1_000_000 // n
+
+
+def test_mad_outlier_bounds_matches_recompute(spark, sf_dir):
+    from zigchain_indexer_clickhouse_spark.operators.timeseries import (
+        mad_outlier_bounds,
+    )
+
+    raw = _raw_events(spark, sf_dir)
+    per = defaultdict(list)
+    for r in raw:
+        per[r.event_type].append(r.y)
+
+    def med(vals):
+        v = sorted(vals)
+        tot = len(v)
+        cum = 0
+        # smallest value whose cumulative count reaches half (the
+        # weighted-quantile tie rule both engines implement)
+        from itertools import groupby
+
+        for val, grp in groupby(v):
+            cum += sum(1 for _ in grp)
+            if cum * 2 >= tot:
+                return val
+        raise AssertionError
+
+    rows = {r.event_type: r for r in mad_outlier_bounds(spark, sf_dir).collect()}
+    assert rows.keys() == per.keys()
+    for t, vals in per.items():
+        m = med(vals)
+        mad = med([abs(y - m) for y in vals])
+        r = rows[t]
+        assert (r.med_c, r.mad_c) == (m, mad)
+        assert (r.lo_c, r.hi_c) == (m - 5 * mad, m + 5 * mad)
+        assert r.n_outliers == sum(
+            1 for y in vals if y < r.lo_c or y > r.hi_c
+        )
+
+
+def test_time_weighted_avg_matches_recompute(spark, sf_dir):
+    from zigchain_indexer_clickhouse_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    raw = _raw_events(spark, sf_dir)
+    per = defaultdict(list)
+    for r in raw:
+        per[r.user_id].append((r.x, r.event_id, r.y))
+    rows = {r.user_id: r for r in time_weighted_avg(spark, sf_dir).collect()}
+    for u, v in per.items():
+        v.sort()
+        holds = [
+            (b[0] - a[0], a[2]) for a, b in zip(v, v[1:])
+        ]
+        if not holds:
+            assert u not in rows
+            continue
+        num = sum(y * d for d, y in holds)
+        den = sum(d for d, _ in holds)
+        r = rows[u]
+        assert (r.twa_c, r.span_us, r.n_holds) == (num // den, den, len(holds))
+        # a time-weighted mean of cents stays inside the value envelope
+        ys = [y for _, y in holds]
+        assert min(ys) <= r.twa_c <= max(ys)

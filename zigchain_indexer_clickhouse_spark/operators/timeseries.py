@@ -320,3 +320,182 @@ def ema_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_src",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 182. mad_outlier_bounds — median/MAD robust outlier detection
+# --------------------------------------------------------------------------
+@register(
+    "mad_outlier_bounds",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    g1 AS (
+      SELECT event_type, y, COUNT(*) AS w FROM v GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type,
+             MIN(CASE WHEN cumw * 2 >= totw THEN y END) AS med_c
+      FROM (
+        SELECT event_type, y,
+               SUM(w) OVER (PARTITION BY event_type ORDER BY y
+                            ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(w) OVER (PARTITION BY event_type) AS totw
+        FROM g1
+      ) GROUP BY event_type
+    ),
+    d AS (
+      SELECT v.event_type, abs(v.y - m.med_c) AS ad, m.med_c
+      FROM v JOIN med m USING (event_type)
+    ),
+    g2 AS (
+      SELECT event_type, med_c, ad, COUNT(*) AS w FROM d GROUP BY 1, 2, 3
+    ),
+    mad AS (
+      SELECT event_type, med_c,
+             MIN(CASE WHEN cumw * 2 >= totw THEN ad END) AS mad_c
+      FROM (
+        SELECT event_type, med_c, ad,
+               SUM(w) OVER (PARTITION BY event_type ORDER BY ad
+                            ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(w) OVER (PARTITION BY event_type) AS totw
+        FROM g2
+      ) GROUP BY event_type, med_c
+    )
+    SELECT m.event_type,
+           CAST(m.med_c AS BIGINT) AS med_c,
+           CAST(m.mad_c AS BIGINT) AS mad_c,
+           CAST(m.med_c - 5 * m.mad_c AS BIGINT) AS lo_c,
+           CAST(m.med_c + 5 * m.mad_c AS BIGINT) AS hi_c,
+           CAST(SUM(CASE WHEN v.y < m.med_c - 5 * m.mad_c
+                          OR v.y > m.med_c + 5 * m.mad_c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM v JOIN mad m USING (event_type)
+    GROUP BY m.event_type, m.med_c, m.mad_c
+    """,
+)
+def mad_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event_type: exact MEDIAN and MAD
+    (median absolute deviation) of value cents, ±5·MAD alert bounds,
+    and the outlier count — the monitoring alert the reference's
+    health page would fire on anomalous gas/value readings, done
+    robustly (mean/stddev move with the outliers they hunt; median/MAD
+    do not).
+
+    Exactness the quantile_exact_weighted way, applied TWICE: each
+    median collapses duplicates into (key, value, weight) rows first —
+    both cumsum windows run over distinct cent values, not events —
+    then the deviation pass re-scans with the per-key median joined
+    back (a broadcast: one row per event_type). All integer compares;
+    the oracle replays every floor and tie rule bit-for-bit."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("y")
+    )
+
+    def exact_median(df: DataFrame, col: str) -> DataFrame:
+        g = df.groupBy("event_type", col).agg(F.count("*").alias("w"))
+        wc = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy("event_type")
+        c = g.withColumn("cumw", F.sum("w").over(wc)).withColumn(
+            "totw", F.sum("w").over(wt)
+        )
+        return c.groupBy("event_type").agg(
+            F.min(
+                F.when(F.col("cumw") * 2 >= F.col("totw"), F.col(col))
+            ).alias(f"med_{col}")
+        )
+
+    med = exact_median(v, "y").withColumnRenamed("med_y", "med_c")
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "y",
+        "med_c",
+        F.abs(F.col("y") - F.col("med_c")).alias("ad"),
+    )
+    mad = (
+        exact_median(d.select("event_type", "ad"), "ad")
+        .withColumnRenamed("med_ad", "mad_c")
+    )
+    bounds = med.join(mad, "event_type").select(
+        "event_type",
+        "med_c",
+        "mad_c",
+        (F.col("med_c") - 5 * F.col("mad_c")).alias("lo_c"),
+        (F.col("med_c") + 5 * F.col("mad_c")).alias("hi_c"),
+    )
+    return (
+        v.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "med_c", "mad_c", "lo_c", "hi_c")
+        .agg(
+            F.sum(
+                (
+                    (F.col("y") < F.col("lo_c"))
+                    | (F.col("y") > F.col("hi_c"))
+                ).cast("long")
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type", "med_c", "mad_c", "lo_c", "hi_c", "n_outliers"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 183. time_weighted_avg — duration-weighted gauge average per user
+# --------------------------------------------------------------------------
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS x, event_id,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, y,
+             LEAD(x) OVER (PARTITION BY user_id ORDER BY x, event_id)
+               - x AS dur
+      FROM s
+    )
+    SELECT user_id,
+           CAST(SUM(y * dur) // SUM(dur) AS BIGINT) AS twa_c,
+           CAST(SUM(dur) AS BIGINT) AS span_us,
+           CAST(COUNT(*) AS BIGINT) AS n_holds
+    FROM d WHERE dur IS NOT NULL GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted gauge average per user: each reading holds until
+    the next one, so its weight is the HOLD DURATION, not 1 — the
+    correct average for sampled gauges read at irregular intervals
+    (a plain avg over-weights bursts; this is PromQL's avg_over_time
+    on an irregular series / CH's timeSeries* aggregation concern).
+    The final (open-ended) reading carries no duration and drops out,
+    on both engines.
+
+    One exchange: the lead window and the aggregate share the user_id
+    partitioning. Integer micros × cents products stay far inside
+    long; floor division replayed by the oracle."""
+    e = load(spark, sf_dir, "events")
+    s = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("x"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("x", "event_id")
+    d = s.withColumn("dur", F.lead("x").over(w) - F.col("x")).filter(
+        F.col("dur").isNotNull()
+    )
+    return d.groupBy("user_id").agg(
+        F.expr("sum(y * dur) div sum(dur)").alias("twa_c"),
+        F.sum("dur").cast("long").alias("span_us"),
+        F.count("*").cast("long").alias("n_holds"),
+    )

@@ -106,6 +106,7 @@ _EXPENSIVE = frozenset({
     "kmeans_lloyd", "contamination_fuzzy", "schema_evolution_read",
     "near_dup_clusters", "dedup_keep_best",
     "tx_envelope_decode",  # two persisted stages + envelope assembly
+    "mad_outlier_bounds",  # two exact-median passes + bounds re-scan
 })
 
 
