@@ -94,3 +94,27 @@ def test_source_overlap_matrix_matches_recompute(spark, sf_dir):
             for r in source_overlap_matrix(spark, sf_dir).collect()}
     assert rows == expected
     assert all(0 < ppm <= 1_000_000 for _, ppm in rows.values())
+
+
+def test_length_gini_matches_recompute(spark, sf_dir):
+    from zigchain_indexer_clickhouse_spark.operators.corpus_quality import (
+        length_gini_by_source,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    ).collect()
+    per = defaultdict(list)
+    for r in docs:
+        per[r.source].append((len(r.text.strip().split(" ")), r.doc_id))
+    rows = {r.source: r for r in length_gini_by_source(spark, sf_dir).collect()}
+    assert rows.keys() == per.keys()
+    for s, v in per.items():
+        v.sort()
+        n = len(v)
+        tot = sum(x for x, _ in v)
+        num = sum((2 * (i + 1) - n - 1) * x for i, (x, _) in enumerate(v))
+        r = rows[s]
+        assert (r.n_docs, r.total_words) == (n, tot)
+        assert r.gini_ppm == num * 1_000_000 // (n * tot)
+        assert 0 <= r.gini_ppm < 1_000_000

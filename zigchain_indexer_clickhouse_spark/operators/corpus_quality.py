@@ -18,7 +18,7 @@ bit-exactly — no libm log() drift, no float summation order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zigchain_indexer_clickhouse_spark.catalog import load
@@ -428,4 +428,69 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_shared * 1000000) div (na + nb - n_shared)")
             .alias("jaccard_ppm"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# 184. length_gini_by_source — Gini concentration of doc lengths
+# --------------------------------------------------------------------------
+@register(
+    "length_gini_by_source",
+    oracle="""
+    WITH l AS (
+      SELECT source, doc_id,
+             len(string_split(trim(text), ' ')) AS n_words
+      FROM documents
+    ),
+    r AS (
+      SELECT source, n_words,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_words, doc_id) AS i,
+             COUNT(*) OVER (PARTITION BY source) AS n,
+             SUM(n_words) OVER (PARTITION BY source) AS tot
+      FROM l
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(tot) AS BIGINT) AS total_words,
+           CAST(SUM((2 * i - n - 1) * n_words) * 1000000
+                // (MAX(n) * MAX(tot)) AS BIGINT) AS gini_ppm
+    FROM r GROUP BY source
+    """,
+)
+def length_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of document lengths per source — the corpus
+    diversity report: a source whose token mass sits in a few huge
+    documents (high Gini) behaves very differently under
+    sequence packing and per-doc sampling than one with uniform
+    lengths, and a Gini jump between crawl snapshots flags a scrape
+    regression.
+
+    Integer-exact via the rank formula ``G = Σ(2i − n − 1)·x_(i) /
+    (n·Σx)`` in ppm: ties contribute a fixed coefficient sum
+    regardless of their internal order, and the row_number tie-break
+    (doc_id) makes both engines walk the identical permutation anyway.
+    One per-source window (rank + the two per-key totals ride the same
+    partitioning) + one aggregate — a single exchange."""
+    d = load(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim("text"), " ")).alias("n_words"),
+    )
+    wr = Window.partitionBy("source").orderBy("n_words", "doc_id")
+    wt = Window.partitionBy("source")
+    r = d.select(
+        "source",
+        "n_words",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(wt).alias("n"),
+        F.sum("n_words").over(wt).alias("tot"),
+    )
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.max("tot").cast("long").alias("total_words"),
+        F.expr(
+            "(sum((2 * i - n - 1) * n_words) * 1000000)"
+            " div (max(n) * max(tot))"
+        ).alias("gini_ppm"),
     )
