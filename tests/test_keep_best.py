@@ -57,3 +57,25 @@ def test_keep_best_is_cluster_argmax(spark, sf_dir):
     # the quality argmax must actually diverge from min-id keeping
     # somewhere, or the operator adds nothing over #145
     assert min_id_differs > 0
+
+
+def test_fk_orphan_check_clean_star(spark, sf_dir):
+    """The generated star is referentially intact — every edge must
+    report zero orphans with the right child cardinalities (a nonzero
+    here would mean the testdata generator broke, which IS the check
+    this operator exists to catch in a real indexer)."""
+    from zigchain_indexer_clickhouse_spark.catalog import load
+    from zigchain_indexer_clickhouse_spark.operators.queue_analytics import (
+        fk_orphan_check,
+    )
+
+    rows = {r.fk_edge: r for r in fk_orphan_check(spark, sf_dir).collect()}
+    n_li = load(spark, sf_dir, "lineitem").count()
+    n_o = load(spark, sf_dir, "orders").count()
+    assert set(rows) == {
+        "lineitem->orders", "orders->customer",
+        "lineitem->part", "lineitem->supplier",
+    }
+    assert rows["lineitem->orders"].n_child == n_li
+    assert rows["orders->customer"].n_child == n_o
+    assert all(r.n_orphans == 0 for r in rows.values())

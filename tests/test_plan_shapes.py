@@ -227,6 +227,7 @@ _BNLJ_ALLOWED = {
     "lttb_downsample",  # 1-row series-bounds broadcast crossed in
     "heavy_hitters_topk",  # 1-row token-total broadcast for the HAVING
     "heavy_hitters_weighted",  # 1-row weight-total broadcast, same shape
+    "fk_orphan_check",  # four 1-row count x 1-row orphan-count unions
 }
 
 

@@ -563,3 +563,80 @@ def catalog_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         sorted(report.items()), "table_name string, status string"
     )
+
+
+# --------------------------------------------------------------------------
+# 185. fk_orphan_check — referential-integrity audit across the star
+# --------------------------------------------------------------------------
+@register(
+    "fk_orphan_check",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    """,
+)
+def fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star: per foreign-key
+    edge, how many child rows point at a missing parent. This is the
+    write-fidelity check an indexer with multi-table fan-out actually
+    needs — the reference's crash window between its per-table INSERTs
+    (worker.js writes blocks, txs, events separately) is exactly where
+    orphans are born; catalog_verify (#147) checks tables EXIST, this
+    checks they AGREE.
+
+    Plan: each edge is a LEFT ANTI join counted — parent key sets are
+    dimension-sized and broadcast (orders→lineitem is the one
+    fact-fact edge; its anti join keys the single shuffle). Four
+    1-row aggregates union'd; no edge ever materializes the match,
+    only the absence."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+
+    def edge(name: str, child: DataFrame, ck: str,
+             parent: DataFrame, pk: str) -> DataFrame:
+        orphans = child.join(
+            parent.select(F.col(pk).alias(ck)).distinct(), ck, "left_anti"
+        )
+        return (
+            child.agg(F.count("*").alias("n_child"))
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(
+                F.lit(name).alias("fk_edge"),
+                F.col("n_child").cast("long"),
+                F.col("n_orphans").cast("long"),
+            )
+        )
+
+    return (
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .unionByName(
+            edge("lineitem->supplier", li, "l_suppkey", s, "s_suppkey")
+        )
+    )
