@@ -79,3 +79,31 @@ def test_fk_orphan_check_clean_star(spark, sf_dir):
     assert rows["lineitem->orders"].n_child == n_li
     assert rows["orders->customer"].n_child == n_o
     assert all(r.n_orphans == 0 for r in rows.values())
+
+
+def test_dup_graph_triangles_matches_recompute(spark, sf_dir):
+    from zigchain_indexer_clickhouse_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dup_graph_triangles,
+    )
+
+    pairs = {(r.doc_a, r.doc_b)
+             for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    from collections import defaultdict as _dd
+    adj = _dd(set)
+    nodes = set()
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+        nodes.update((a, b))
+    tri = 0
+    for a, b in pairs:
+        tri += sum(1 for c in adj[a] & adj[b] if c > b)
+    row = dup_graph_triangles(spark, sf_dir).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (
+        len(nodes), len(pairs), tri
+    )
+    assert row.triangles_per_medge == (
+        tri * 1_000_000 // len(pairs) if pairs else 0
+    )
+    assert tri > 0  # the planted dup groups must actually close triangles

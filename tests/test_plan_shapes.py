@@ -228,6 +228,7 @@ _BNLJ_ALLOWED = {
     "heavy_hitters_topk",  # 1-row token-total broadcast for the HAVING
     "heavy_hitters_weighted",  # 1-row weight-total broadcast, same shape
     "fk_orphan_check",  # four 1-row count x 1-row orphan-count unions
+    "dup_graph_triangles",  # 1-row node/edge/triangle count joins
 }
 
 

@@ -1004,3 +1004,79 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_members") - 1).cast("long").alias("n_dropped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 186. dup_graph_triangles — triangle census of the near-dup pair graph
+# --------------------------------------------------------------------------
+def _triangles_oracle() -> str:
+    return f"""
+    WITH pairs AS (
+      SELECT doc_a AS a, doc_b AS b FROM ({_minhash_oracle()})
+    ),
+    nodes AS (
+      SELECT a AS n FROM pairs UNION SELECT b FROM pairs
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM pairs e1
+      JOIN pairs e2 ON e2.a = e1.b
+      JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(t AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN (SELECT COUNT(*) FROM pairs) = 0 THEN 0
+                     ELSE t * 1000000 // (SELECT COUNT(*) FROM pairs)
+                END AS BIGINT) AS triangles_per_medge
+    FROM tri
+    """
+
+
+@register("dup_graph_triangles", oracle=_triangles_oracle())
+def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-duplicate pair graph — the cohesion
+    diagnostic for a dedup run: verified pairs forming many triangles
+    mean tight genuine duplicate groups; a pair set with few triangles
+    means the LSH bands are stitching unrelated docs (exactly the
+    failure a band-threshold regression produces), so
+    triangles-per-edge is the one number to alarm on.
+
+    The distributed triangle pattern (Suri & Vassilvitskii's MR
+    classic): every edge is already stored once in canonical a<b
+    orientation, so wedges enumerate as e1(a,b)⋈e2(b,c) on the middle
+    vertex and close against the edge set on (a,c) — two equi-joins,
+    both keyed on bounded ids, no orientation pass needed because the
+    candidate pairs are born canonical. Wedge fan-out is Σ deg², which
+    the LSH band-bucket cap already bounds upstream (the same cap that
+    bounds the pair join itself)."""
+    pairs = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    )
+    e1 = pairs
+    e2 = pairs.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e1.join(e2, "b").select("a", "b", "c")
+    closing = pairs.select(F.col("a"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["a", "c"]).agg(
+        F.count("*").alias("t")
+    )
+    nodes = (
+        pairs.select(F.col("a").alias("n"))
+        .unionAll(pairs.select(F.col("b").alias("n")))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    edges = pairs.agg(F.count("*").alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            F.col("n_nodes").cast("long"),
+            F.col("n_edges").cast("long"),
+            F.col("t").cast("long").alias("n_triangles"),
+            F.when(F.col("n_edges") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("(t * 1000000) div n_edges"))
+            .alias("triangles_per_medge"),
+        )
+    )

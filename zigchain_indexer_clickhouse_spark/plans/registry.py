@@ -104,7 +104,7 @@ _EXPENSIVE = frozenset({
     "overlapping_ranges", "dedup_minhash_lsh", "dedup_exact_substring",
     "tfidf_top_terms", "semdedup", "embedding_near_dup", "tx_hash",
     "kmeans_lloyd", "contamination_fuzzy", "schema_evolution_read",
-    "near_dup_clusters", "dedup_keep_best",
+    "near_dup_clusters", "dedup_keep_best", "dup_graph_triangles",
     "tx_envelope_decode",  # two persisted stages + envelope assembly
     "mad_outlier_bounds",  # two exact-median passes + bounds re-scan
 })
