@@ -107,6 +107,9 @@ _EXPENSIVE = frozenset({
     "near_dup_clusters", "dedup_keep_best", "dup_graph_triangles",
     "tx_envelope_decode",  # two persisted stages + envelope assembly
     "mad_outlier_bounds",  # two exact-median passes + bounds re-scan
+    "winnowing_fingerprint",  # gram hashing + fp pair join
+    "source_overlap_matrix",  # per-source shingle vocabulary join
+    "curation_funnel",  # doc-keyed 2-gram agg dominates
 })
 
 
