@@ -274,6 +274,10 @@ def tx_body_messages(body: Column, max_msgs: int = 16) -> Column:
 _MSG_SEND_STRUCT = (
     "struct<from_address:string,to_address:string,denom:string,amount:string>"
 )
+_MSG_DELEGATE_STRUCT = (
+    "struct<delegator_address:string,validator_address:string,"
+    "denom:string,amount:string>"
+)
 
 
 def msg_send_fields(blob: Column) -> Column:
@@ -295,6 +299,30 @@ def msg_send_fields(blob: Column) -> Column:
     The Any-level walkers (any_type_url / any_value) DO handle 2-byte
     varints — the Any value is the one length that routinely exceeds
     127 bytes."""
+    return _addr_pair_coin_fields(
+        blob, "from_address", "to_address", _MSG_SEND_STRUCT
+    )
+
+
+def msg_delegate_fields(blob: Column) -> Column:
+    """Decode a ``cosmos.staking.v1beta1.MsgDelegate`` body into
+    struct(delegator_address, validator_address, denom, amount). The
+    wire layout is field-for-field identical to MsgSend (field 1
+    delegator string, field 2 validator string, field 3 a single Coin),
+    so the same sequential scan applies with only the struct names
+    changed — exactly how the reference's registry shares generated
+    decode paths across same-shaped staking/bank messages
+    (src/utils/decoder.js:9 defaultRegistryTypes covers both)."""
+    return _addr_pair_coin_fields(
+        blob, "delegator_address", "validator_address", _MSG_DELEGATE_STRUCT
+    )
+
+
+def _addr_pair_coin_fields(blob: Column, f1: str, f2: str,
+                           struct_type: str) -> Column:
+    """The shared (string, string, Coin) body scan behind
+    msg_send_fields / msg_delegate_fields — see msg_send_fields for the
+    1-byte-varint fast-path rationale."""
     h = F.hex(blob)
     ok1 = F.substring(h, 1, 2) == "0A"
     l1 = _byte_at(h, 3)
@@ -315,8 +343,8 @@ def msg_send_fields(blob: Column) -> Column:
     la = _byte_at(coin, pc + 2)
     amount = F.decode(F.unhex(F.substr(coin, pc + 4, la * 2)), "UTF-8")
     st = F.struct(
-        frm.alias("from_address"),
-        to.alias("to_address"),
+        frm.alias(f1),
+        to.alias(f2),
         denom.alias("denom"),
         amount.alias("amount"),
     )
@@ -324,13 +352,75 @@ def msg_send_fields(blob: Column) -> Column:
     # byte fails the decode outright instead of shifting the scan
     short = (l1 < 128) & (l2 < 128) & (l3 < 128) & (ld < 128) & (la < 128)
     # the declared coin/amount lengths must land exactly on their
-    # containers' ends (MsgSend's coin is its last field, the amount the
+    # containers' ends (the coin is the last field, the amount the
     # coin's) — a body cut mid-amount fails closed, never a short read
     exact = (p3 + 4 + l3 * 2 - 1 == F.length(h)) & (
         pc + 4 + la * 2 - 1 == F.length(coin)
     )
     return F.when(ok1 & ok2 & ok3 & okc1 & okc2 & short & exact, st).otherwise(
-        F.lit(None).cast(_MSG_SEND_STRUCT)
+        F.lit(None).cast(struct_type)
+    )
+
+
+def encode_msg_delegate(delegator: Column, validator: Column,
+                        denom: Column, amount: Column) -> Column:
+    """Wire bytes of ``cosmos.staking.v1beta1.MsgDelegate`` — same
+    (string, string, Coin) layout as MsgSend with staking semantics."""
+    return encode_msg_send(delegator, validator, denom, amount)
+
+
+_MSG_VOTE_STRUCT = "struct<proposal_id:bigint,voter:string,option:int>"
+
+
+def encode_msg_vote(proposal_id: Column, voter: Column,
+                    option: Column) -> Column:
+    """Wire bytes of ``cosmos.gov.v1beta1.MsgVote``: field 1
+    proposal_id (uint64 VARINT — wire type 0, tag 0x08: the first
+    scalar-varint field in this registry, everything else is
+    length-delimited), field 2 voter (string, 0x12), field 3 option
+    (enum varint, 0x18). proposal_id supports the 2-byte varint range
+    (< 16384) like every other length in this module; beyond that
+    _varint_hex raises rather than truncating."""
+    return F.unhex(F.concat(
+        F.lit("08"), _varint_hex(proposal_id),
+        _ld_field("12", F.hex(voter.cast("binary")), F.octet_length(voter)),
+        F.lit("18"), _varint_hex(option),
+    ))
+
+
+def msg_vote_fields(blob: Column) -> Column:
+    """Decode a ``MsgVote`` body into struct(proposal_id, voter,
+    option) — the registry's first SCALAR-VARINT field decode (the
+    string/Coin scans above only ever read varints as lengths).
+    proposal_id accepts 1- or 2-byte varints (ids < 16384); option is
+    a 1-byte enum. Any continuation bit beyond those ranges, a
+    misplaced tag, or trailing bytes after the option fail the whole
+    struct to NULL — the unknown-type fallback, never a shifted
+    misread."""
+    h = F.hex(blob)
+    ok1 = F.substring(h, 1, 2) == "08"
+    b0 = _byte_at(h, 3)
+    b1 = _byte_at(h, 5)
+    one = b0 < 128
+    pid = F.when(one, b0).otherwise((b0 - 128) + b1 * 128).cast("bigint")
+    p2 = F.when(one, F.lit(5)).otherwise(F.lit(7))
+    ok2 = F.substr(h, p2, F.lit(2)) == "12"
+    l2 = _byte_at(h, p2 + 2)
+    voter = F.decode(F.unhex(F.substr(h, p2 + 4, l2 * 2)), "UTF-8")
+    p3 = p2 + 4 + l2 * 2
+    ok3 = F.substr(h, p3, F.lit(2)) == "18"
+    o0 = _byte_at(h, p3 + 2)
+    st = F.struct(
+        pid.alias("proposal_id"),
+        voter.alias("voter"),
+        o0.cast("int").alias("option"),
+    )
+    short = (one | (b1 < 128)) & (l2 < 128) & (o0 < 128)
+    # option (1-byte varint) is the last field: the scan must land
+    # exactly on the body's end
+    exact = p3 + 3 == F.length(h)
+    return F.when(ok1 & ok2 & ok3 & short & exact, st).otherwise(
+        F.lit(None).cast(_MSG_VOTE_STRUCT)
     )
 
 

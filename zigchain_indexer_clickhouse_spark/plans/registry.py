@@ -110,6 +110,7 @@ _EXPENSIVE = frozenset({
     "winnowing_fingerprint",  # gram hashing + fp pair join
     "source_overlap_matrix",  # per-source shingle vocabulary join
     "curation_funnel",  # doc-keyed 2-gram agg dominates
+    "msg_registry_decode",  # five encoder branches to compile + persist
 })
 
 

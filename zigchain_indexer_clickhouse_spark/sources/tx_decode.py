@@ -35,11 +35,15 @@ from zigchain_indexer_clickhouse_spark.functions.protobuf import (
     any_type_url,
     any_value,
     encode_any_msg,
+    encode_msg_delegate,
     encode_msg_execute,
     encode_msg_send,
+    encode_msg_vote,
     encode_tx_raw,
+    msg_delegate_fields,
     msg_execute_fields,
     msg_send_fields,
+    msg_vote_fields,
     tx_body_messages,
     tx_raw_body,
 )
@@ -290,4 +294,152 @@ def msg_multi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_msgs"),
         F.sum("amt").alias("total_amt"),
         F.min("raw_b64").alias("first_raw"),
+    )
+
+
+_MSG_DELEGATE_URL = "/cosmos.staking.v1beta1.MsgDelegate"
+_MSG_VOTE_URL = "/cosmos.gov.v1beta1.MsgVote"
+
+
+# --------------------------------------------------------------------------
+# 187. msg_registry_decode — 4-type registry (bank/wasm/staking/gov)
+# --------------------------------------------------------------------------
+@register(
+    "msg_registry_decode",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, user_id, value,
+             CASE CAST(event_id % 5 AS INTEGER)
+               WHEN 0 THEN '/cosmos.bank.v1beta1.MsgSend'
+               WHEN 1 THEN '/cosmwasm.wasm.v1.MsgExecuteContract'
+               WHEN 2 THEN '/cosmos.staking.v1beta1.MsgDelegate'
+               WHEN 3 THEN '/cosmos.gov.v1beta1.MsgVote'
+               ELSE '/zigchain.custom.v1.MsgCustom' END AS type_url
+      FROM events)
+    SELECT type_url,
+           CASE WHEN type_url = '/zigchain.custom.v1.MsgCustom'
+                THEN 'Unknown message type' ELSE 'ok' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(CASE WHEN event_id % 5 IN (0, 1, 2)
+                         THEN CAST(floor(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS total_amt,
+           CAST(SUM(CASE WHEN event_id % 5 = 3
+                         THEN user_id % 10000 ELSE 0 END) AS BIGINT)
+             AS sum_pid,
+           CAST(SUM(CASE WHEN event_id % 5 = 3 AND event_id % 4 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_yes
+    FROM m GROUP BY 1, 2
+    """,
+)
+def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The widened registry dispatch (#151 grown from 2 to 4 decoded
+    types): MsgSend (bank), MsgExecuteContract (wasm), MsgDelegate
+    (staking — the Coin-bearing staking family), MsgVote (gov — the
+    registry's first SCALAR-VARINT field, proposal_id, plus a 1-byte
+    enum), and the unregistered-type fallback row. The reference
+    registers all defaultRegistryTypes (src/utils/decoder.js:9) and
+    falls back to ``{error: 'Unknown message type', raw}`` on a miss
+    (decoder.js:20-24); each type added here shrinks the typeUrl+raw
+    envelope to real decoded fields at known cost.
+
+    Dispatch keys on the DECODE OUTCOME (a non-null routed struct),
+    so a shifted offset in any of the four body scans flips rows into
+    the fallback and fails the oracle hash. The aggregate proves all
+    four decodes recover real fields: total_amt sums the Coin amount
+    from send/delegate and the JSON-embedded amount from exec;
+    sum_pid sums the varint-decoded proposal ids; n_yes counts
+    decoded VOTE_OPTION_YES enums. Scale shape as #151: blob build
+    and Any-unwrap persist once each (bound attributes keep the ~80
+    positional references of the four decoders inside whole-stage
+    codegen), then one keyed aggregate."""
+
+    def _build() -> DataFrame:
+        e = load(spark, sf_dir, "events")
+        kind = (F.col("event_id") % 5).cast("int")
+        send_blob = _msg_send_blob(F.col("user_id"), F.col("value"))
+        exec_blob = encode_any_msg(
+            F.lit(_MSG_EXEC_URL),
+            encode_msg_execute(
+                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
+                F.concat(F.lit("zig1w"),
+                         (F.col("event_id") % 7).cast("string")),
+                F.concat(
+                    F.lit('{"transfer":{"amount":"'),
+                    F.floor(F.col("value") * 100).cast("long").cast("string"),
+                    F.lit('"}}'),
+                ),
+            ),
+        )
+        delegate_blob = encode_any_msg(
+            F.lit(_MSG_DELEGATE_URL),
+            encode_msg_delegate(
+                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
+                F.concat(F.lit("zigvaloper"),
+                         (F.col("user_id") % 50).cast("string")),
+                F.lit("uzig"),
+                F.floor(F.col("value") * 100).cast("long").cast("string"),
+            ),
+        )
+        vote_blob = encode_any_msg(
+            F.lit(_MSG_VOTE_URL),
+            encode_msg_vote(
+                F.col("user_id") % 10000,
+                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
+                (F.col("event_id") % 4 + 1).cast("int"),
+            ),
+        )
+        custom_blob = encode_any_msg(
+            F.lit("/zigchain.custom.v1.MsgCustom"),
+            F.concat(F.lit("custom:"), F.col("event_id").cast("string"))
+            .cast("binary"),
+        )
+        # one UNION branch per message type (the Janino 64 KB lesson of
+        # #151): each branch codegens its single encoder alone
+        return (
+            e.filter(kind == 0).select(send_blob.alias("blob"))
+            .unionAll(e.filter(kind == 1).select(exec_blob.alias("blob")))
+            .unionAll(e.filter(kind == 2).select(delegate_blob.alias("blob")))
+            .unionAll(e.filter(kind == 3).select(vote_blob.alias("blob")))
+            .unionAll(e.filter(kind == 4).select(custom_blob.alias("blob")))
+        )
+
+    def _unwrap() -> DataFrame:
+        blobs = _shared_stage("registry_decode_blobs", spark, sf_dir, _build)
+        return blobs.select(
+            any_type_url(F.col("blob")).alias("type_url"),
+            any_value(F.col("blob")).alias("body"),
+        )
+
+    msgs = _shared_stage("registry_decode_unwrapped", spark, sf_dir, _unwrap)
+    is_send = F.col("type_url") == _MSG_SEND_URL
+    is_exec = F.col("type_url") == _MSG_EXEC_URL
+    is_del = F.col("type_url") == _MSG_DELEGATE_URL
+    is_vote = F.col("type_url") == _MSG_VOTE_URL
+    routed = msgs.select(
+        "type_url",
+        F.when(is_send, msg_send_fields(F.col("body"))).alias("send"),
+        F.when(is_exec, msg_execute_fields(F.col("body"))).alias("exec"),
+        F.when(is_del, msg_delegate_fields(F.col("body"))).alias("dele"),
+        F.when(is_vote, msg_vote_fields(F.col("body"))).alias("vote"),
+    ).select(
+        "type_url",
+        F.when(
+            F.col("send").isNotNull() | F.col("exec").isNotNull()
+            | F.col("dele").isNotNull() | F.col("vote").isNotNull(),
+            "ok",
+        ).otherwise("Unknown message type").alias("status"),
+        F.when(is_send, F.col("send.amount").cast("long"))
+        .when(is_exec,
+              F.get_json_object(F.col("exec.msg_json"), "$.transfer.amount")
+              .cast("long"))
+        .when(is_del, F.col("dele.amount").cast("long"))
+        .otherwise(F.lit(0)).alias("amt"),
+        F.coalesce(F.col("vote.proposal_id"), F.lit(0)).alias("pid"),
+        (F.col("vote.option") == 1).cast("long").alias("yes"),
+    )
+    return routed.groupBy("type_url", "status").agg(
+        F.count("*").alias("n_msgs"),
+        F.sum("amt").alias("total_amt"),
+        F.sum("pid").alias("sum_pid"),
+        F.coalesce(F.sum("yes"), F.lit(0)).cast("long").alias("n_yes"),
     )
