@@ -229,6 +229,9 @@ _BNLJ_ALLOWED = {
     "heavy_hitters_weighted",  # 1-row weight-total broadcast, same shape
     "fk_orphan_check",  # four 1-row count x 1-row orphan-count unions
     "dup_graph_triangles",  # 1-row node/edge/triangle count joins
+    "ngram_novelty_decay",  # 1-row doc-count bound broadcast
+    "token_pmi_pairs",  # 1-row token-total broadcast
+    "welch_ttest_by_type",  # |types|-row summary inequality self-join
 }
 
 

@@ -470,3 +470,87 @@ def heavy_hitters_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(weight * 1000000) div totw").alias("share_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 190. welch_ttest_by_type — ClickHouse welchTTest() analog, all type pairs
+# --------------------------------------------------------------------------
+# the Welch t statistic from exact integer (count, Σcents, Σcents²)
+# triples — the SAME formula string runs in Spark SQL and DuckDB, so
+# both engines execute identical IEEE double ops on identical integer
+# inputs and the floor-quantized output matches bit-for-bit
+_WELCH_T = """
+    (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+    / sqrt(
+        ((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE) * s_a / n_a)
+           / (n_a - 1)) / n_a
+        + ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE) * s_b / n_b)
+           / (n_b - 1)) / n_b
+      )
+"""
+
+
+@register(
+    "welch_ttest_by_type",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+      FROM events GROUP BY event_type
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS n_a, b.n AS n_b, a.s AS s_a, b.s AS s_b,
+             a.q AS q_a, b.q AS q_b
+      FROM g a JOIN g b ON a.event_type < b.event_type
+    )
+    SELECT type_a, type_b, n_a, n_b,
+           CAST(floor(({_WELCH_T}) * 1000000) AS BIGINT) AS t_micro
+    FROM p
+    """,
+)
+def welch_ttest_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``welchTTest``: the unequal-variance t statistic of
+    event value (cents) between every pair of event types — the A/B
+    significance readout CH serves from one aggregate pass.
+
+    Exactness discipline: values are integer-quantized to cents PER
+    ROW, so each group's (count, Σ, Σ²) triple is an exact BIGINT and
+    the t statistic is one deterministic double expression over exact
+    integers — the SAME formula text runs on both engines (module
+    constant ``_WELCH_T``), making even the floor-quantized micro
+    output hash-identical. (Σ² of cents stays under 2^63 to ~10^9
+    rows per group; beyond that the per-group triple would quantize to
+    dollars or fold in Kahan style.)
+
+    Scale shape: ONE map-side-combinable groupBy over the event
+    stream → a |types|-row frame; the pair join is |types|² driver-side
+    trivia (broadcast inequality join on a 5-row build side). This is
+    the CH aggregate-combinator story: the scan cost is one pass,
+    everything pairwise happens on the tiny summary."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    g = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    a = g.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"), F.col("q").alias("q_a"),
+    )
+    b = g.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"), F.col("q").alias("q_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a", "type_b", "n_a", "n_b",
+        F.expr(
+            f"CAST(floor(({_WELCH_T}) * 1000000) AS BIGINT)"
+        ).alias("t_micro"),
+    )

@@ -386,3 +386,95 @@ def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hs", hs)
         .select("doc_id", F.explode(fps_arr).alias("fp"))
     )
+
+
+# --------------------------------------------------------------------------
+# 191. token_pmi_pairs — collocation mining (pointwise mutual information)
+# --------------------------------------------------------------------------
+PMI_MIN_PAIR = 5   # minimum bigram count to score (the classic PMI floor)
+PMI_TOP = 50
+
+
+@register(
+    "token_pmi_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    uni AS (
+      SELECT t.tok AS w, COUNT(*) AS c
+      FROM (SELECT unnest(toks) AS tok FROM tok) t GROUP BY t.tok
+    ),
+    n AS (SELECT SUM(c) AS total FROM uni),
+    pairs AS (
+      SELECT toks[g.i] AS w1, toks[g.i + 1] AS w2, COUNT(*) AS c_xy
+      FROM tok, generate_series(1, 4000) g(i)
+      WHERE g.i <= len(toks) - 1
+      GROUP BY 1, 2
+    )
+    SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST(u1.c AS BIGINT) AS c_x, CAST(u2.c AS BIGINT) AS c_y,
+           CAST(c_xy * n.total * 1000000 // (u1.c * u2.c) AS BIGINT)
+             AS lift_ppm
+    FROM pairs
+    JOIN uni u1 ON u1.w = w1
+    JOIN uni u2 ON u2.w = w2
+    CROSS JOIN n
+    WHERE c_xy >= {PMI_MIN_PAIR}
+    ORDER BY lift_ppm DESC, w1, w2 LIMIT {PMI_TOP}
+    """,
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-{PMI_TOP} adjacent token bigrams by
+    pointwise mutual information — the tokenizer-vocabulary /
+    multi-word-expression signal (Church & Hanks 1990). PMI =
+    log(P(xy) / P(x)P(y)); since log is monotone, ranking by the RAW
+    LIFT c_xy·N / (c_x·c_y) is rank-identical and — held in integer
+    ppm — arithmetic-exact on both engines (no float logs anywhere;
+    the {PMI_MIN_PAIR}-count floor is the standard guard against
+    rare-pair PMI explosion). At corpora where c_xy·N·1e6 could
+    exceed 2^63 (≳10^12 tokens), the lift would shift to per-billion
+    with a pre-divided N — noted, not needed at bench scale.
+
+    Scale shape: bigram generation in expression land (zip of the
+    token array with its tail — zero shuffle before the pair agg);
+    ONE map-side-combinable pair groupBy; unigram counts are the SAME
+    shape; the two lookup joins are shuffle equi-joins on the token
+    key (the vocabulary is corpus-sized — never broadcast); the 1-row
+    total broadcasts; TakeOrderedAndProject keeps the top rows
+    without a global sort."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " ")
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n = uni.agg(F.sum("c").alias("total"))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        d.filter(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_PAIR)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    return (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2", "c_xy", "c_x", "c_y",
+            F.expr(
+                "CAST(c_xy * total * 1000000 DIV (c_x * c_y) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "w1", "w2")
+        .limit(PMI_TOP)
+    )

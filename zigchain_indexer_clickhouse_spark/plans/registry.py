@@ -47,6 +47,7 @@ _MODULES = (
     "zigchain_indexer_clickhouse_spark.operators.retrieval",
     "zigchain_indexer_clickhouse_spark.operators.segments",
     "zigchain_indexer_clickhouse_spark.operators.corpus_prep",
+    "zigchain_indexer_clickhouse_spark.operators.corpus_transform",
     "zigchain_indexer_clickhouse_spark.operators.matviews",
     "zigchain_indexer_clickhouse_spark.operators.funnel",
     "zigchain_indexer_clickhouse_spark.operators.olap_extra",
