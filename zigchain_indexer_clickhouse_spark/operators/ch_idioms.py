@@ -315,3 +315,46 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.isNull().cast("int").alias("is_current"),
         "value",
     )
+
+
+# --------------------------------------------------------------------------
+# 194. cumulative_unique_users — running uniqExact over the event timeline
+# --------------------------------------------------------------------------
+@register(
+    "cumulative_unique_users",
+    oracle="""
+    WITH fd AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events
+      GROUP BY user_id
+    ),
+    nd AS (SELECT day, COUNT(*) AS new_users FROM fd GROUP BY day)
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM nd
+    """,
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of distinct users ever seen, per day — the
+    growth-curve readout (CH: ``uniqExact`` under a cumulative
+    ``ORDER BY ... ROWS UNBOUNDED PRECEDING`` window, which CH serves
+    with uniqState merges). A naive running COUNT(DISTINCT) window
+    over the event stream is quadratic and unshardable; the exact
+    Spark-first identity is: cumulative distinct count = running SUM
+    of FIRST-SEEN counts.
+
+    Plan: one map-side-combinable min(date) groupBy on user_id, one
+    tiny day-keyed count, then the cumulative window runs over the
+    DAY-GRAIN frame — thousands of rows at century scale, regardless
+    of event volume, so the single-partition ordered window is a
+    constant-cost tail, not a bottleneck."""
+    e = load(spark, sf_dir, "events")
+    fd = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    nd = fd.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return nd.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )

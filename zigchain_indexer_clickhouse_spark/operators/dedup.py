@@ -1080,3 +1080,95 @@ def dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("triangles_per_medge"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 195. prefix_filter_join — exact similarity join via prefix filtering
+# --------------------------------------------------------------------------
+PF_JACCARD_MIN_PPM = 700_000  # Jaccard >= 0.7
+
+
+def _prefix_filter_oracle() -> str:
+    base = portable_hash_sql("shingle")
+    return f"""
+    WITH corpus AS ({_CORPUS_NEAR}),
+    tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM corpus),
+    shd AS (
+      SELECT DISTINCT doc_id,
+             toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
+      FROM tok, generate_series(1, 4000) g(i)
+      WHERE g.i <= len(toks) - 2
+    ),
+    shh AS (SELECT DISTINCT doc_id, {base} AS bh FROM shd),
+    nsh AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS ninter
+      FROM shh x JOIN shh y ON x.bh = y.bh AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jac_ppm FROM (
+      SELECT i.doc_a, i.doc_b,
+             CAST(i.ninter * 1000000 // (na.n + nb.n - i.ninter) AS BIGINT)
+               AS jac_ppm
+      FROM inter i
+      JOIN nsh na ON na.doc_id = i.doc_a
+      JOIN nsh nb ON nb.doc_id = i.doc_b
+    ) WHERE jac_ppm >= {PF_JACCARD_MIN_PPM}
+    """
+
+
+@register("prefix_filter_join", oracle=_prefix_filter_oracle())
+def prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the
+    AllPairs/PPJoin family, Bayardo et al. 2007 / Xiao et al. 2008) —
+    the deterministic complement to MinHash LSH: every pair with
+    shingle Jaccard >= {PF_JACCARD_MIN_PPM}/1e6 is found, guaranteed,
+    with NO probabilistic recall gap. Order each doc's shingles by
+    ascending global document frequency (rarest first); for threshold
+    t a pair can only qualify if it shares a shingle inside each
+    side's first |x| - ceil(t*|x|) + 1 shingles — so candidates come
+    from an equi-join on PREFIX shingles only. Rare-first ordering
+    makes the filter self-limiting: prefixes hold precisely the
+    lowest-df shingles, so candidate fan-out Σ df_prefix² stays small
+    even where total df is boilerplate-sized.
+
+    The oracle is deliberately the BRUTE-FORCE similarity join (every
+    pair sharing ANY shingle, exact Jaccard) — a completeness proof:
+    if prefix filtering ever missed a qualifying pair, the hash
+    compare fails. Verification re-joins hashed shingle SETS by id
+    (array_intersect in expression land); integer-ppm Jaccard feeds
+    the threshold, per the ordering-compare rule."""
+    t = PF_JACCARD_MIN_PPM / 1_000_000
+    hashed = shared_hashed_shingles(spark, sf_dir)
+    sh = hashed.select("doc_id", F.size("bh").alias("n"),
+                       F.explode("bh").alias("h"))
+    dfc = sh.groupBy("h").agg(F.count("*").alias("df"))
+    wd = Window.partitionBy("doc_id").orderBy("df", "h")
+    prefix = (
+        sh.join(dfc, "h")
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= F.col("n") - F.ceil(F.col("n") * t) + 1)
+        .select("doc_id", "h")
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "h")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "h")
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = hashed.select(F.col("doc_id").alias("doc_a"), F.col("bh").alias("sa"))
+    sb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("bh").alias("sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.expr(
+                "CAST(size(array_intersect(sa, sb)) * 1000000 "
+                "DIV size(array_union(sa, sb)) AS BIGINT)"
+            ).alias("jac_ppm"),
+        )
+        .filter(F.col("jac_ppm") >= PF_JACCARD_MIN_PPM)
+    )

@@ -381,3 +381,89 @@ def sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_matches"),
     )
+
+
+# --------------------------------------------------------------------------
+# 193. conversion_attribution — first-touch / last-touch click attribution
+# --------------------------------------------------------------------------
+ATTR_LOOKBACK_DAYS = 7
+
+
+@register(
+    "conversion_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    fc AS (
+      SELECT p.event_id, MIN(e.ts) AS fts
+      FROM p JOIN events e ON e.user_id = p.user_id
+       AND e.event_type = 'click' AND e.ts < p.ts
+      GROUP BY p.event_id
+    ),
+    lc AS (
+      SELECT p.event_id, MAX(e.ts) AS lts
+      FROM p JOIN events e ON e.user_id = p.user_id
+       AND e.event_type = 'click' AND e.ts < p.ts
+       AND e.ts >= p.ts - INTERVAL {ATTR_LOOKBACK_DAYS} DAY
+      GROUP BY p.event_id
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           fc.fts AS first_touch_ts,
+           lc.lts AS last_touch_ts,
+           CAST(CASE WHEN lc.lts IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS attributed
+    FROM p
+    LEFT JOIN fc ON fc.event_id = p.event_id
+    LEFT JOIN lc ON lc.event_id = p.event_id
+    """,
+)
+def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution per conversion: for every purchase, the
+    user's FIRST click ever before it (first-touch: which acquisition
+    channel gets origin credit) and the LAST click within a
+    {ATTR_LOOKBACK_DAYS}-day lookback (last-touch: which interaction
+    closed). The standard two-model readout CH users build from one
+    sequenced scan.
+
+    Plan: ONE shuffle on user_id, then both touches come from a single
+    sorted window pass — ``first``/``last(ignorenulls)`` over preceding
+    rows — never a per-purchase self-join (the oracle's relational
+    join formulation is the independent cross-check). Strictly-before
+    semantics under timestamp ties is an ORDERING decision: purchases
+    sort BEFORE same-timestamp clicks ((ts, kind, event_id) key), so a
+    click at exactly the purchase instant is excluded on both engines.
+    The lookback filter is applied to the window result value, which
+    is only correct because the window maximizes ts and the filter is
+    a suffix condition on ts — the masked case (a same-ts click hiding
+    an earlier qualifying one) is prevented by the tie ordering."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    kind = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", kind, "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    touched = e.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.first(click_ts, ignorenulls=True).over(w).alias("fts"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("lts_raw"),
+    )
+    return touched.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("fts").alias("first_touch_ts"),
+        F.when(
+            F.col("lts_raw")
+            >= F.col("ts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_DAYS} DAYS"),
+            F.col("lts_raw"),
+        ).alias("last_touch_ts"),
+        F.when(
+            F.col("lts_raw")
+            >= F.col("ts") - F.expr(f"INTERVAL {ATTR_LOOKBACK_DAYS} DAYS"),
+            1,
+        ).otherwise(0).cast("int").alias("attributed"),
+    )
