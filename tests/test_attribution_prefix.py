@@ -120,3 +120,32 @@ def test_prefix_filter_is_complete_superset_of_lsh(spark):
         # LSH reports round(j, 4); exact reports floor-ppm — consistent
         # to one rounding ulp
         assert abs(exact[pair] / 1_000_000 - jac) < 1.5e-4, (pair, jac)
+
+
+def test_pagerank_structure_and_bounds(spark):
+    """#196: node set == pair-endpoint set; every rank carries at
+    least the damped base plus one neighbor's minimum contribution;
+    total rank mass stays within the damped fixed-point envelope."""
+    from zigchain_indexer_clickhouse_spark.operators.dedup import (
+        PR_BASE_PPM,
+        dedup_minhash_lsh,
+        pagerank_dupgraph,
+    )
+
+    ranks = {
+        r["doc_id"]: r for r in pagerank_dupgraph(spark, SF).collect()
+    }
+    pairs = dedup_minhash_lsh(spark, SF).collect()
+    endpoints = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert set(ranks) == endpoints
+    for r in ranks.values():
+        assert r["rank_ppm"] >= PR_BASE_PPM
+        assert r["degree"] >= 1
+    # an ISOLATED pair (both endpoints degree 1) is the recurrence's
+    # exact integer fixed point: 150000 + 850000*1e6 div 1e6 = 1e6 at
+    # every iteration
+    for p in pairs:
+        a, b = p["doc_a"], p["doc_b"]
+        if ranks[a]["degree"] == 1 and ranks[b]["degree"] == 1:
+            assert ranks[a]["rank_ppm"] == 1_000_000
+            assert ranks[b]["rank_ppm"] == 1_000_000

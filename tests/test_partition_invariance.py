@@ -39,6 +39,9 @@ _PROBED = [
     # integer-geometry argmax: the per-bucket row_number pick must not
     # depend on which executor saw the bucket
     "lttb_downsample",
+    # iterative integer-ppm recurrence: five chained aggregates whose
+    # summation order must not perturb any bit
+    "pagerank_dupgraph",
 ]
 
 

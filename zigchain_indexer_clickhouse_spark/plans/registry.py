@@ -112,6 +112,7 @@ _EXPENSIVE = frozenset({
     "source_overlap_matrix",  # per-source shingle vocabulary join
     "curation_funnel",  # doc-keyed 2-gram agg dominates
     "msg_registry_decode",  # five encoder branches to compile + persist
+    "pagerank_dupgraph",  # five chained iterations over the pair graph
 })
 
 
