@@ -149,3 +149,71 @@ def test_pagerank_structure_and_bounds(spark):
         if ranks[a]["degree"] == 1 and ranks[b]["degree"] == 1:
             assert ranks[a]["rank_ppm"] == 1_000_000
             assert ranks[b]["rank_ppm"] == 1_000_000
+
+
+def test_max_intersections_matches_flat_sweep(spark):
+    """#197: the two-level striped sweep must equal a flat per-day
+    sweep recomputed in Python from the raw intervals."""
+    from zigchain_indexer_clickhouse_spark.catalog import load
+    from zigchain_indexer_clickhouse_spark.operators.ch_aggregates import (
+        max_intersections_daily,
+    )
+
+    raw = load(spark, SF, "events").select("user_id", "ts").collect()
+    iv: dict[tuple, list] = {}
+    for r in raw:
+        k = (r["user_id"], r["ts"].date())
+        if k not in iv:
+            iv[k] = [r["ts"], r["ts"]]
+        else:
+            iv[k][0] = min(iv[k][0], r["ts"])
+            iv[k][1] = max(iv[k][1], r["ts"])
+    by_day: dict = {}
+    for (u, day), (s, e) in iv.items():
+        by_day.setdefault(day, []).append((s, e))
+    expect = {}
+    for day, ivs in by_day.items():
+        deltas = [(s, 0, 1) for s, _ in ivs] + [(e, 1, -1) for _, e in ivs]
+        run = peak = 0
+        for _, _, d in sorted(deltas):  # (t, +1 before -1)
+            run += d
+            peak = max(peak, run)
+        expect[day] = (len(ivs), peak)
+    got = {
+        r["day"]: (r["n_intervals"], r["peak_concurrent"])
+        for r in max_intersections_daily(spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_point_in_range_join_exact_membership(spark):
+    """#198: bucketed candidates + BETWEEN post-filter must equal the
+    naive containment scan, including unmatched points."""
+    from zigchain_indexer_clickhouse_spark.catalog import load
+    from zigchain_indexer_clickhouse_spark.operators.olap_shapes import (
+        point_in_range_join,
+    )
+
+    orders = load(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    ).collect()
+    ranges = [
+        (o["o_orderkey"], o["o_orderkey"] * 10,
+         o["o_orderkey"] * 10 + 5 + o["o_custkey"] % 30)
+        for o in orders if o["o_orderstatus"] in ("O", "P")
+    ]
+    dom = 10 * max(o["o_orderkey"] for o in orders) + 36
+    events = load(spark, SF, "events").select("event_id", "value").collect()
+    expect = {}
+    for ev in events:
+        p = int(round(ev["value"] * 100)) * dom // 100000
+        hits = [rid for rid, s, e in ranges if s <= p <= e]
+        expect[ev["event_id"]] = (
+            p, len(hits), min(hits) if hits else None
+        )
+    got = {
+        r["pid"]: (r["p"], r["n_ranges"], r["first_range"])
+        for r in point_in_range_join(spark, SF).collect()
+    }
+    assert got == expect
+    assert any(v[1] == 0 for v in got.values()) or len(got) < 100

@@ -232,6 +232,7 @@ _BNLJ_ALLOWED = {
     "ngram_novelty_decay",  # 1-row doc-count bound broadcast
     "token_pmi_pairs",  # 1-row token-total broadcast
     "welch_ttest_by_type",  # |types|-row summary inequality self-join
+    "point_in_range_join",  # 1-row domain-bound broadcast
 }
 
 

@@ -74,6 +74,15 @@ QUERIES = [
     "window_funnel_strict",     # one window with leads on the funnel stream
     "ttl_group_by_rollup",      # cutoff-split scan: agg branch + raw branch
     "heavy_hitters_weighted",   # weighted MG sketch + pruned recount
+    # round-6 additions
+    "msg_registry_decode",      # 4-type registry decode + persisted stages
+    "segment_dedup_reassemble", # min-struct first-occurrence + reassembly
+    "boilerplate_strip",        # per-source df pass + reassembly
+    "ngram_novelty_decay",      # gram min-doc groupBy + join back
+    "token_pmi_pairs",          # pair agg + two vocab equi-joins
+    "prefix_filter_join",       # rare-first prefix candidates + verify
+    "pagerank_dupgraph",        # 5 integer power iterations
+    "conversion_attribution",   # one sorted window pass per user
 ]
 
 

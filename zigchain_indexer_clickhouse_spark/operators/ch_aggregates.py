@@ -554,3 +554,88 @@ def welch_ttest_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(floor(({_WELCH_T}) * 1000000) AS BIGINT)"
         ).alias("t_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# 197. max_intersections_daily — ClickHouse maxIntersections() analog
+# --------------------------------------------------------------------------
+@register(
+    "max_intersections_daily",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(ts) AS s, MAX(ts) AS e
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    deltas AS (
+      SELECT day, s AS t, 1 AS d FROM iv
+      UNION ALL SELECT day, e AS t, -1 AS d FROM iv
+    ),
+    run AS (
+      SELECT day,
+             SUM(d) OVER (PARTITION BY day ORDER BY t, d DESC
+                          ROWS UNBOUNDED PRECEDING) AS r
+      FROM deltas
+    )
+    SELECT run.day,
+           CAST(n.n AS BIGINT) AS n_intervals,
+           CAST(MAX(run.r) AS BIGINT) AS peak_concurrent
+    FROM run JOIN (SELECT day, COUNT(*) AS n FROM iv GROUP BY day) n
+      ON n.day = run.day
+    GROUP BY run.day, n.n
+    """,
+)
+def max_intersections_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``maxIntersections``: the peak number of
+    simultaneously-active user sessions per day (sessions here = each
+    user's daily [first-event, last-event] interval, CLOSED on both
+    ends — a session ending at instant t still overlaps one starting
+    at t, which the +1-before-−1 tie ordering encodes identically on
+    both engines). This is the capacity-planning number CH serves
+    with one aggregate.
+
+    Scale shape — the distributed sweep line: a naive running sum
+    ORDER BY t across a whole day is one unbounded window partition
+    (millions of rows/day at 100 TB). Instead the sweep is TWO-LEVEL:
+    (1) running sums and local peaks within (day, hour) stripes —
+    bounded partitions; (2) stripe delta-totals roll up on the tiny
+    (day, hour) frame, a cumulative window over ≤24 rows/day yields
+    each stripe's starting offset; (3) global peak = max over stripes
+    of (offset + local peak). Identical decomposition to a parallel
+    prefix-sum; the answer is provably equal to the flat sweep. Peak
+    is tie-order-invariant (any permutation of equal (t, d) rows
+    yields the same partial-sum SET), so layout cannot change it."""
+    e = load(spark, sf_dir, "events")
+    iv = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    deltas = iv.select(
+        "day", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        iv.select("day", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    ).withColumn("stripe", F.hour("t"))
+    w_local = (
+        Window.partitionBy("day", "stripe")
+        .orderBy(F.col("t"), F.col("d").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = deltas.withColumn("r_local", F.sum("d").over(w_local))
+    stripes = local.groupBy("day", "stripe").agg(
+        F.sum("d").alias("tot"), F.max("r_local").alias("local_peak")
+    )
+    w_off = (
+        Window.partitionBy("day")
+        .orderBy("stripe")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    peaks = stripes.withColumn(
+        "offset", F.coalesce(F.sum("tot").over(w_off), F.lit(0))
+    ).groupBy("day").agg(
+        F.max(F.col("offset") + F.col("local_peak")).alias("peak")
+    )
+    n = iv.groupBy("day").agg(F.count("*").alias("n"))
+    return peaks.join(n, "day").select(
+        "day",
+        F.col("n").cast("long").alias("n_intervals"),
+        F.col("peak").cast("long").alias("peak_concurrent"),
+    )

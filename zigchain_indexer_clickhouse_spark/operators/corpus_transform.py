@@ -32,10 +32,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zigchain_indexer_clickhouse_spark.catalog import load
-from zigchain_indexer_clickhouse_spark.functions.hashing import (
-    portable_hash,
-    portable_hash_sql,
-)
 from zigchain_indexer_clickhouse_spark.plans.registry import register
 
 SEG_TOKENS = 16       # reassembly segment width (matches segment_dedup)
@@ -89,14 +85,11 @@ def _seg_sql(width: int) -> str:
     "segment_dedup_reassemble",
     oracle=f"""
     WITH {_seg_sql(SEG_TOKENS)},
-    sh AS (
-      SELECT doc_id, idx, seg, {portable_hash_sql("seg")} AS segh FROM seg
-    ),
     r AS (
       SELECT doc_id, idx, seg,
-             ROW_NUMBER() OVER (PARTITION BY segh
+             ROW_NUMBER() OVER (PARTITION BY seg
                                 ORDER BY doc_id, idx) AS rn
-      FROM sh
+      FROM seg
     )
     SELECT doc_id,
            COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
@@ -126,7 +119,7 @@ def segment_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow shuffles total; document text crosses the wire once."""
     d = load(spark, sf_dir, "documents")
     seg = _segments(d, SEG_TOKENS).withColumn(
-        "segh", portable_hash(F.col("seg"))
+        "segh", F.xxhash64("seg")
     )
     first = seg.groupBy("segh").agg(
         F.min(F.struct("doc_id", "idx")).alias("f")
@@ -168,19 +161,14 @@ def segment_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     "boilerplate_strip",
     oracle=f"""
     WITH {_seg_sql(BOILER_TOKENS)},
-    sh AS (
-      SELECT doc_id, source, idx, seg,
-             {portable_hash_sql("seg")} AS segh
-      FROM seg
-    ),
     df AS (
-      SELECT source, segh, COUNT(DISTINCT doc_id) AS n_docs
-      FROM sh GROUP BY source, segh
+      SELECT source, seg, COUNT(DISTINCT doc_id) AS n_docs
+      FROM seg GROUP BY source, seg
     ),
     fl AS (
-      SELECT sh.doc_id, sh.source, sh.idx, sh.seg,
+      SELECT s.doc_id, s.source, s.idx, s.seg,
              (df.n_docs >= {BOILER_MIN_DOCS}) AS boiler
-      FROM sh JOIN df USING (source, segh)
+      FROM seg s JOIN df USING (source, seg)
     )
     SELECT doc_id, source,
            CAST(COUNT(*) AS BIGINT) AS n_segments,
@@ -207,7 +195,7 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-vocabulary-sized and stays distributed."""
     d = load(spark, sf_dir, "documents")
     seg = _segments(d, BOILER_TOKENS).withColumn(
-        "segh", portable_hash(F.col("seg"))
+        "segh", F.xxhash64("seg")
     )
     df_counts = seg.groupBy("source", "segh").agg(
         F.countDistinct("doc_id").alias("n_docs")
@@ -252,9 +240,7 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     mx AS (SELECT MAX(doc_id) + 1 AS n_docs FROM tok),
     grams AS (
-      SELECT doc_id,
-             {portable_hash_sql(
-                 "array_to_string(toks[g.i:(g.i + 2)], ' ')")} AS gh
+      SELECT doc_id, array_to_string(toks[g.i:(g.i + 2)], ' ') AS gh
       FROM tok, generate_series(1, 4000) g(i)
       WHERE g.i <= len(toks) - 2
     ),
@@ -282,42 +268,65 @@ def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-reading itself (novelty_ppm collapsing toward 0 at the tail
     means the marginal shard adds vocabulary the model has seen).
 
-    Scale shape: gram hashing in expression land; first-occurrence is
-    a map-side-combinable min(doc_id) groupBy on the gram hash; one
-    equi-join back on the hash; one tiny bucket agg; the doc-count
-    bound is a 1-row broadcast. No windows, no all-pairs — the same
-    O(corpus) two-shuffle skeleton as the dedup family."""
+    Scale shape — AGG-ONLY, the exploded gram stream is never joined
+    back (the first formulation's gram⋈firsts join re-shuffled the
+    whole occurrence stream; this one halves the wall at 10×):
+    (1) a map-side-combinable (gh, doc_id) count collapses within-doc
+    repeats at the mappers; (2) a gh-keyed agg takes min(doc_id) AND
+    ``min_by(c, doc_id)`` — the occurrence count AT the first doc, so
+    per-bucket novel mass is one more tiny agg over the per-gram
+    frame; (3) per-bucket TOTALS never explode at all — total 3-gram
+    occurrences per doc is just size(toks)-2, a pure expression
+    summed in a doc-grain agg. The doc-count bound is a 1-row
+    broadcast. No joins over the occurrence stream anywhere."""
     toks = F.split(F.trim("text"), " ")
     d = load(spark, sf_dir, "documents")
+    mx = d.agg((F.max("doc_id") + 1).alias("n_docs"))
+    bucket = F.expr(
+        f"CAST(doc_id * {NOVELTY_BUCKETS} DIV n_docs AS BIGINT)"
+    ).alias("bucket")
     grams = d.filter(F.size(toks) >= 3).select(
         "doc_id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: portable_hash(
+                lambda i: F.xxhash64(
                     F.concat_ws(" ", F.slice(toks, i + 1, F.lit(3)))
                 ),
             )
         ).alias("gh"),
     )
-    firsts = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
-    occ = grams.join(firsts, "gh").select(
-        "doc_id", (F.col("doc_id") == F.col("first_doc")).alias("novel")
+    per_doc_gram = grams.groupBy("gh", "doc_id").agg(
+        F.count("*").alias("c")
     )
-    mx = d.agg((F.max("doc_id") + 1).alias("n_docs"))
-    novel = F.sum(F.col("novel").cast("long"))
+    per_gram = per_doc_gram.groupBy("gh").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("c", "doc_id").alias("first_c"),
+    )
+    novel = (
+        per_gram.crossJoin(F.broadcast(mx))
+        .groupBy(bucket)
+        .agg(F.sum("first_c").alias("n_novel"))
+    )
+    totals = (
+        d.select("doc_id", (F.size(toks) - 2).alias("ng"))
+        .filter(F.col("ng") > 0)
+        .crossJoin(F.broadcast(mx))
+        .groupBy(bucket)
+        .agg(F.sum("ng").alias("n_grams"))
+    )
+    # left join: a late bucket may contribute ZERO first occurrences
+    # (everything in it already seen) yet still has gram mass
     return (
-        occ.crossJoin(F.broadcast(mx))
-        .groupBy(
-            F.expr(f"CAST(doc_id * {NOVELTY_BUCKETS} DIV n_docs AS BIGINT)")
-            .alias("bucket")
+        totals.join(novel, "bucket", "left")
+        .select(
+            "bucket",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0))
+            .cast("long").alias("n_novel"),
         )
-        .agg(
-            F.count("*").alias("n_grams"),
-            novel.alias("n_novel"),
-            F.expr(
-                f"CAST(SUM(CAST(novel AS BIGINT)) * 1000000 "
-                f"DIV COUNT(*) AS BIGINT)"
-            ).alias("novelty_ppm"),
+        .withColumn(
+            "novelty_ppm",
+            F.expr("CAST(n_novel * 1000000 DIV n_grams AS BIGINT)"),
         )
     )

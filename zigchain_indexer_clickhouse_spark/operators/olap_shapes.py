@@ -572,3 +572,92 @@ def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# 198. point_in_range_join — range join via bucketing (no native Spark op)
+# --------------------------------------------------------------------------
+PR_BUCKET = 64
+
+
+@register(
+    "point_in_range_join",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey AS id, o_orderkey * 10 AS s,
+             o_orderkey * 10 + 5 + (o_custkey % 30) AS e
+      FROM orders WHERE o_orderstatus IN ('O', 'P')
+    ),
+    d AS (SELECT 10 * MAX(o_orderkey) + 36 AS dom FROM orders),
+    pts AS (
+      SELECT event_id AS pid,
+             CAST(round(value * 100) AS BIGINT) * dom // 100000 AS p
+      FROM events, d
+    ),
+    m AS (
+      SELECT pid, COUNT(*) AS nr, MIN(id) AS fr
+      FROM pts JOIN r ON p BETWEEN s AND e
+      GROUP BY pid
+    )
+    SELECT pts.pid, CAST(pts.p AS BIGINT) AS p,
+           CAST(COALESCE(m.nr, 0) AS BIGINT) AS n_ranges,
+           CAST(m.fr AS BIGINT) AS first_range
+    FROM pts LEFT JOIN m ON m.pid = pts.pid
+    """,
+)
+def point_in_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval enrichment join — the range-join shape Spark
+    has NO native operator for (a raw `p BETWEEN s AND e` theta-join
+    plans as BroadcastNestedLoop/cartesian — O(points × ranges)).
+    The scalable rewrite: explode each interval onto the fixed-width
+    buckets it spans, bucket the points, equi-join on the bucket
+    (shuffle hash join), then apply the exact BETWEEN as a post-filter
+    — O(points + ranges·k) with k = avg buckets per interval (≤2 at
+    this width). Same bucketing idiom as overlapping_ranges (#14),
+    here in its point-probe form — the event-to-session / tick-to-bar
+    enrichment every time-series pipeline runs.
+
+    Points are synthesized from event value-cents scaled onto the
+    range domain with integer arithmetic (exact on both engines); the
+    domain bound rides a 1-row broadcast. Unmatched points survive
+    with n_ranges = 0 (left join) — at 100 TB the unmatched side is
+    the common case and must not force a second scan."""
+    o = load(spark, sf_dir, "orders")
+    r = o.filter(F.col("o_orderstatus").isin("O", "P")).select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_orderkey") * 10).alias("s"),
+        (F.col("o_orderkey") * 10 + 5 + F.col("o_custkey") % 30).alias("e"),
+    )
+    dom = o.agg((10 * F.max("o_orderkey") + 36).alias("dom"))
+    pts = (
+        load(spark, sf_dir, "events")
+        .crossJoin(F.broadcast(dom))
+        .select(
+            F.col("event_id").alias("pid"),
+            F.expr(
+                "CAST(round(value * 100) AS BIGINT) * dom DIV 100000"
+            ).alias("p"),
+        )
+    )
+    rb = r.select(
+        "id", "s", "e",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / PR_BUCKET),
+                F.floor(F.col("e") / PR_BUCKET),
+            )
+        ).alias("bucket"),
+    )
+    pb = pts.withColumn("bucket", F.floor(F.col("p") / PR_BUCKET))
+    m = (
+        pb.join(rb, "bucket")
+        .filter(F.col("p").between(F.col("s"), F.col("e")))
+        .groupBy("pid")
+        .agg(F.count("*").alias("nr"), F.min("id").alias("fr"))
+    )
+    return pts.join(m, "pid", "left").select(
+        "pid",
+        F.col("p").cast("long").alias("p"),
+        F.coalesce(F.col("nr"), F.lit(0)).cast("long").alias("n_ranges"),
+        F.col("fr").cast("long").alias("first_range"),
+    )
