@@ -83,6 +83,8 @@ QUERIES = [
     "prefix_filter_join",       # rare-first prefix candidates + verify
     "pagerank_dupgraph",        # 5 integer power iterations
     "conversion_attribution",   # one sorted window pass per user
+    "max_intersections_daily",  # two-level striped sweep line
+    "point_in_range_join",      # bucketed range join, left-join tail
 ]
 
 

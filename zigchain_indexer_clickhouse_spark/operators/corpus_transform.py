@@ -111,22 +111,33 @@ def segment_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     the transform #129 (segment_dedup) only measures.
 
     Scale shape: first-occurrence selection is a map-side-combinable
-    ``min(struct(doc_id, idx))`` groupBy on the segment hash followed
-    by one equi-join back — NOT a row_number window, so a boilerplate
-    segment with millions of occurrences costs one combinable min, not
-    one sorted window partition. Reassembly is a doc-keyed agg with
-    expression-land ordering (array_sort over (idx, seg) structs). Two
-    narrow shuffles total; document text crosses the wire once."""
+    ``min(struct(doc_id, idx))`` + count groupBy on the segment hash —
+    NOT a row_number window, so a boilerplate segment with millions of
+    occurrences costs one combinable min, not one sorted window
+    partition. The join back is THRESHOLDED to hashes with n >= 2:
+    unique segments (the overwhelming majority of a real corpus) need
+    no first-occurrence info — they are trivially kept — so the left
+    join's build side shrinks to the duplicated-segment dictionary and
+    AQE converts it to a broadcast join at runtime; the full segment
+    frame never re-shuffles. Reassembly is a doc-keyed agg with
+    expression-land ordering (array_sort over (idx, seg) structs)."""
     d = load(spark, sf_dir, "documents")
     seg = _segments(d, SEG_TOKENS).withColumn(
         "segh", F.xxhash64("seg")
     )
-    first = seg.groupBy("segh").agg(
-        F.min(F.struct("doc_id", "idx")).alias("f")
+    dup_first = (
+        seg.groupBy("segh")
+        .agg(
+            F.min(F.struct("doc_id", "idx")).alias("f"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .select("segh", "f")
     )
-    j = seg.join(first, "segh")
-    kept = (F.col("doc_id") == F.col("f.doc_id")) & (
-        F.col("idx") == F.col("f.idx")
+    j = seg.join(dup_first, "segh", "left")
+    kept = F.col("f").isNull() | (
+        (F.col("doc_id") == F.col("f.doc_id"))
+        & (F.col("idx") == F.col("f.idx"))
     )
     return (
         j.withColumn("k", kept)
@@ -189,19 +200,26 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the doc-frequency pass is a (source, segh) groupBy on
     countDistinct(doc_id) — two narrow map-side-combinable exchanges
-    (the distinct expand, then the agg); the flag join is a (source,
-    segh) equi-join; reassembly one doc-keyed agg. The template
-    dictionary is never broadcast or collected — at 100 TB it is
-    corpus-vocabulary-sized and stays distributed."""
+    (the distinct expand, then the agg). The flag join's build side is
+    THRESHOLDED FIRST: only keys with n_docs >= {BOILER_MIN_DOCS}
+    survive — templates are by definition a tiny fraction of distinct
+    segments, so the left join's right side shrinks from
+    vocabulary-sized to template-sized and AQE converts it to a
+    broadcast join at runtime (the full segment frame then never
+    re-shuffles; the un-thresholded dictionary would forbid this).
+    Reassembly is one doc-keyed agg."""
     d = load(spark, sf_dir, "documents")
     seg = _segments(d, BOILER_TOKENS).withColumn(
         "segh", F.xxhash64("seg")
     )
-    df_counts = seg.groupBy("source", "segh").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    boiler_keys = (
+        seg.groupBy("source", "segh")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+        .select("source", "segh", F.lit(True).alias("boiler_hit"))
     )
-    fl = seg.join(df_counts, ["source", "segh"]).withColumn(
-        "boiler", F.col("n_docs") >= BOILER_MIN_DOCS
+    fl = seg.join(boiler_keys, ["source", "segh"], "left").withColumn(
+        "boiler", F.coalesce(F.col("boiler_hit"), F.lit(False))
     )
     return (
         fl.groupBy("doc_id", "source")
