@@ -153,3 +153,55 @@ def test_stream_agg_states_matches_batch_merge(spark, sf_dir):
     got = _Q["stream_agg_states"](spark, sf_dir)
     want = _Q["agg_states_merge"](spark, sf_dir)
     assert _rows(got) == _rows(want)
+
+
+def test_stream_attribution_matches_batch_interval_join(spark, sf_dir):
+    """The watermarked stream-stream interval join (#199) must emit
+    exactly the batch interval join's attributed-purchase rows — inner
+    interval joins are emitted eagerly, so the availableNow drain is
+    the full relational result, not a watermark-gated prefix."""
+    got = _Q["stream_attribution"](spark, sf_dir)
+    e = load(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    want = (
+        p.join(
+            c,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") < F.col("purchase_ts"))
+            & (
+                F.col("c_ts")
+                >= F.col("purchase_ts") - F.expr("INTERVAL 7 DAYS")
+            ),
+        )
+        .groupBy("event_id", "user_id", "purchase_ts")
+        .agg(
+            F.min("c_ts").alias("window_first_ts"),
+            F.max("c_ts").alias("last_touch_ts"),
+            F.count("*").alias("n_touches"),
+        )
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_attribution_agrees_with_batch_last_touch(spark, sf_dir):
+    """Cross-operator consistency: for every purchase BOTH #193 and
+    #199 report, the last-touch timestamps must agree; and #199's
+    attributed set must equal #193's attributed=1 set."""
+    stream = {
+        r["event_id"]: r["last_touch_ts"]
+        for r in _Q["stream_attribution"](spark, sf_dir).collect()
+    }
+    batch = {
+        r["event_id"]: r["last_touch_ts"]
+        for r in _Q["conversion_attribution"](spark, sf_dir)
+        .filter("attributed = 1")
+        .collect()
+    }
+    assert set(stream) == set(batch)
+    for eid, lts in batch.items():
+        assert stream[eid] == lts, eid

@@ -100,7 +100,7 @@ _EXPENSIVE = frozenset({
     "stream_event_counts", "stream_dedup", "stream_type_route",
     "stream_mv_daily", "stream_user_state", "stream_sessionize",
     "stream_static_enrich", "stream_block_ingest", "landing_ingest",
-    "stream_agg_states", "stream_heavy_hitters",
+    "stream_agg_states", "stream_heavy_hitters", "stream_attribution",
     "ingest_blocks", "dedup_simhash", "dedup_clusters",
     "overlapping_ranges", "dedup_minhash_lsh", "dedup_exact_substring",
     "tfidf_top_terms", "semdedup", "embedding_near_dup", "tx_hash",

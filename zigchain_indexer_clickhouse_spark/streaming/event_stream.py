@@ -724,3 +724,80 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(cnt * 1000000) div n").alias("share_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 199. stream_attribution — watermarked stream-stream interval self-join
+# --------------------------------------------------------------------------
+@register(
+    "stream_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           MIN(c.ts) AS window_first_ts,
+           MAX(c.ts) AS last_touch_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_touches
+    FROM p JOIN c ON c.user_id = p.user_id
+     AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 7 DAY
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-touch attribution: the live twin of the batch
+    model in #193 (funnel.py conversion_attribution), restricted to
+    exactly the part of that model that is STREAMABLE WITH BOUNDED
+    STATE. Last-touch has a 7-day lookback, so a purchase can only
+    ever match clicks from a bounded event-time band — which is
+    precisely Spark's watermarked stream-stream INTERVAL JOIN: each
+    side holds at most (watermark + lookback) of state and the engine
+    drops older rows itself. First-touch-EVER (the other #193 model)
+    needs every user's oldest click forever — unbounded state — and is
+    deliberately left to the batch twin; a streaming engine that
+    claims it is lying about its state bound.
+
+    Plan: one source stream read twice (click side / purchase side),
+    both watermarked 1 day, inner-joined on
+    ``user AND p.ts-7d <= c.ts < p.ts``. Inner interval-join rows are
+    emitted eagerly (no watermark gating, unlike outer), so the
+    availableNow drain is deterministic = the batch interval join,
+    which the oracle replays relationally. The per-purchase
+    min/max/count finalization runs batch-side on the drained rows
+    (the harness pattern every update-mode query here uses); in
+    production it would be the downstream AggregatingMergeTree-style
+    consumer of the joined feed. Unattributed purchases (no click in
+    window) are an anti-join readout on the batch side, not a
+    streaming outer join, because outer emission is watermark-timed
+    and availableNow would withhold the tail."""
+    s = _read_event_stream(spark, sf_dir)
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 day")
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            """
+            c_user = user_id
+            AND c_ts < purchase_ts
+            AND c_ts >= purchase_ts - INTERVAL 7 DAYS
+            """
+        ),
+        "inner",
+    )
+    pairs = _run_append_to_memory(joined, "stream_attribution")
+    return pairs.groupBy("event_id", "user_id", "purchase_ts").agg(
+        F.min("c_ts").alias("window_first_ts"),
+        F.max("c_ts").alias("last_touch_ts"),
+        F.count("*").alias("n_touches"),
+    )
