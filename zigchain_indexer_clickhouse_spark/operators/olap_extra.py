@@ -524,9 +524,22 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # 84. approx_sketch_stats — the approximate scale path (HLL + percentile
-#     sketch), rows-only: error bounds asserted in tests, not an oracle
+#     sketch), oracle-backed via in-query error-bound flags
 # --------------------------------------------------------------------------
-@register("approx_sketch_stats")
+@register(
+    "approx_sketch_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS p95,
+           CAST(1 AS INT) AS hll_ok,
+           CAST(1 AS INT) AS p50_ok,
+           CAST(1 AS INT) AS p95_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch-based twins of the exact aggregates — ClickHouse's
     uniq() (HyperLogLog++) and quantileTDigest() — which are what
@@ -535,16 +548,41 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side, unlike exact percentile which buffers every value).
 
     approx_count_distinct = HLL++ at 5% rsd; approx_percentile =
-    positional sketch at accuracy 10000 (~0.01% rank error). Registered
-    rows-only — sketches are engine-specific by construction, so the
-    driver's hash-compare doesn't apply; tests/test_approx.py asserts
-    the error bounds against the exact answers instead."""
+    positional sketch at accuracy 10000 (~0.01% rank error). The raw
+    sketch values are engine-specific by construction, so instead of
+    emitting them this query compares them to the EXACT aggregates in
+    the same pass and emits within-published-error-bound FLAGS plus
+    the exact values — every output column is deterministic, so the
+    oracle checks them all: the exact columns by value, the flags by
+    asserting 1 (i.e. the driver hash now FAILS if either sketch ever
+    drifts outside its bound — strictly stronger than the old
+    rows-only registration; VERDICT r5 stretch #9).
+    tests/test_approx.py keeps the bounds gated in-process too."""
     e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.05).alias("approx_users"),
-        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_sketch"),
-        F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("p95_sketch"),
+    a = e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_hll"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("_p50s"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(10000)).alias("_p95s"),
+    )
+    spread = F.col("p95") - F.col("p50") + F.lit(1e-9)
+    return a.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        "p50",
+        "p95",
+        (
+            F.abs(F.col("_hll") - F.col("exact_users"))
+            <= F.greatest(F.lit(3), 0.15 * F.col("exact_users"))
+        ).cast("int").alias("hll_ok"),
+        (F.abs(F.col("_p50s") - F.col("p50")) <= 0.1 * spread)
+        .cast("int").alias("p50_ok"),
+        (F.abs(F.col("_p95s") - F.col("p95")) <= 0.1 * spread)
+        .cast("int").alias("p95_ok"),
     )
 
 

@@ -140,6 +140,11 @@ _REVERIFY_R04 = frozenset({
     "stream_block_ingest",
 })
 
+# Semantics changed in round 6: approx_sketch_stats went from rows-only
+# to oracle-backed (exact columns + in-query bound flags), so only a
+# round-6-or-later green row re-verifies it.
+_REVERIFY_R06 = frozenset({"approx_sketch_stats"})
+
 
 def _row_is_green(v: dict) -> bool:
     """A CORRECTNESS row counts as green iff all three matches passed,
@@ -184,7 +189,9 @@ def _verified_names() -> frozenset[str]:
                 latest_row[k] = (rnd, _row_is_green(v))
     names = {
         k for k, (rnd, green) in latest_row.items()
-        if green and (k not in _REVERIFY_R04 or rnd >= 4)
+        if green
+        and (k not in _REVERIFY_R04 or rnd >= 4)
+        and (k not in _REVERIFY_R06 or rnd >= 6)
     }
     # baked-in round-1 fallback: only for queries with NO artifact row
     names.update(
