@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 _WORK_QUEUE_SCHEMA = (
     "id long, start_height long, end_height long, status string, "
-    "error_message string, created_at timestamp, "
+    "error_message string, created_at timestamp, updated_at timestamp, "
     "_version long, _deleted boolean"
 )
 _FAILED_BLOCKS_SCHEMA = (
@@ -186,6 +186,7 @@ class IndexerAPI:
                     "status": it.get("status", "pending"),
                     "error_message": None,
                     "created_at": datetime.fromtimestamp(now),
+                    "updated_at": datetime.fromtimestamp(now),
                 }
                 for it in items
             ],
@@ -219,7 +220,11 @@ class IndexerAPI:
         if not cur:
             raise KeyError(f"work_queue id {id} not found")
         r = cur[0].asDict()
-        r.update(status=status, error_message=error_message)
+        r.update(
+            status=status,
+            error_message=error_message,
+            updated_at=datetime.now(),
+        )
         self._append("work_queue", [r], _WORK_QUEUE_SCHEMA)
 
     def delete_work_queue_item(self, id: int) -> None:
@@ -230,7 +235,7 @@ class IndexerAPI:
             [{
                 "id": int(id), "start_height": None, "end_height": None,
                 "status": None, "error_message": None, "created_at": None,
-                "_deleted": True,
+                "updated_at": None, "_deleted": True,
             }],
             _WORK_QUEUE_SCHEMA,
         )
@@ -389,22 +394,48 @@ class IndexerAPI:
           ``uniq(x)`` → ``approx_count_distinct(x)``
         - ``toStartOfDay(x)`` → ``date_trunc('DAY', x)``;
           ``toDate(x)`` → ``CAST(x AS DATE)``
+        - ``expr::Int64/UInt64/bigint/int`` postfix casts (CH supports
+          the PG-style ``::`` cast too) → ``CAST(expr AS BIGINT)``
+        - ``generate_series(a, b)`` → ``explode(sequence(a, b))`` (the
+          monitor's gap probe)
+        - ``EXTRACT(EPOCH FROM (a - b))`` → unix_timestamp difference
+          (the monitor's stuck/stale age arithmetic)
+        - ``countIf(cond)`` → ``count_if(cond)``
 
         Pure text translation for the constructs the reference uses —
         not a full CH parser; anything it does not recognize passes
-        through to Spark SQL untouched."""
+        through to Spark SQL untouched.
+        tests/test_ch_dialect_parity.py extracts EVERY SELECT template
+        literal actually present in the reference tree and runs it
+        through this shim, so dialect drift in a future reference
+        version fails a test instead of a user."""
         import re as _re
 
         out = _re.sub(r"\bFINAL\b", "", sql)
-        out = _re.sub(r"\bcount\(\s*\)", "count(*)", out,
-                      flags=_re.IGNORECASE)
+        # generate_series before the ::cast rewrite so its args are
+        # still parenthesis-free when this pattern sees them
         out = _re.sub(
-            r"CAST\(([^()]+) AS UInt(?:8|16|32|64)\)",
+            r"\bgenerate_series\(([^()]+)\)",
+            r"explode(sequence(\1))", out,
+        )
+        out = _re.sub(
+            r"(\w+\(\*\)|\$?\w+)::(?:Int|UInt)?(?:int|bigint|8|16|32|64)\b",
             r"CAST(\1 AS BIGINT)", out, flags=_re.IGNORECASE,
         )
         out = _re.sub(
-            r"CAST\(([^()]+) AS Int(?:8|16|32|64)\)",
-            r"CAST(\1 AS BIGINT)", out,
+            r"EXTRACT\(\s*EPOCH\s+FROM\s+\(\s*(NOW\(\)|\w+)\s*-\s*(NOW\(\)|\w+)\s*\)\s*\)",
+            r"(unix_timestamp(\1) - unix_timestamp(\2))",
+            out, flags=_re.IGNORECASE,
+        )
+        out = _re.sub(r"\bcountIf\(", "count_if(", out)
+        out = _re.sub(r"\bcount\(\s*\)", "count(*)", out,
+                      flags=_re.IGNORECASE)
+        # rewrite the TYPE token rather than the whole CAST(...) — the
+        # cast operand may itself contain parens (a scalar subquery,
+        # orchestrator.js's last_idx resolution)
+        out = _re.sub(
+            r"\bAS\s+(?:U?Int)(?:8|16|32|64)\b",
+            "AS BIGINT", out, flags=_re.IGNORECASE,
         )
         out = _re.sub(r"\bto(?:UInt|Int)(?:8|16|32|64)\(([^()]+)\)",
                       r"CAST(\1 AS BIGINT)", out)
