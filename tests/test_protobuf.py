@@ -528,3 +528,77 @@ def test_decoders_fail_closed_on_truncated_frames(spark):
     ).collect()[0]
     assert ok.v is not None and len(ok.m) == 1
     assert ok.s.amount == "123456" and ok.e.sender == "zig1s"
+
+
+def test_msg_transfer_roundtrip_and_fail_closed(spark):
+    """MsgTransfer (#187 round-6 widening): the registry's first
+    embedded-message-in-the-middle scan plus a trailing scalar varint.
+    Round-trip must be exact for 1- and 2-byte timeout varints, and any
+    truncation or a timeout beyond the 2-byte range must fail the whole
+    struct closed to NULL."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        encode_msg_transfer,
+        msg_transfer_fields,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 127), (3, 128), (4, 16383)], "id long, tts long"
+    ).select(
+        "id", "tts",
+        encode_msg_transfer(
+            F.lit("transfer"),
+            F.concat(F.lit("channel-"), F.col("id").cast("string")),
+            F.lit("uzig"),
+            (F.col("id") * 1000).cast("string"),
+            F.concat(F.lit("zig1u"), F.col("id").cast("string")),
+            F.concat(F.lit("cosmos1r"), F.col("id").cast("string")),
+            F.col("tts"),
+        ).alias("blob"),
+    )
+    rows = df.select(
+        "id", "tts", msg_transfer_fields(F.col("blob")).alias("d")
+    ).collect()
+    for r in rows:
+        assert r["d"] is not None, r["id"]
+        assert r["d"]["source_port"] == "transfer"
+        assert r["d"]["source_channel"] == f"channel-{r['id']}"
+        assert r["d"]["denom"] == "uzig"
+        assert r["d"]["amount"] == str(r["id"] * 1000)
+        assert r["d"]["sender"] == f"zig1u{r['id']}"
+        assert r["d"]["receiver"] == f"cosmos1r{r['id']}"
+        assert r["d"]["timeout_timestamp"] == r["tts"]
+    # truncation anywhere fails closed
+    bad = df.select(
+        msg_transfer_fields(
+            F.expr("substring(blob, 1, length(blob) - 1)")
+        ).alias("d")
+    ).collect()
+    assert all(r["d"] is None for r in bad)
+
+
+def test_msg_undelegate_shares_delegate_wire_shape(spark):
+    """MsgUndelegate decodes with the (string, string, Coin) scan —
+    byte-identical wire form to MsgDelegate; only the typeUrl (and the
+    semantic direction) differs, mirroring cosmjs's shared generated
+    decoders."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        encode_msg_delegate,
+        encode_msg_undelegate,
+        msg_undelegate_fields,
+    )
+
+    row = spark.range(1).select(
+        encode_msg_undelegate(
+            F.lit("zig1d"), F.lit("zigvaloper3"), F.lit("uzig"), F.lit("42")
+        ).alias("u"),
+        encode_msg_delegate(
+            F.lit("zig1d"), F.lit("zigvaloper3"), F.lit("uzig"), F.lit("42")
+        ).alias("d"),
+    ).select(
+        msg_undelegate_fields(F.col("u")).alias("uf"),
+        (F.col("u") == F.col("d")).alias("same_bytes"),
+    ).collect()[0]
+    assert row["same_bytes"]
+    assert row["uf"]["delegator_address"] == "zig1d"
+    assert row["uf"]["validator_address"] == "zigvaloper3"
+    assert row["uf"]["amount"] == "42"

@@ -476,3 +476,123 @@ def msg_execute_fields(blob: Column) -> Column:
     return F.when(ok1 & ok2 & ok3 & short & exact, st).otherwise(
         F.lit(None).cast(_MSG_EXECUTE_STRUCT)
     )
+
+
+_MSG_TRANSFER_STRUCT = (
+    "struct<source_port:string,source_channel:string,denom:string,"
+    "amount:string,sender:string,receiver:string,timeout_timestamp:bigint>"
+)
+
+
+def encode_msg_transfer(port: Column, channel: Column, denom: Column,
+                        amount: Column, sender: Column, receiver: Column,
+                        timeout_ts: Column) -> Column:
+    """Wire bytes of ``ibc.applications.transfer.v1.MsgTransfer`` (the
+    IBC fungible-token transfer the reference's defaultRegistryTypes
+    registry covers via @cosmjs/stargate, decoder.js:9): field 1
+    source_port (string), field 2 source_channel (string), field 3
+    token (Coin message), field 4 sender (string), field 5 receiver
+    (string), field 7 timeout_timestamp (uint64 varint, tag 0x38).
+    timeout_height (field 6, optional message) is omitted — optional
+    proto3 message fields simply don't appear on the wire, which is
+    exactly the skip case the decoder must survive."""
+    coin_hex = F.concat(
+        _ld_field("0A", F.hex(denom.cast("binary")), F.octet_length(denom)),
+        _ld_field("12", F.hex(amount.cast("binary")), F.octet_length(amount)),
+    )
+    return F.unhex(F.concat(
+        _ld_field("0A", F.hex(port.cast("binary")), F.octet_length(port)),
+        _ld_field("12", F.hex(channel.cast("binary")), F.octet_length(channel)),
+        _ld_field("1A", coin_hex, (F.length(coin_hex) / 2).cast("int")),
+        _ld_field("22", F.hex(sender.cast("binary")), F.octet_length(sender)),
+        _ld_field("2A", F.hex(receiver.cast("binary")),
+                  F.octet_length(receiver)),
+        F.lit("38"), _varint_hex(timeout_ts),
+    ))
+
+
+def msg_transfer_fields(blob: Column) -> Column:
+    """Decode a ``MsgTransfer`` body into struct(source_port,
+    source_channel, denom, amount, sender, receiver,
+    timeout_timestamp). Two scan patterns appear here for the first
+    time in the registry: an embedded MESSAGE IN THE MIDDLE of the body
+    (every earlier shape put its Coin last) so the scan must resume
+    AFTER a nested message using its declared length, and a TRAILING
+    SCALAR VARINT (timeout_timestamp, 1- or 2-byte like every varint in
+    this module). The same fail-closed contract as the other scanners:
+    any misplaced tag, continuation bit past the supported range, or a
+    body not ending exactly at the timeout varint returns NULL — the
+    reference's unknown-type fallback, never a shifted misread."""
+    h = F.hex(blob)
+    ok1 = F.substring(h, 1, 2) == "0A"
+    l1 = _byte_at(h, 3)
+    port = F.decode(F.unhex(F.substr(h, F.lit(5), l1 * 2)), "UTF-8")
+    p2 = l1 * 2 + 5
+    ok2 = F.substr(h, p2, F.lit(2)) == "12"
+    l2 = _byte_at(h, p2 + 2)
+    chan = F.decode(F.unhex(F.substr(h, p2 + 4, l2 * 2)), "UTF-8")
+    p3 = p2 + 4 + l2 * 2
+    ok3 = F.substr(h, p3, F.lit(2)) == "1A"
+    l3 = _byte_at(h, p3 + 2)
+    coin = F.substr(h, p3 + 4, l3 * 2)
+    okc1 = F.substring(coin, 1, 2) == "0A"
+    ld = _byte_at(coin, 3)
+    denom = F.decode(F.unhex(F.substr(coin, F.lit(5), ld * 2)), "UTF-8")
+    pc = ld * 2 + 5
+    okc2 = F.substr(coin, pc, F.lit(2)) == "12"
+    la = _byte_at(coin, pc + 2)
+    amount = F.decode(F.unhex(F.substr(coin, pc + 4, la * 2)), "UTF-8")
+    # resume the outer scan after the nested Coin
+    p4 = p3 + 4 + l3 * 2
+    ok4 = F.substr(h, p4, F.lit(2)) == "22"
+    l4 = _byte_at(h, p4 + 2)
+    sender = F.decode(F.unhex(F.substr(h, p4 + 4, l4 * 2)), "UTF-8")
+    p5 = p4 + 4 + l4 * 2
+    ok5 = F.substr(h, p5, F.lit(2)) == "2A"
+    l5 = _byte_at(h, p5 + 2)
+    receiver = F.decode(F.unhex(F.substr(h, p5 + 4, l5 * 2)), "UTF-8")
+    p7 = p5 + 4 + l5 * 2
+    ok7 = F.substr(h, p7, F.lit(2)) == "38"
+    b0 = _byte_at(h, p7 + 2)
+    b1 = _byte_at(h, p7 + 4)
+    one = b0 < 128
+    tts = F.when(one, b0).otherwise((b0 - 128) + b1 * 128).cast("bigint")
+    st = F.struct(
+        port.alias("source_port"),
+        chan.alias("source_channel"),
+        denom.alias("denom"),
+        amount.alias("amount"),
+        sender.alias("sender"),
+        receiver.alias("receiver"),
+        tts.alias("timeout_timestamp"),
+    )
+    short = (
+        (l1 < 128) & (l2 < 128) & (l3 < 128) & (l4 < 128) & (l5 < 128)
+        & (ld < 128) & (la < 128) & (one | (b1 < 128))
+    )
+    # the timeout varint is the last field: the scan must land exactly
+    # on the body's end; the coin's amount must end the coin likewise
+    exact = (
+        F.when(one, p7 + 3).otherwise(p7 + 5) == F.length(h)
+    ) & (pc + 4 + la * 2 - 1 == F.length(coin))
+    return F.when(
+        ok1 & ok2 & ok3 & okc1 & okc2 & ok4 & ok5 & ok7 & short & exact, st
+    ).otherwise(F.lit(None).cast(_MSG_TRANSFER_STRUCT))
+
+
+def encode_msg_undelegate(delegator: Column, validator: Column,
+                          denom: Column, amount: Column) -> Column:
+    """Wire bytes of ``cosmos.staking.v1beta1.MsgUndelegate`` — wire
+    layout identical to MsgDelegate/MsgSend (string, string, Coin); the
+    registry distinguishes the two staking directions purely by
+    typeUrl, exactly as cosmjs does (decoder.js:9)."""
+    return encode_msg_send(delegator, validator, denom, amount)
+
+
+def msg_undelegate_fields(blob: Column) -> Column:
+    """Decode a ``MsgUndelegate`` body — shares the
+    (string, string, Coin) scan with MsgDelegate; dispatch on typeUrl
+    upstream decides which staking direction the fields mean."""
+    return _addr_pair_coin_fields(
+        blob, "delegator_address", "validator_address", _MSG_DELEGATE_STRUCT
+    )

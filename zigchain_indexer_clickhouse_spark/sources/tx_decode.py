@@ -38,11 +38,15 @@ from zigchain_indexer_clickhouse_spark.functions.protobuf import (
     encode_msg_delegate,
     encode_msg_execute,
     encode_msg_send,
+    encode_msg_transfer,
+    encode_msg_undelegate,
     encode_msg_vote,
     encode_tx_raw,
     msg_delegate_fields,
     msg_execute_fields,
     msg_send_fields,
+    msg_transfer_fields,
+    msg_undelegate_fields,
     msg_vote_fields,
     tx_body_messages,
     tx_raw_body,
@@ -299,63 +303,76 @@ def msg_multi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MSG_DELEGATE_URL = "/cosmos.staking.v1beta1.MsgDelegate"
 _MSG_VOTE_URL = "/cosmos.gov.v1beta1.MsgVote"
+_MSG_TRANSFER_URL = "/ibc.applications.transfer.v1.MsgTransfer"
+_MSG_UNDELEGATE_URL = "/cosmos.staking.v1beta1.MsgUndelegate"
 
 
 # --------------------------------------------------------------------------
-# 187. msg_registry_decode — 4-type registry (bank/wasm/staking/gov)
+# 187. msg_registry_decode — 6-type registry (bank/wasm/staking x2/gov/ibc)
 # --------------------------------------------------------------------------
 @register(
     "msg_registry_decode",
     oracle="""
     WITH m AS (
       SELECT event_id, user_id, value,
-             CASE CAST(event_id % 5 AS INTEGER)
+             CASE CAST(event_id % 7 AS INTEGER)
                WHEN 0 THEN '/cosmos.bank.v1beta1.MsgSend'
                WHEN 1 THEN '/cosmwasm.wasm.v1.MsgExecuteContract'
                WHEN 2 THEN '/cosmos.staking.v1beta1.MsgDelegate'
                WHEN 3 THEN '/cosmos.gov.v1beta1.MsgVote'
+               WHEN 4 THEN '/ibc.applications.transfer.v1.MsgTransfer'
+               WHEN 5 THEN '/cosmos.staking.v1beta1.MsgUndelegate'
                ELSE '/zigchain.custom.v1.MsgCustom' END AS type_url
       FROM events)
     SELECT type_url,
            CASE WHEN type_url = '/zigchain.custom.v1.MsgCustom'
                 THEN 'Unknown message type' ELSE 'ok' END AS status,
            CAST(COUNT(*) AS BIGINT) AS n_msgs,
-           CAST(SUM(CASE WHEN event_id % 5 IN (0, 1, 2)
+           CAST(SUM(CASE WHEN event_id % 7 IN (0, 1, 2, 4, 5)
                          THEN CAST(floor(value * 100) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS total_amt,
-           CAST(SUM(CASE WHEN event_id % 5 = 3
+           CAST(SUM(CASE WHEN event_id % 7 = 3
                          THEN user_id % 10000 ELSE 0 END) AS BIGINT)
              AS sum_pid,
-           CAST(SUM(CASE WHEN event_id % 5 = 3 AND event_id % 4 = 0
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_yes
+           CAST(SUM(CASE WHEN event_id % 7 = 3 AND event_id % 4 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_yes,
+           CAST(SUM(CASE WHEN event_id % 7 = 4
+                         THEN event_id % 10000 ELSE 0 END) AS BIGINT)
+             AS sum_timeout
     FROM m GROUP BY 1, 2
     """,
 )
 def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The widened registry dispatch (#151 grown from 2 to 4 decoded
-    types): MsgSend (bank), MsgExecuteContract (wasm), MsgDelegate
-    (staking — the Coin-bearing staking family), MsgVote (gov — the
-    registry's first SCALAR-VARINT field, proposal_id, plus a 1-byte
-    enum), and the unregistered-type fallback row. The reference
-    registers all defaultRegistryTypes (src/utils/decoder.js:9) and
-    falls back to ``{error: 'Unknown message type', raw}`` on a miss
+    types in round 6's first pass, then to SIX): MsgSend (bank),
+    MsgExecuteContract (wasm), MsgDelegate + MsgUndelegate (both
+    staking directions — identical wire shape, distinguished purely by
+    typeUrl, exactly how cosmjs shares generated decoders), MsgVote
+    (gov — scalar-varint proposal_id + 1-byte enum), MsgTransfer (IBC —
+    the first embedded-message-in-the-MIDDLE scan plus a trailing
+    timeout varint), and the unregistered-type fallback row. The
+    reference registers all defaultRegistryTypes
+    (src/utils/decoder.js:9) and falls back to
+    ``{error: 'Unknown message type', raw}`` on a miss
     (decoder.js:20-24); each type added here shrinks the typeUrl+raw
     envelope to real decoded fields at known cost.
 
     Dispatch keys on the DECODE OUTCOME (a non-null routed struct),
-    so a shifted offset in any of the four body scans flips rows into
+    so a shifted offset in any of the six body scans flips rows into
     the fallback and fails the oracle hash. The aggregate proves all
-    four decodes recover real fields: total_amt sums the Coin amount
-    from send/delegate and the JSON-embedded amount from exec;
-    sum_pid sums the varint-decoded proposal ids; n_yes counts
-    decoded VOTE_OPTION_YES enums. Scale shape as #151: blob build
-    and Any-unwrap persist once each (bound attributes keep the ~80
-    positional references of the four decoders inside whole-stage
-    codegen), then one keyed aggregate."""
+    six decodes recover real fields: total_amt sums the Coin amount
+    from send/delegate/undelegate/transfer and the JSON-embedded
+    amount from exec; sum_pid sums the varint-decoded proposal ids;
+    n_yes counts decoded VOTE_OPTION_YES enums; sum_timeout sums the
+    IBC timeout varints. Scale shape as #151: blob build and
+    Any-unwrap persist once each (bound attributes keep the ~120
+    positional references of the six decoders inside whole-stage
+    codegen — the routed projection is split in two below to hold
+    that), then one keyed aggregate."""
 
     def _build() -> DataFrame:
         e = load(spark, sf_dir, "events")
-        kind = (F.col("event_id") % 5).cast("int")
+        kind = (F.col("event_id") % 7).cast("int")
         send_blob = _msg_send_blob(F.col("user_id"), F.col("value"))
         exec_blob = encode_any_msg(
             F.lit(_MSG_EXEC_URL),
@@ -388,6 +405,29 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("event_id") % 4 + 1).cast("int"),
             ),
         )
+        transfer_blob = encode_any_msg(
+            F.lit(_MSG_TRANSFER_URL),
+            encode_msg_transfer(
+                F.lit("transfer"),
+                F.concat(F.lit("channel-"),
+                         (F.col("event_id") % 11).cast("string")),
+                F.lit("uzig"),
+                F.floor(F.col("value") * 100).cast("long").cast("string"),
+                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
+                F.concat(F.lit("cosmos1r"), F.col("user_id").cast("string")),
+                F.col("event_id") % 10000,
+            ),
+        )
+        undelegate_blob = encode_any_msg(
+            F.lit(_MSG_UNDELEGATE_URL),
+            encode_msg_undelegate(
+                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
+                F.concat(F.lit("zigvaloper"),
+                         (F.col("user_id") % 50).cast("string")),
+                F.lit("uzig"),
+                F.floor(F.col("value") * 100).cast("long").cast("string"),
+            ),
+        )
         custom_blob = encode_any_msg(
             F.lit("/zigchain.custom.v1.MsgCustom"),
             F.concat(F.lit("custom:"), F.col("event_id").cast("string"))
@@ -400,7 +440,11 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionAll(e.filter(kind == 1).select(exec_blob.alias("blob")))
             .unionAll(e.filter(kind == 2).select(delegate_blob.alias("blob")))
             .unionAll(e.filter(kind == 3).select(vote_blob.alias("blob")))
-            .unionAll(e.filter(kind == 4).select(custom_blob.alias("blob")))
+            .unionAll(e.filter(kind == 4)
+                      .select(transfer_blob.alias("blob")))
+            .unionAll(e.filter(kind == 5)
+                      .select(undelegate_blob.alias("blob")))
+            .unionAll(e.filter(kind == 6).select(custom_blob.alias("blob")))
         )
 
     def _unwrap() -> DataFrame:
@@ -411,35 +455,76 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     msgs = _shared_stage("registry_decode_unwrapped", spark, sf_dir, _unwrap)
-    is_send = F.col("type_url") == _MSG_SEND_URL
-    is_exec = F.col("type_url") == _MSG_EXEC_URL
-    is_del = F.col("type_url") == _MSG_DELEGATE_URL
-    is_vote = F.col("type_url") == _MSG_VOTE_URL
-    routed = msgs.select(
-        "type_url",
-        F.when(is_send, msg_send_fields(F.col("body"))).alias("send"),
-        F.when(is_exec, msg_execute_fields(F.col("body"))).alias("exec"),
-        F.when(is_del, msg_delegate_fields(F.col("body"))).alias("dele"),
-        F.when(is_vote, msg_vote_fields(F.col("body"))).alias("vote"),
-    ).select(
-        "type_url",
-        F.when(
-            F.col("send").isNotNull() | F.col("exec").isNotNull()
-            | F.col("dele").isNotNull() | F.col("vote").isNotNull(),
-            "ok",
-        ).otherwise("Unknown message type").alias("status"),
-        F.when(is_send, F.col("send.amount").cast("long"))
-        .when(is_exec,
-              F.get_json_object(F.col("exec.msg_json"), "$.transfer.amount")
-              .cast("long"))
-        .when(is_del, F.col("dele.amount").cast("long"))
-        .otherwise(F.lit(0)).alias("amt"),
-        F.coalesce(F.col("vote.proposal_id"), F.lit(0)).alias("pid"),
-        (F.col("vote.option") == 1).cast("long").alias("yes"),
+    # ONE registered type per union branch: six decoder trees in a
+    # single projection are one >64 KB codegen method Janino rejects,
+    # and CollapseProject merges adjacent selects so a staged select
+    # can't hold them apart — a filter branch per type keeps each body
+    # scan in its own whole-stage unit over the persisted unwrap stage
+    # (which is memory-cached, so the 7 branch scans are cache reads).
+    z = F.lit(0).cast("long")
+
+    def _status(d):  # decode OUTCOME, not the url string
+        return F.when(d.isNotNull(), "ok").otherwise("Unknown message type")
+
+    def _out(df, d, amt=None, pid=None, yes=None, timeout=None):
+        return df.select(
+            "type_url",
+            _status(d).alias("status") if d is not None
+            else F.lit("Unknown message type").alias("status"),
+            F.coalesce(amt, z).alias("amt") if amt is not None
+            else z.alias("amt"),
+            F.coalesce(pid, z).alias("pid") if pid is not None
+            else z.alias("pid"),
+            F.coalesce(yes, z).alias("yes") if yes is not None
+            else z.alias("yes"),
+            F.coalesce(timeout, z).alias("timeout") if timeout is not None
+            else z.alias("timeout"),
+        )
+
+    def _typed(url, fields):
+        return msgs.filter(F.col("type_url") == url).select(
+            "type_url", fields(F.col("body")).alias("d")
+        )
+
+    d = F.col("d")
+    send_b = _typed(_MSG_SEND_URL, msg_send_fields)
+    exec_b = _typed(_MSG_EXEC_URL, msg_execute_fields)
+    dele_b = _typed(_MSG_DELEGATE_URL, msg_delegate_fields)
+    vote_b = _typed(_MSG_VOTE_URL, msg_vote_fields)
+    xfer_b = _typed(_MSG_TRANSFER_URL, msg_transfer_fields)
+    undel_b = _typed(_MSG_UNDELEGATE_URL, msg_undelegate_fields)
+    registered = [
+        _MSG_SEND_URL, _MSG_EXEC_URL, _MSG_DELEGATE_URL,
+        _MSG_VOTE_URL, _MSG_TRANSFER_URL, _MSG_UNDELEGATE_URL,
+    ]
+    fallback = msgs.filter(
+        ~F.col("type_url").isin(registered) | F.col("type_url").isNull()
+    )
+    routed = (
+        _out(send_b, d, amt=F.col("d.amount").cast("long"))
+        .unionAll(_out(
+            exec_b, d,
+            amt=F.get_json_object(F.col("d.msg_json"), "$.transfer.amount")
+            .cast("long"),
+        ))
+        .unionAll(_out(dele_b, d, amt=F.col("d.amount").cast("long")))
+        .unionAll(_out(
+            vote_b, d,
+            pid=F.col("d.proposal_id"),
+            yes=(F.col("d.option") == 1).cast("long"),
+        ))
+        .unionAll(_out(
+            xfer_b, d,
+            amt=F.col("d.amount").cast("long"),
+            timeout=F.col("d.timeout_timestamp"),
+        ))
+        .unionAll(_out(undel_b, d, amt=F.col("d.amount").cast("long")))
+        .unionAll(_out(fallback, None))
     )
     return routed.groupBy("type_url", "status").agg(
         F.count("*").alias("n_msgs"),
         F.sum("amt").alias("total_amt"),
         F.sum("pid").alias("sum_pid"),
-        F.coalesce(F.sum("yes"), F.lit(0)).cast("long").alias("n_yes"),
+        F.sum("yes").cast("long").alias("n_yes"),
+        F.sum("timeout").alias("sum_timeout"),
     )
