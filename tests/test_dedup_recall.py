@@ -250,3 +250,33 @@ def test_ann_ivf_recall_on_planted_neighbors(spark, sf_dir):
     }
     recall = len(found) / 50
     assert recall >= 0.75, f"planted-twin IVF recall {recall} below gate"
+
+
+def test_dedup_incremental_flags_planted_near_dups_only(spark, sf_dir):
+    """#200: every batch doc planted as a near-dup (doc_id % 3 == 0,
+    first token dropped) must be flagged against its OWN source doc;
+    vowel-rewritten docs must not be flagged; and no index or batch
+    self-pairs can appear (one-directional join)."""
+    from zigchain_indexer_clickhouse_spark.catalog import load
+    from zigchain_indexer_clickhouse_spark.plans import registry
+
+    out = {
+        r["batch_doc_id"]: r
+        for r in registry.queries()["dedup_incremental"](spark, sf_dir)
+        .collect()
+    }
+    n_docs = load(spark, sf_dir, "documents").count()
+    planted = [i for i in range(n_docs) if i % 3 == 0]
+    # recall on planted near-dups: LSH at 4 bands of 2 has high but not
+    # perfect collision probability for J~0.9 pairs; require >= 90%
+    hit = [i for i in planted if i + 10000 in out]
+    assert len(hit) >= 0.9 * len(planted), (len(hit), len(planted))
+    # every flagged planted doc must point back to its own source
+    for i in hit:
+        assert out[i + 10000]["dup_of"] == i, (i, out[i + 10000])
+    # vowel-rewritten docs must (almost) never survive the J>=0.5
+    # verify; allow a tiny accident budget for short/vowel-free docs
+    false_pos = [b for b in out if (b - 10000) % 3 != 0]
+    assert len(false_pos) <= 0.02 * n_docs, false_pos[:10]
+    # one-directional: batch ids only on the left, index ids on the right
+    assert all(b >= 10000 and out[b]["dup_of"] < 10000 for b in out)

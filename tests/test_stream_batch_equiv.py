@@ -205,3 +205,38 @@ def test_stream_attribution_agrees_with_batch_last_touch(spark, sf_dir):
     assert set(stream) == set(batch)
     for eid, lts in batch.items():
         assert stream[eid] == lts, eid
+
+
+def test_stream_gap_detection_matches_batch_bitmap_sweep(spark, sf_dir):
+    """#201: the streamed per-stripe bitmap coverage must equal a batch
+    recomputation of the same planted-gap feed — including the clamp of
+    stripe spans to the observed height range."""
+    from zigchain_indexer_clickhouse_spark.streaming.event_stream import (
+        GAP_PLANT_MOD,
+        GAP_PLANT_RES,
+        GAP_STRIPE,
+    )
+
+    got = _Q["stream_gap_detection"](spark, sf_dir)
+    h = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % GAP_PLANT_MOD != GAP_PLANT_RES)
+        .select(F.col("event_id").alias("height"))
+        .distinct()
+    )
+    s = h.groupBy(
+        F.expr(f"height div {GAP_STRIPE}").alias("stripe")
+    ).agg(F.count("*").alias("n_seen"))
+    b = h.agg(F.min("height").alias("gmin"), F.max("height").alias("gmax"))
+    expected = (
+        F.least((F.col("stripe") + 1) * GAP_STRIPE - 1, F.col("gmax"))
+        - F.greatest(F.col("stripe") * GAP_STRIPE, F.col("gmin"))
+        + 1
+    )
+    want = (
+        s.crossJoin(F.broadcast(b))
+        .withColumn("n_missing", expected - F.col("n_seen"))
+        .filter(F.col("n_missing") > 0)
+        .select("stripe", "n_seen", "n_missing")
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0

@@ -1277,3 +1277,159 @@ def pagerank_dupgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("degree"),
         F.col("r").alias("rank_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# 200. dedup_incremental — dedup an incoming batch AGAINST an existing
+#      corpus index, one-directionally (the daily-ingest workflow)
+# --------------------------------------------------------------------------
+def _incremental_oracle() -> str:
+    base = portable_hash_sql("shingle")
+    perms = " ".join(
+        f"WHEN s.j = {j} THEN {minhash_perm_sql('bh', j)}"
+        for j in range(MINHASH_K)
+    )
+    return f"""
+    WITH idx AS (SELECT doc_id, text FROM documents),
+    batch AS (
+      SELECT doc_id + 10000 AS doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN substring(text, instr(text, ' ') + 1)
+                  ELSE translate(text, 'aeiou', '01234') END AS text
+      FROM documents),
+    allc AS (SELECT 'i' AS side, doc_id, text FROM idx
+             UNION ALL SELECT 'n', doc_id, text FROM batch),
+    tok AS (SELECT side, doc_id, string_split(trim(text), ' ') AS toks
+            FROM allc),
+    shd AS (
+      SELECT DISTINCT side, doc_id,
+             toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2] AS shingle
+      FROM tok, generate_series(1, 4000) g(i)
+      WHERE g.i <= len(toks) - 2),
+    shh AS (SELECT DISTINCT side, doc_id, {base} AS bh FROM shd),
+    sig AS (
+      SELECT side, doc_id, s.j AS j, MIN(CASE {perms} END) AS mh
+      FROM shh, generate_series(0, {MINHASH_K - 1}) s(j)
+      GROUP BY 1, 2, 3),
+    sigl AS (SELECT side, doc_id, list(mh ORDER BY j) AS sig
+             FROM sig GROUP BY 1, 2),
+    bands AS (
+      SELECT side, doc_id,
+             CAST(b.b AS VARCHAR) || ':' || CAST(sig[2*b.b+1] AS VARCHAR)
+               || ':' || CAST(sig[2*b.b+2] AS VARCHAR) AS band_key
+      FROM sigl, generate_series(0, {LSH_BANDS - 1}) b(b)),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+      FROM bands n JOIN bands i ON n.band_key = i.band_key
+      WHERE n.side = 'n' AND i.side = 'i'),
+    nsh AS (SELECT side, doc_id, COUNT(*) AS n FROM shh GROUP BY 1, 2),
+    inter AS (
+      SELECT c.new_id, c.idx_id, COUNT(*) AS ninter
+      FROM cand c
+      JOIN shh a ON a.side = 'n' AND a.doc_id = c.new_id
+      JOIN shh b ON b.side = 'i' AND b.doc_id = c.idx_id AND b.bh = a.bh
+      GROUP BY 1, 2),
+    ver AS (
+      SELECT i.new_id, i.idx_id,
+             CAST((i.ninter * 1000000) // (na.n + nb.n - i.ninter)
+                  AS BIGINT) AS j_ppm
+      FROM inter i
+      JOIN nsh na ON na.side = 'n' AND na.doc_id = i.new_id
+      JOIN nsh nb ON nb.side = 'i' AND nb.doc_id = i.idx_id
+      WHERE (i.ninter * 1000000) // (na.n + nb.n - i.ninter)
+            >= {INCR_J_PPM_MIN}),
+    best AS (SELECT new_id, MAX(j_ppm) AS best_j_ppm,
+                    COUNT(*) AS n_matches
+             FROM ver GROUP BY 1)
+    SELECT b.new_id AS batch_doc_id,
+           CAST(b.best_j_ppm AS BIGINT) AS best_j_ppm,
+           CAST(MIN(v.idx_id) AS BIGINT) AS dup_of,
+           CAST(b.n_matches AS BIGINT) AS n_matches
+    FROM best b
+    JOIN ver v ON v.new_id = b.new_id AND v.j_ppm = b.best_j_ppm
+    GROUP BY b.new_id, b.best_j_ppm, b.n_matches
+    """
+
+
+INCR_J_PPM_MIN = 500_000  # J >= 0.5 flags a batch doc as duplicate
+
+
+@register("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (one-directional) near-dedup: flag each doc of an
+    INCOMING batch that near-duplicates the EXISTING corpus, without
+    ever pairing batch x batch or index x index — the daily-crawl
+    ingest workflow at 100 TB, where the corpus index is a precomputed,
+    stored band-key table and each day's cost is O(batch * bands)
+    against it, not a corpus-wide recluster. The batch here is
+    synthesized per doc: every third source doc arrives as a near-dup
+    (first token dropped, the #34 corpus convention), the rest arrive
+    genuinely new (vowels substituted, which rewrites almost every
+    3-token shingle).
+
+    Plan: both sides reuse the #34 machinery (hashed shingle sets →
+    lsh_band_rows); candidates are the band-key equi-join restricted to
+    batch x index; the exact-Jaccard verify re-joins hashed sets BY ID
+    (pairs never carry text); the keep decision is integer-ppm
+    (J >= {INCR_J_PPM_MIN} ppm) with an argmax-by-(j, -doc_id) struct
+    max, so the chosen dup_of is layout-independent. Both shingle
+    stages persist via _shared_stage (each feeds the band build AND the
+    verify join). Reference tie: the reference's ReplacingMergeTree
+    upserts are the EXACT-key version of this operator
+    (models.js engine choice); this is its near-dup generalization."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _batch() -> DataFrame:
+        return d.select(
+            (F.col("doc_id") + 10000).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.expr("substring(text, instr(text, ' ') + 1)"),
+            )
+            .otherwise(F.translate(F.col("text"), "aeiou", "01234"))
+            .alias("text"),
+        )
+
+    h_idx = _shared_stage(
+        "incr_idx_shingles", spark, sf_dir,
+        lambda: hashed_shingle_sets(d),
+    )
+    h_new = _shared_stage(
+        "incr_new_shingles", spark, sf_dir,
+        lambda: hashed_shingle_sets(_batch()),
+    )
+    b_idx = lsh_band_rows(h_idx).select(
+        F.col("doc_id").alias("idx_id"), "band_key"
+    )
+    b_new = lsh_band_rows(h_new).select(
+        F.col("doc_id").alias("new_id"), "band_key"
+    )
+    cand = b_new.join(b_idx, "band_key").select("new_id", "idx_id").distinct()
+    sh_i = h_idx.select(F.col("doc_id").alias("idx_id"),
+                        F.col("bh").alias("sh_i"))
+    sh_n = h_new.select(F.col("doc_id").alias("new_id"),
+                        F.col("bh").alias("sh_n"))
+    ver = (
+        cand.join(sh_n, "new_id")
+        .join(sh_i, "idx_id")
+        .select(
+            "new_id", "idx_id",
+            F.expr(
+                "(size(array_intersect(sh_n, sh_i)) * 1000000L)"
+                " div size(array_union(sh_n, sh_i))"
+            ).alias("j_ppm"),
+        )
+        .filter(F.col("j_ppm") >= INCR_J_PPM_MIN)
+    )
+    best = ver.groupBy("new_id").agg(
+        F.max(
+            F.struct(F.col("j_ppm"), (-F.col("idx_id")).alias("nid"))
+        ).alias("b"),
+        F.count("*").alias("n_matches"),
+    )
+    return best.select(
+        F.col("new_id").alias("batch_doc_id"),
+        F.col("b.j_ppm").alias("best_j_ppm"),
+        (-F.col("b.nid")).cast("long").alias("dup_of"),
+        F.col("n_matches"),
+    )

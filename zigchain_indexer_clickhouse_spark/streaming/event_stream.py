@@ -801,3 +801,124 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_ts").alias("last_touch_ts"),
         F.count("*").alias("n_touches"),
     )
+
+
+# --------------------------------------------------------------------------
+# 201. stream_gap_detection — live gap monitor with bounded stripe bitmaps
+# --------------------------------------------------------------------------
+GAP_STRIPE = 1000          # heights per stripe (one bitmap per stripe)
+GAP_WORDS = GAP_STRIPE // 64 + 1
+GAP_PLANT_MOD, GAP_PLANT_RES = 97, 13  # planted gap pattern
+
+
+def _gap_stripe_fn(key, pdf_iter, state):
+    """Per-stripe seen-heights BITMAP: {GAP_WORDS} uint64 words =
+    {GAP_STRIPE} bits of state per stripe, regardless of how many
+    times a height is re-delivered. Fold each micro-batch in with a
+    vectorized bitwise-or scatter; emit the stripe's current coverage
+    (count / first / last seen)."""
+    import numpy as np
+    import pandas as pd
+
+    (stripe,) = key
+    words = (
+        np.array(state.get[0], dtype=np.int64).view(np.uint64)
+        if state.exists
+        else np.zeros(GAP_WORDS, dtype=np.uint64)
+    )
+    for pdf in pdf_iter:
+        pos = pdf["pos"].to_numpy()
+        np.bitwise_or.at(
+            words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+        )
+    state.update((words.view(np.int64).tolist(),))
+    bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+    seen = np.flatnonzero(bits)
+    yield pd.DataFrame(
+        {
+            "stripe": [int(stripe)],
+            "n_seen": [int(len(seen))],
+            "min_h": [int(stripe) * GAP_STRIPE + int(seen[0])],
+            "max_h": [int(stripe) * GAP_STRIPE + int(seen[-1])],
+        }
+    )
+
+
+@register(
+    "stream_gap_detection",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_id AS height FROM events
+      WHERE event_id % {GAP_PLANT_MOD} <> {GAP_PLANT_RES}
+    ),
+    b AS (SELECT MIN(height) AS gmin, MAX(height) AS gmax FROM h),
+    s AS (SELECT height // {GAP_STRIPE} AS stripe, COUNT(*) AS n_seen
+          FROM h GROUP BY 1)
+    SELECT CAST(s.stripe AS BIGINT) AS stripe,
+           CAST(s.n_seen AS BIGINT) AS n_seen,
+           CAST(LEAST((s.stripe + 1) * {GAP_STRIPE} - 1, b.gmax)
+                - GREATEST(s.stripe * {GAP_STRIPE}, b.gmin) + 1
+                - s.n_seen AS BIGINT) AS n_missing
+    FROM s, b
+    WHERE LEAST((s.stripe + 1) * {GAP_STRIPE} - 1, b.gmax)
+          - GREATEST(s.stripe * {GAP_STRIPE}, b.gmin) + 1 - s.n_seen > 0
+    """,
+)
+def stream_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE gap detection: the streaming twin of #15 (monitor_indexer.js
+    gap probe, which rescans `generate_series LEFT JOIN blocks` on every
+    monitor tick). Here the block feed maintains per-stripe seen-height
+    BITMAPS as custom stateful-operator state — {GAP_WORDS}x64-bit
+    words per {GAP_STRIPE}-height stripe, so total state is
+    O(chain_height / {GAP_STRIPE}) tiny fixed-size rows (~2 KB per
+    million blocks), never a per-height key — and re-delivered heights
+    cost an idempotent bitwise-or, not state growth. Gaps are PLANTED
+    deterministically (every height ≡ {GAP_PLANT_RES} mod
+    {GAP_PLANT_MOD} is withheld) so the query has real positives to
+    find; the oracle replays the same withholding relationally.
+
+    The drained update rows finalize batch-side (the harness pattern):
+    latest coverage per stripe (n_seen is monotone under or-folding),
+    then missing = clamp(stripe span to the observed [min, max] height
+    range) − seen, reported only where positive. In production the
+    emitted coverage rows feed the monitor dashboard directly and the
+    finalize is the dashboard query."""
+    s = _read_event_stream(spark, sf_dir)
+    heights = (
+        s.filter(
+            F.col("event_id") % GAP_PLANT_MOD != GAP_PLANT_RES
+        )
+        .select(
+            F.expr(f"event_id div {GAP_STRIPE}").alias("stripe"),
+            (F.col("event_id") % GAP_STRIPE).cast("long").alias("pos"),
+        )
+    )
+    out = heights.groupBy("stripe").applyInPandasWithState(
+        _gap_stripe_fn,
+        outputStructType=(
+            "stripe long, n_seen long, min_h long, max_h long"
+        ),
+        stateStructType="words array<long>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    upd = _run_append_to_memory(out, "stream_gap_detection", mode="update")
+    per_stripe = upd.groupBy("stripe").agg(
+        F.max("n_seen").alias("n_seen"),
+        F.max_by("min_h", "n_seen").alias("min_h"),
+        F.max_by("max_h", "n_seen").alias("max_h"),
+    )
+    bounds = per_stripe.agg(
+        F.min("min_h").alias("gmin"), F.max("max_h").alias("gmax")
+    )
+    expected = (
+        F.least((F.col("stripe") + 1) * GAP_STRIPE - 1, F.col("gmax"))
+        - F.greatest(F.col("stripe") * GAP_STRIPE, F.col("gmin"))
+        + 1
+    )
+    return (
+        per_stripe.crossJoin(F.broadcast(bounds))
+        .withColumn("n_missing", expected - F.col("n_seen"))
+        .filter(F.col("n_missing") > 0)
+        .select("stripe", "n_seen", "n_missing")
+    )
