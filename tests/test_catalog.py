@@ -53,3 +53,18 @@ def test_loader_pins_utc_session_zone(spark, sf_dir):
         assert spark.conf.get(tz) == "UTC"
     finally:
         spark.conf.set(tz, prev)
+
+
+def test_zorder_buckets_are_tight_in_both_dimensions(spark, sf_dir):
+    """#202: fixing the top z-bits bounds BOTH dimensions at once — for
+    a 2^22 bucket width over a 32-bit z-value, the top 5 bits of each
+    16-bit dimension are fixed, so every bucket's per-dimension span is
+    provably < 2^11. A plain (u, t) sort key would show the full range
+    in the trailing dimension."""
+    from zigchain_indexer_clickhouse_spark.plans import registry
+
+    rows = registry.queries()["zorder_layout"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["max_ub"] - r["min_ub"] < 2048, r
+        assert r["max_tb"] - r["min_tb"] < 2048, r

@@ -113,6 +113,10 @@ _EXPENSIVE = frozenset({
     "curation_funnel",  # doc-keyed 2-gram agg dominates
     "msg_registry_decode",  # five encoder branches to compile + persist
     "pagerank_dupgraph",  # five chained iterations over the pair graph
+    "compaction_binpack",  # two table writes + read-back audit
+    "dedup_incremental",  # two shingle stages + band join + verify
+    "stream_gap_detection",  # streaming drain
+    "stream_attribution",  # stream-stream interval join drain
 })
 
 
