@@ -116,7 +116,6 @@ _EXPENSIVE = frozenset({
     "compaction_binpack",  # two table writes + read-back audit
     "dedup_incremental",  # two shingle stages + band join + verify
     "stream_gap_detection",  # streaming drain
-    "stream_attribution",  # stream-stream interval join drain
 })
 
 
