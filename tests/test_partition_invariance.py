@@ -42,6 +42,13 @@ _PROBED = [
     # iterative integer-ppm recurrence: five chained aggregates whose
     # summation order must not perturb any bit
     "pagerank_dupgraph",
+    # round-6 window/threshold class: interpolated-quantile boundaries
+    # feed a per-row bin compare; argmax-by-struct picks a canonical
+    # dup_of; a sorted window pass decides first/last touch under ties
+    "histogram_equal_depth",
+    "dedup_incremental",
+    "conversion_attribution",
+    "max_intersections_daily",
 ]
 
 

@@ -639,3 +639,73 @@ def max_intersections_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_intervals"),
         F.col("peak").cast("long").alias("peak_concurrent"),
     )
+
+
+# --------------------------------------------------------------------------
+# 204. histogram_equal_depth — ClickHouse histogram() analog, exact bins
+# --------------------------------------------------------------------------
+HIST_BINS = 8
+
+
+@register(
+    "histogram_equal_depth",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events),
+    b AS (
+      SELECT event_type,
+             quantile_cont(cents,
+               [{", ".join(str(i / HIST_BINS) for i in range(1, HIST_BINS))}]
+             ) AS qs
+      FROM c GROUP BY 1),
+    a AS (
+      SELECT c.event_type, c.cents,
+             1 + len(list_filter(b.qs, q -> c.cents > q)) AS bin
+      FROM c JOIN b USING (event_type))
+    SELECT event_type, CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM a GROUP BY 1, 2
+    """,
+)
+def histogram_equal_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``histogram(N)(x)`` analog: an EQUAL-DEPTH
+    {HIST_BINS}-bin histogram of value per event type (CH's adaptive
+    bins converge toward equal depth; this computes the converged
+    answer exactly). Two passes: exact interior quantile boundaries per
+    group, then a broadcast of the ≤types×{HIST_BINS - 1} boundary
+    table back over the scan with bin = 1 + #(boundaries < v) — one
+    wide shuffle total (the boundary agg), the assignment pass is
+    shuffle-free.
+
+    Exactness across engines is arranged, not hoped for: values are
+    integer cents, the quantile fractions are eighths (exact binary),
+    so the interpolated boundaries a + f·(b−a) are exact multiples of
+    1/8 — bit-identical IEEE doubles from Spark's percentile and
+    DuckDB's quantile_cont — and every v > boundary comparison lands
+    the same way on both engines. Emitted per-bin min/max cents
+    double-check the assignment rule itself."""
+    c = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    fracs = F.array(
+        *[F.lit(i / HIST_BINS) for i in range(1, HIST_BINS)]
+    )
+    b = c.groupBy("event_type").agg(
+        F.percentile("cents", fracs).alias("qs")
+    )
+    a = c.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        "cents",
+        (
+            F.size(F.filter("qs", lambda q: F.col("cents") > q)) + 1
+        ).cast("int").alias("bin"),
+    )
+    return a.groupBy("event_type", "bin").agg(
+        F.count("*").alias("n_values"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )
