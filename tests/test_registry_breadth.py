@@ -125,17 +125,18 @@ def test_vote_and_delegate_fail_closed_not_shifted(spark):
 
 
 def test_registry_decode_populations_and_outcome_dispatch(spark):
-    """msg_registry_decode at sf0.001: five (type_url, status) rows;
-    only the unregistered custom type takes the fallback; decoded
-    aggregates are all non-trivial (amounts from three Coin/JSON
-    paths, varint proposal ids, enum yes-votes)."""
+    """msg_registry_decode at sf0.001: seven (type_url, status) rows
+    (six registered types + fallback); only the unregistered custom
+    type takes the fallback; decoded aggregates are all non-trivial
+    (amounts from four Coin/JSON paths, varint proposal ids, enum
+    yes-votes, IBC timeout varints)."""
     from zigchain_indexer_clickhouse_spark.plans import registry
 
     rows = {
         r["type_url"]: r
         for r in registry.queries()["msg_registry_decode"](spark, SF).collect()
     }
-    assert len(rows) == 5
+    assert len(rows) == 7
     assert rows["/zigchain.custom.v1.MsgCustom"]["status"] == (
         "Unknown message type"
     )
@@ -143,6 +144,8 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         "/cosmos.bank.v1beta1.MsgSend",
         "/cosmwasm.wasm.v1.MsgExecuteContract",
         "/cosmos.staking.v1beta1.MsgDelegate",
+        "/cosmos.staking.v1beta1.MsgUndelegate",
+        "/ibc.applications.transfer.v1.MsgTransfer",
     ):
         assert rows[url]["status"] == "ok"
         assert rows[url]["total_amt"] > 0
@@ -150,3 +153,5 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
     assert vote["status"] == "ok"
     assert vote["sum_pid"] > 0
     assert 0 < vote["n_yes"] < vote["n_msgs"]
+    xfer = rows["/ibc.applications.transfer.v1.MsgTransfer"]
+    assert xfer["sum_timeout"] > 0
