@@ -8,10 +8,12 @@ import pyspark.sql.functions as F
 
 from zigchain_indexer_clickhouse_spark.catalog import load
 from zigchain_indexer_clickhouse_spark.operators.corpus_prep import (
+    BPE_SKETCH_M,
     CHUNK_STRIDE,
     CHUNK_TOKENS,
     DSIR_TARGET_SOURCE,
     _canonical_col,
+    bpe_pair_sketch,
     bpe_pair_stats,
     context_chunks,
     dedup_url_canonical,
@@ -43,6 +45,19 @@ def test_bpe_top_pair_count_matches_direct_recount(spark, sf_dir):
         ).alias("n")
     ).agg(F.sum("n").alias("n")).collect()[0].n
     assert top.cnt == direct
+
+
+def test_bpe_mg_candidate_superset_margin(spark, sf_dir):
+    """The two-pass design is exact iff the last reported pair's count
+    clears the merged Misra-Gries undercount bound N/(M+1) — any pair
+    absent from the candidate union has true count ≤ that bound, so a
+    cleared bar proves no non-candidate could displace the top-N. Gate
+    the margin, not just the equality the oracle already checks."""
+    rows = bpe_pair_stats(spark, sf_dir).collect()
+    sketch = bpe_pair_sketch(spark, sf_dir)
+    n = sketch.agg(F.sum("part_n").alias("n")).collect()[0].n
+    bound = n / (BPE_SKETCH_M + 1)
+    assert rows[-1].cnt > bound, (rows[-1].cnt, bound)
 
 
 def test_chunks_cover_every_token_with_expected_overlap(spark, sf_dir):

@@ -36,6 +36,7 @@ _PROBED = [
     # must erase that
     "heavy_hitters_topk",
     "heavy_hitters_weighted",
+    "bpe_pair_stats",
     # integer-geometry argmax: the per-bucket row_number pick must not
     # depend on which executor saw the bucket
     "lttb_downsample",

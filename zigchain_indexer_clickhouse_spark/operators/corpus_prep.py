@@ -23,6 +23,9 @@ narrow (id, long) projection through an exchange.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,6 +38,14 @@ from zigchain_indexer_clickhouse_spark.plans.registry import register
 
 # BPE pair stats: report the top-N most frequent adjacent token pairs.
 BPE_TOP_N = 20
+# Misra-Gries counters for the pair-candidate sketch pass. The merged
+# MG undercount bound is N/(M+1) (Agarwal et al., "Mergeable
+# Summaries"), so the candidate superset provably contains every pair
+# whose true count exceeds N/(M+1); the top-{BPE_TOP_N} answer is
+# exact whenever the 20th-ranked pair clears that bar — with 4096
+# counters over a Zipfian pair distribution the margin is enormous
+# (test-gated in tests/test_corpus_prep.py).
+BPE_SKETCH_M = 4096
 
 # Context chunking: chunk size and stride in whitespace tokens
 # (overlap = CHUNK_TOKENS - CHUNK_STRIDE).
@@ -50,6 +61,66 @@ DSIR_TARGET_SOURCE = "src0"  # stand-in for the target-domain corpus
 # --------------------------------------------------------------------------
 # 156. bpe_pair_stats — corpus-wide adjacent-pair counts (one BPE step)
 # --------------------------------------------------------------------------
+def _bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adjacent-pair stream, generated in expression land
+    (transform over a slice — no self-join of token positions)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1),"
+                    " (x, i) -> concat(x, ' ', t[i + 1]))"
+                )
+            ).alias("pair")
+        )
+    )
+
+
+def bpe_pair_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pass 1 of {bpe_pair_stats}: a per-partition Misra-Gries sketch
+    ({BPE_SKETCH_M} counters, Arrow-batched ``value_counts`` — the only
+    state outside the JVM is one ≤{BPE_SKETCH_M}-entry dict per
+    partition) whose union is a provable candidate superset of every
+    pair with true count > N/{BPE_SKETCH_M + 1}. A sentinel row
+    (pair NULL) carries each partition's exact pair total so the
+    guarantee margin is checkable without a third corpus scan.
+    Persisted via `_shared_stage` for its two consumers (the query's
+    candidate set and the test's guarantee assertion)."""
+    from zigchain_indexer_clickhouse_spark.operators.ch_aggregates import (
+        _mg_shrink,
+    )
+    from zigchain_indexer_clickhouse_spark.operators.dedup import (
+        _shared_stage,
+    )
+
+    pairs = _bpe_pairs(spark, sf_dir)
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        part_n = 0
+        for pdf in batches:
+            part_n += len(pdf)
+            for t, c in pdf["pair"].value_counts().items():
+                counts[t] = counts.get(t, 0) + int(c)
+            counts = _mg_shrink(counts, BPE_SKETCH_M)
+        yield pd.DataFrame(
+            {
+                "pair": list(counts.keys()) + [None],
+                "part_n": [0] * len(counts) + [part_n],
+            }
+        )
+
+    return _shared_stage(
+        "bpe_pair_sketch", spark, sf_dir,
+        lambda: pairs.mapInPandas(
+            mg_partition, schema="pair string, part_n long"
+        ),
+    )
+
+
 @register(
     "bpe_pair_stats",
     oracle=f"""
@@ -73,27 +144,28 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (ties broken by pair text, so the winner is
     deterministic — a real trainer takes row 1, merges, and repeats).
 
-    Scale shape: the pair stream is generated in expression land
-    (transform over a slice — no self-join of token positions), the
-    count is a map-side-combinable groupBy on the pair string, and the
-    top-N plans as TakeOrderedAndProject — no global sort. At 100 TB
-    the only exchange carries (pair, partial_count) rows, already
-    collapsed per task."""
-    d = load(spark, sf_dir, "documents")
-    pairs = (
-        d.select(F.split("text", " ").alias("t"))
-        .filter(F.size("t") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(slice(t, 1, size(t) - 1),"
-                    " (x, i) -> concat(x, ' ', t[i + 1]))"
-                )
-            ).alias("pair")
-        )
+    Exact two-pass heavy-hitters shape (the #162 contract, r5 verdict
+    item 4): pass 1 is the map-only Misra-Gries candidate sketch
+    ({bpe_pair_sketch}), pass 2 re-counts ONLY candidate pairs — the
+    broadcast semi-join prunes the pair stream before the exchange, so
+    the shuffle carries partial counts for ≤ a few thousand candidate
+    pairs instead of the full pair vocabulary. At 100 TB the pair
+    vocabulary (billions of distinct pairs) is the largest exchange in
+    the tokenizer-prep family under the naive one-pass groupBy; here it
+    is never materialized. The sketch bounds memory, not correctness:
+    pass 2 is exact counting over a provable superset (any pair absent
+    from the union of MG summaries has true count ≤ N/{BPE_SKETCH_M
+    + 1}; the 20th-ranked pair clears that bar by orders of magnitude,
+    test-gated), so partition layout cannot change the answer
+    (tests/test_partition_invariance.py)."""
+    sketch = bpe_pair_sketch(spark, sf_dir)
+    candidates = (
+        sketch.filter(F.col("pair").isNotNull()).select("pair").distinct()
     )
     return (
-        pairs.groupBy("pair")
+        _bpe_pairs(spark, sf_dir)
+        .join(F.broadcast(candidates), "pair")
+        .groupBy("pair")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(BPE_TOP_N)
