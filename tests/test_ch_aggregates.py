@@ -223,3 +223,47 @@ def test_ttl_group_by_rollup_partitions_and_conserves_mass(spark, sf_dir):
     # mass conservation: the rollup loses no rows and no cents
     assert sum(r.n_rows for r in rows) == len(o)
     assert sum(r.total_cents for r in rows) == sum(r.c for r in o)
+
+
+def test_cramers_v_matches_python_recompute(spark, sf_dir):
+    """Rebuild the contingency table driver-side and recompute chi2/V
+    with Python floats; the engine's quantized figures must agree to
+    within one ulp-induced quantum, and V must sit in (0, 1)."""
+    import math
+    from collections import defaultdict
+
+    from zigchain_indexer_clickhouse_spark.operators.ch_aggregates import (
+        cramers_v_assoc,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(
+                "pmod(datediff(cast(ts as date), date'1970-01-05'), 7)"
+            ).alias("wd"),
+        )
+        .collect()
+    )
+    cells: dict[tuple, int] = defaultdict(int)
+    for r in ev:
+        cells[(r.event_type, r.wd)] += 1
+    rt: dict[str, int] = defaultdict(int)
+    ct: dict[int, int] = defaultdict(int)
+    for (et, wd), o in cells.items():
+        rt[et] += o
+        ct[wd] += o
+    n = sum(cells.values())
+    chi2 = 0.0
+    for et, wd in sorted(cells):
+        o = cells[(et, wd)]
+        diff = float(o * n - rt[et] * ct[wd])
+        chi2 += diff * diff / (float(rt[et] * ct[wd]) * float(n))
+    k = min(len(rt) - 1, len(ct) - 1)
+    v = math.sqrt(chi2 / float(n * k))
+    row = cramers_v_assoc(spark, sf_dir).collect()[0]
+    assert (row.n_events, row.n_types, row.n_days) == (n, len(rt), len(ct))
+    assert abs(row.chi2_micro - math.floor(chi2 * 1e6)) <= 1
+    assert abs(row.cramers_v_ppm - math.floor(v * 1e6)) <= 1
+    assert 0 < row.cramers_v_ppm < 1_000_000

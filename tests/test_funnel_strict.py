@@ -133,3 +133,37 @@ def test_bracket_closed_form_property(pattern):
                 matches += 1
         max_excess = max(max_excess, cum_b - cum_a)
     assert matches == pattern.count("b") - max(0, max_excess)
+
+
+def test_sequence_next_node_matches_python_recompute(spark, sf_dir):
+    """Walk each user's (ts, event_id)-ordered stream in Python, take
+    the event after the first signup, and compare bucket counts; shares
+    must floor-sum to within len(buckets) ppm of a full million."""
+    from zigchain_indexer_clickhouse_spark.operators.funnel import (
+        sequence_next_node,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    per = defaultdict(list)
+    for r in ev:
+        per[r.user_id].append((r.ts, r.event_id, r.event_type))
+    expected = defaultdict(int)
+    for stream in per.values():
+        stream.sort()
+        for i, (_, _, et) in enumerate(stream):
+            if et == "signup":
+                expected[
+                    stream[i + 1][2] if i + 1 < len(stream) else "(end)"
+                ] += 1
+                break
+    rows = {r.next_node: r for r in sequence_next_node(spark, sf_dir).collect()}
+    assert {k: r.n_users for k, r in rows.items()} == dict(expected)
+    tot = sum(expected.values())
+    assert all(
+        r.share_ppm == r.n_users * 1_000_000 // tot for r in rows.values()
+    )
+    assert 1_000_000 - len(rows) < sum(r.share_ppm for r in rows.values()) <= 1_000_000

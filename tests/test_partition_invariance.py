@@ -37,6 +37,9 @@ _PROBED = [
     "heavy_hitters_topk",
     "heavy_hitters_weighted",
     "bpe_pair_stats",
+    # ordered-float-fold class: chi2 is a left fold over sorted cells,
+    # so layout must not perturb the quantized ppm output
+    "cramers_v_assoc",
     # integer-geometry argmax: the per-bucket row_number pick must not
     # depend on which executor saw the bucket
     "lttb_downsample",

@@ -233,6 +233,8 @@ _BNLJ_ALLOWED = {
     "token_pmi_pairs",  # 1-row token-total broadcast
     "welch_ttest_by_type",  # |types|-row summary inequality self-join
     "point_in_range_join",  # 1-row domain-bound broadcast
+    "sequence_next_node",  # 1-row matched-user total for the share ppm
+    "cramers_v_assoc",  # 1-row N-total broadcast crossed into the cells
 }
 
 

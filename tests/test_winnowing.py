@@ -118,3 +118,27 @@ def test_length_gini_matches_recompute(spark, sf_dir):
         assert (r.n_docs, r.total_words) == (n, tot)
         assert r.gini_ppm == num * 1_000_000 // (n * tot)
         assert 0 <= r.gini_ppm < 1_000_000
+
+
+def test_simpson_diversity_matches_recompute(spark, sf_dir):
+    from zigchain_indexer_clickhouse_spark.operators.corpus_quality import (
+        simpson_diversity_by_source,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("source", "text").collect()
+    per: dict[str, Counter] = defaultdict(Counter)
+    for r in docs:
+        per[r.source].update(r.text.strip().split(" "))
+    rows = {
+        r.source: r
+        for r in simpson_diversity_by_source(spark, sf_dir).collect()
+    }
+    assert rows.keys() == per.keys()
+    for s, cnt in per.items():
+        n = sum(cnt.values())
+        sq = sum(c * c for c in cnt.values())
+        r = rows[s]
+        assert (r.n_tokens, r.n_distinct) == (n, len(cnt))
+        assert r.simpson_ppm == (n * n - sq) * 1_000_000 // (n * n)
+        # a natural-text source is type-diverse: well above a coin flip
+        assert 500_000 < r.simpson_ppm < 1_000_000

@@ -85,6 +85,13 @@ QUERIES = [
     "conversion_attribution",   # one sorted window pass per user
     "max_intersections_daily",  # two-level striped sweep line
     "point_in_range_join",      # bucketed range join, left-join tail
+    # round-6 late additions (#199-204)
+    "stream_attribution",       # watermarked stream-stream interval join
+    "dedup_incremental",        # batch-vs-index one-directional LSH
+    "stream_gap_detection",     # per-stripe bitmap state stream
+    "zorder_layout",            # integer Morton interleave + span audit
+    "compaction_binpack",       # 50-file synth + bin-packed rewrite
+    "histogram_equal_depth",    # wide boundary agg + broadcast binning
 ]
 
 

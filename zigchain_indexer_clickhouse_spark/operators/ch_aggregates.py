@@ -709,3 +709,126 @@ def histogram_equal_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("lo_cents"),
         F.max("cents").alias("hi_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# 206. cramers_v_assoc — ClickHouse cramersV(): categorical association
+# --------------------------------------------------------------------------
+@register(
+    "cramers_v_assoc",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             (CAST(ts AS DATE) - DATE '1970-01-05') % 7 AS wd
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, wd, COUNT(*) AS o FROM e GROUP BY event_type, wd
+    ),
+    rt AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY event_type),
+    ct AS (SELECT wd, SUM(o) AS c FROM cells GROUP BY wd),
+    tt AS (SELECT SUM(o) AS n FROM cells),
+    terms AS (
+      SELECT cells.event_type, cells.wd, n,
+             (CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE))
+             / (CAST(r * c AS DOUBLE) * CAST(n AS DOUBLE)) AS term
+      FROM cells JOIN rt USING (event_type) JOIN ct USING (wd) CROSS JOIN tt
+    ),
+    g AS (
+      SELECT list(struct_pack(event_type := event_type, wd := wd,
+                              term := term)
+                  ORDER BY event_type, wd) AS cl,
+             MAX(n) AS n,
+             COUNT(DISTINCT event_type) AS nt,
+             COUNT(DISTINCT wd) AS nd
+      FROM terms
+    ),
+    x AS (
+      SELECT list_reduce(
+               list_prepend(struct_pack(event_type := '', wd := -1,
+                                        term := CAST(0 AS DOUBLE)), cl),
+               (a, b) -> struct_pack(event_type := a.event_type,
+                                     wd := a.wd,
+                                     term := a.term + b.term)
+             ).term AS chi2,
+             n, nt, nd
+      FROM g
+    )
+    SELECT CAST(n AS BIGINT) AS n_events,
+           CAST(nt AS BIGINT) AS n_types,
+           CAST(nd AS BIGINT) AS n_days,
+           CAST(FLOOR(chi2 * 1000000) AS BIGINT) AS chi2_micro,
+           CAST(FLOOR(SQRT(chi2 / CAST(n * LEAST(nt - 1, nd - 1) AS DOUBLE))
+                      * 1000000) AS BIGINT) AS cramers_v_ppm
+    FROM x
+    """,
+)
+def cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``cramersV``: the association strength between event
+    type and day-of-week — the "is traffic mix weekday-dependent"
+    dashboard statistic. χ² over the contingency table, then
+    ``V = sqrt(χ² / (N·min(r−1, c−1)))``.
+
+    Cross-engine float determinism is ARRANGED, not hoped for (the
+    file-header rule): every per-cell term is built from EXACT integer
+    contingency counts with one IEEE-rounded multiply/divide sequence
+    — ``(O·N − r·c)²`` with the difference exact in BIGINT — and the
+    χ² reduction is a left fold over the cells in (event_type, wd)
+    order on BOTH engines (Spark ``aggregate(sort_array(...))``,
+    DuckDB ``list_reduce(list(... ORDER BY ...))``), so the sum sees
+    one permutation and both engines emit the identical double before
+    the ppm quantization.
+
+    Scale shape: one map-side-combinable keyed agg collapses 100 TB of
+    events to ≤ types×7 contingency cells; everything after runs on
+    that dashboard-sized frame (broadcast margins, one-row fold)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "pmod(datediff(cast(ts as date), date'1970-01-05'), 7)"
+        ).alias("wd"),
+    )
+    cells = e.groupBy("event_type", "wd").agg(F.count("*").alias("o"))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("wd").agg(F.sum("o").alias("c"))
+    tt = cells.agg(F.sum("o").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "wd")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "event_type",
+            "wd",
+            "n",
+            (
+                F.expr("cast(o * n - r * c as double)")
+                * F.expr("cast(o * n - r * c as double)")
+                / (F.expr("cast(r * c as double)") * F.col("n").cast("double"))
+            ).alias("term"),
+        )
+    )
+    g = terms.agg(
+        F.collect_list(F.struct("event_type", "wd", "term")).alias("cl"),
+        F.max("n").alias("n"),
+        F.countDistinct("event_type").alias("nt"),
+        F.countDistinct("wd").alias("nd"),
+    )
+    return g.select(
+        F.expr(
+            "aggregate(sort_array(cl), cast(0 as double),"
+            " (a, x) -> a + x.term)"
+        ).alias("chi2"),
+        "n", "nt", "nd",
+    ).select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("nt").cast("long").alias("n_types"),
+        F.col("nd").cast("long").alias("n_days"),
+        F.floor(F.col("chi2") * 1_000_000).cast("long").alias("chi2_micro"),
+        F.floor(
+            F.sqrt(
+                F.col("chi2")
+                / F.expr("cast(n * least(nt - 1, nd - 1) as double)")
+            )
+            * 1_000_000
+        ).cast("long").alias("cramers_v_ppm"),
+    )

@@ -494,3 +494,55 @@ def length_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (max(n) * max(tot))"
         ).alias("gini_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# 205. simpson_diversity_by_source — Gini-Simpson token diversity
+# --------------------------------------------------------------------------
+@register(
+    "simpson_diversity_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(trim(text), ' ')) AS token
+      FROM documents
+    ),
+    c AS (
+      SELECT source, token, COUNT(*) AS c FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST((SUM(c) * SUM(c) - SUM(c * c)) * 1000000
+                // (SUM(c) * SUM(c)) AS BIGINT) AS simpson_ppm
+    FROM c GROUP BY source
+    """,
+)
+def simpson_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini-Simpson token diversity per source — the probability (ppm)
+    that two tokens drawn at random from a source differ: ``1 - Σc²/N²``.
+    The diversity twin of #184's length-Gini: a source whose token mass
+    collapses onto a few types (low Simpson) is boilerplate- or
+    template-dominated and behaves badly under dedup and LM training;
+    unlike Shannon entropy this needs NO log(), so it is integer-exact
+    cross-engine (the file-header rule).
+
+    Scale shape: (source, token) counts are a map-side-combinable
+    keyed agg — the exchange carries the per-source token VOCABULARY,
+    already collapsed per task; the Σc² reduction is a second tiny agg
+    on vocabulary rows keyed by source (#sources groups). No windows,
+    no joins. BIGINT headroom: N per source must stay < 3·10⁹ for N²
+    to fit; at 100 TB the same query runs with the ppm arithmetic in
+    DECIMAL(38) — the structure is unchanged."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.trim("text"), " ")).alias("token")
+    )
+    c = tok.groupBy("source", "token").agg(F.count("*").alias("c"))
+    return c.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.expr(
+            "(sum(c) * sum(c) - sum(c * c)) * 1000000"
+            " div (sum(c) * sum(c))"
+        ).cast("long").alias("simpson_ppm"),
+    )

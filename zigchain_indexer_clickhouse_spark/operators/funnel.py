@@ -467,3 +467,75 @@ def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0).cast("int").alias("attributed"),
     )
+
+
+# --------------------------------------------------------------------------
+# 207. sequence_next_node — ClickHouse sequenceNextNode(): what comes next
+# --------------------------------------------------------------------------
+@register(
+    "sequence_next_node",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER w AS nxt,
+             SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS k
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    f AS (
+      SELECT COALESCE(nxt, '(end)') AS next_node
+      FROM o WHERE event_type = 'signup' AND k = 1
+    ),
+    t AS (SELECT COUNT(*) AS tot FROM f)
+    SELECT next_node,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) * 1000000 // tot AS BIGINT) AS share_ppm
+    FROM f, t GROUP BY next_node, tot
+    """,
+)
+def sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceNextNode('forward', 'first_match')``: for
+    every user, find the FIRST 'signup' in the time-ordered stream and
+    report which event type comes immediately after it — the
+    "where do users go right after signing up" product dashboard.
+    Users whose first signup is their last event land in the '(end)'
+    bucket, so the share column sums to 1,000,000 ppm.
+
+    Plan: ONE window pass per user — the lead() and the running
+    signup-occurrence counter (``k``, which marks the first match
+    without a second filtered window) share the same (user_id) hash
+    partitioning and (ts, event_id) sort, so Spark computes both in a
+    single Window node after a single exchange; the aggregation over
+    matched rows is a tiny keyed agg (≤ #event_types + 1 groups) with
+    the 1-row total broadcast back. Ties are impossible (event_id is
+    unique) and the tie-break is pinned anyway — both engines walk one
+    permutation."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    o = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("k"),
+    )
+    f = o.filter((F.col("event_type") == "signup") & (F.col("k") == 1)).select(
+        F.coalesce("nxt", F.lit("(end)")).alias("next_node")
+    )
+    t = f.agg(F.count("*").alias("tot"))
+    return (
+        f.groupBy("next_node")
+        .agg(F.count("*").alias("n_users"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "next_node",
+            "n_users",
+            F.expr("n_users * 1000000 div tot").alias("share_ppm"),
+        )
+    )
