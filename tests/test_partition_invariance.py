@@ -53,6 +53,10 @@ _PROBED = [
     "dedup_incremental",
     "conversion_attribution",
     "max_intersections_daily",
+    # doubled-rank statistics class: tie-averaged ranks and shared-IEEE
+    # normalizations must not see layout (all inputs are exact BIGINTs)
+    "mann_whitney_u_pairs",
+    "spearman_rank_corr",
 ]
 
 

@@ -235,6 +235,9 @@ _BNLJ_ALLOWED = {
     "point_in_range_join",  # 1-row domain-bound broadcast
     "sequence_next_node",  # 1-row matched-user total for the share ppm
     "cramers_v_assoc",  # 1-row N-total broadcast crossed into the cells
+    "mann_whitney_u_pairs",  # |types|²-row pair-key broadcast fan-out
+    "ks_test_pairs",  # same tiny pair-key broadcast as #208
+    "roc_auc_doc_length",  # 1-row corpus-total broadcast
 }
 
 

@@ -42,6 +42,7 @@ _MODULES = (
     "zigchain_indexer_clickhouse_spark.operators.corpus_quality",
     "zigchain_indexer_clickhouse_spark.operators.ch_idioms",
     "zigchain_indexer_clickhouse_spark.operators.ch_aggregates",
+    "zigchain_indexer_clickhouse_spark.operators.statistics",
     "zigchain_indexer_clickhouse_spark.operators.timeseries",
     "zigchain_indexer_clickhouse_spark.operators.clustering",
     "zigchain_indexer_clickhouse_spark.operators.retrieval",
