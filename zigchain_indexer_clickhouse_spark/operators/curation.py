@@ -806,3 +806,103 @@ def _curation_base(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("r_keep"), F.lit(0)).alias("r_keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 216. decontaminate_transform — benchmark-contamination REMOVAL
+# --------------------------------------------------------------------------
+@register(
+    "decontaminate_transform",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, n_chars, string_split(trim(text), ' ') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[g.i] || ' ' || toks[g.i+1] || ' ' || toks[g.i+2]
+               || ' ' || toks[g.i+3] || ' ' || toks[g.i+4] AS phrase
+      FROM tok, generate_series(1, 4000) g(i)
+      WHERE g.i <= len(toks) - 4
+    ),
+    flagged AS (
+      SELECT DISTINCT c.doc_id
+      FROM sh c JOIN (SELECT * FROM sh WHERE doc_id % 50 = 0) b
+        ON c.phrase = b.phrase
+      WHERE c.doc_id <> b.doc_id AND c.doc_id % 50 <> 0
+      GROUP BY c.doc_id, b.doc_id
+      HAVING COUNT(*) >= 3
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(COUNT(*) - SUM(CASE WHEN f.doc_id IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN f.doc_id IS NULL
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM tok t LEFT JOIN flagged f ON t.doc_id = f.doc_id
+    GROUP BY t.source
+    """,
+)
+def decontaminate_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination as a TRANSFORM: #64 only AUDITS which
+    docs share ≥3 five-gram phrases with the held-out benchmark set;
+    this op REMOVES them (the step an actual training run requires —
+    GPT-3 appendix C / Gopher §A.3 both decontaminate by n-gram
+    overlap before training) and reports the per-source survival
+    ledger: total, removed, kept, and surviving character mass.
+    Benchmark docs themselves (doc_id%50=0) are exempt — they're the
+    held-out set, not corpus members under suspicion.
+
+    Scale shape: same machinery as #64 — the benchmark shingle side is
+    tiny and broadcast, so flagging is ONE broadcast equi-join over
+    the corpus shingle stream (never a corpus shuffle); the flag set
+    collapses to distinct doc_ids and joins back to the doc-grain
+    frame; the ledger is one combinable source agg. The cleaned
+    corpus itself is the same left-anti join, projected instead of
+    aggregated — the ledger keeps the gate output bounded."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars",
+        F.split(F.trim("text"), " ").alias("toks"),
+    )
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("toks") - 5),
+            lambda i: F.concat_ws(
+                " ", F.slice(F.col("toks"), i + 1, F.lit(5))
+            ),
+        )
+    )
+    sh = d.filter(F.size("toks") >= 5).select(
+        "doc_id", F.explode(grams).alias("phrase")
+    )
+    bench = sh.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "phrase"
+    )
+    flagged = (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "phrase")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("doc_id")
+        .distinct()
+        .withColumn("flag", F.lit(1))
+    )
+    return (
+        d.join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("flag"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+            (F.count("*") - F.sum(F.coalesce(F.col("flag"), F.lit(0))))
+            .cast("long").alias("n_kept"),
+            F.sum(
+                F.when(F.col("flag").isNull(), F.col("n_chars"))
+                .otherwise(F.lit(0))
+            ).cast("long").alias("kept_chars"),
+        )
+    )

@@ -528,3 +528,155 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("yes").cast("long").alias("n_yes"),
         F.sum("timeout").alias("sum_timeout"),
     )
+
+
+# --------------------------------------------------------------------------
+# 214. token_flow_graph — sender→recipient transfer matrix from decoded sends
+# --------------------------------------------------------------------------
+@register(
+    "token_flow_graph",
+    oracle="""
+    WITH f AS (
+      SELECT 'zig1u' || CAST(user_id AS VARCHAR) AS from_addr,
+             'zig1c' || CAST(user_id + event_id % 5 AS VARCHAR) AS to_addr,
+             CAST(floor(value * 100) AS BIGINT) AS amt
+      FROM events
+    )
+    SELECT from_addr, to_addr,
+           CAST(COUNT(*) AS BIGINT) AS n_sends,
+           CAST(SUM(amt) AS BIGINT) AS total_uzig
+    FROM f GROUP BY 1, 2
+    ORDER BY total_uzig DESC, from_addr, to_addr LIMIT 20
+    """,
+)
+def token_flow_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top transfer flows — the block-explorer "who sends to whom"
+    matrix, computed from DECODED MsgSend bodies (not from the
+    synthesis side): every event synthesizes a MsgSend Any on the wire
+    (recipient varied by event_id so senders fan out to ≤5
+    recipients), the engine recovers (from_address, to_address,
+    amount) by scanning the protobuf bytes, and the flow aggregate
+    keys on the decoded strings. The oracle recomputes the matrix
+    WITHOUT the byte round-trip, so any drifted field offset changes
+    the keys and fails the hash. Reference anchor: the reference
+    stores decoded MsgSend bodies (decoder.js:11-29) precisely so
+    ClickHouse can serve this query.
+
+    Scale shape: blob build + decode are one persisted narrow scan
+    (all codegen, zero Python); the flow matrix is one map-side
+    combinable (from,to) aggregate; top-20 is TakeOrderedAndProject
+    (no global sort). Edge cardinality ≤ 5·|users| — the aggregate
+    output, never the row stream, is the exchange payload."""
+
+    def _build() -> DataFrame:
+        e = load(spark, sf_dir, "events")
+        blob = encode_any_msg(
+            F.lit(_MSG_SEND_URL),
+            encode_msg_send(
+                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
+                F.concat(
+                    F.lit("zig1c"),
+                    (F.col("user_id") + F.col("event_id") % 5)
+                    .cast("string"),
+                ),
+                F.lit("uzig"),
+                F.floor(F.col("value") * 100).cast("long").cast("string"),
+            ),
+        )
+        return e.select(blob.alias("blob"))
+
+    def _unwrap() -> DataFrame:
+        # second persisted level (the module-header codegen lesson):
+        # bind the Any payload to a plain column BEFORE the ~20
+        # positional references of the field scanner — composing
+        # any_value inline multiplies its tree into every reference
+        blobs = _shared_stage("token_flow_blobs", spark, sf_dir, _build)
+        return blobs.select(any_value(F.col("blob")).alias("body"))
+
+    bodies = _shared_stage("token_flow_bodies", spark, sf_dir, _unwrap)
+    send = bodies.select(
+        msg_send_fields(F.col("body")).alias("d")
+    ).filter(F.col("d").isNotNull())
+    return (
+        send.groupBy(
+            F.col("d.from_address").alias("from_addr"),
+            F.col("d.to_address").alias("to_addr"),
+        )
+        .agg(
+            F.count("*").alias("n_sends"),
+            F.sum(F.col("d.amount").cast("long")).alias("total_uzig"),
+        )
+        .orderBy(
+            F.col("total_uzig").desc(), F.col("from_addr"), F.col("to_addr")
+        )
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# 215. contract_call_activity — per-contract wasm execution analytics
+# --------------------------------------------------------------------------
+@register(
+    "contract_call_activity",
+    oracle="""
+    WITH c AS (
+      SELECT 'zig1w' || CAST(event_id % 7 AS VARCHAR) AS contract,
+             user_id,
+             CAST(floor(value * 100) AS BIGINT) AS amt
+      FROM events
+    )
+    SELECT contract,
+           CAST(COUNT(*) AS BIGINT) AS n_calls,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_senders,
+           CAST(SUM(amt) AS BIGINT) AS total_transferred
+    FROM c GROUP BY contract
+    """,
+)
+def contract_call_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-contract wasm activity — calls, distinct callers, and value
+    moved THROUGH the decoded execute payloads: every event
+    synthesizes a MsgExecuteContract Any (7 contracts by event_id%7,
+    the #151 shape), the engine decodes sender/contract from the
+    protobuf scan and the transfer amount from INSIDE the decoded
+    msg JSON (get_json_object over the recovered payload — the
+    two-layer decode the reference's type_wasm route exists for,
+    worker.js:185-239). Oracle recomputes without the byte trip.
+
+    Scale shape: one persisted codegen decode scan; one combinable
+    (contract) aggregate — countDistinct expands to the usual
+    two-level distinct agg, keyed on 7 groups; no joins, no windows."""
+
+    def _build() -> DataFrame:
+        e = load(spark, sf_dir, "events")
+        blob = encode_any_msg(
+            F.lit(_MSG_EXEC_URL),
+            encode_msg_execute(
+                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
+                F.concat(F.lit("zig1w"),
+                         (F.col("event_id") % 7).cast("string")),
+                F.concat(
+                    F.lit('{"transfer":{"amount":"'),
+                    F.floor(F.col("value") * 100).cast("long").cast("string"),
+                    F.lit('"}}'),
+                ),
+            ),
+        )
+        return e.select(blob.alias("blob"))
+
+    def _unwrap() -> DataFrame:
+        # same bound-attribute level as #214/#151 (module-header rule)
+        blobs = _shared_stage("contract_call_blobs", spark, sf_dir, _build)
+        return blobs.select(any_value(F.col("blob")).alias("body"))
+
+    bodies = _shared_stage("contract_call_bodies", spark, sf_dir, _unwrap)
+    ex = bodies.select(
+        msg_execute_fields(F.col("body")).alias("d")
+    ).filter(F.col("d").isNotNull())
+    return ex.groupBy(F.col("d.contract").alias("contract")).agg(
+        F.count("*").alias("n_calls"),
+        F.countDistinct("d.sender").alias("n_senders"),
+        F.sum(
+            F.get_json_object(F.col("d.msg_json"), "$.transfer.amount")
+            .cast("long")
+        ).alias("total_transferred"),
+    )
