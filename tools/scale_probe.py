@@ -92,6 +92,16 @@ QUERIES = [
     "zorder_layout",            # integer Morton interleave + span audit
     "compaction_binpack",       # 50-file synth + bin-packed rewrite
     "histogram_equal_depth",    # wide boundary agg + broadcast binning
+    # round-6 statistics + decode-analytics additions (#205-216)
+    "simpson_diversity_by_source",  # (source,token) vocab agg collapse
+    "sequence_next_node",       # one user window pass + tiny share agg
+    "cumulative_unique_users",  # first-seen groupBy + day-grain window
+    "mann_whitney_u_pairs",     # pair fan-out + per-pair rank windows
+    "spearman_rank_corr",       # user-grain doubled-rank windows
+    "interval_length_sum",      # per-(user,day) union sweep
+    "roc_auc_doc_length",       # global distinct-length rank window
+    "token_flow_graph",         # two-stage wire decode + (from,to) agg
+    "decontaminate_transform",  # broadcast bench join + source ledger
 ]
 
 

@@ -195,13 +195,11 @@ def lsh_band_rows(hashed: DataFrame) -> DataFrame:
     return sigs.select("doc_id", F.explode(band_keys).alias("band_key"))
 
 
-def _minhash_cand_ctes() -> str:
-    """The shared candidate-generation CTE chain: near corpus → 3-word
-    shingles → portable-hashed shingle sets → minhash signature → LSH
-    band keys → band-bucket candidate pairs. Reused verbatim by the
-    #34 oracle and the #36 (dedup_ngram_jaccard) oracle so both verify
-    passes see the identical candidate space the Spark side builds
-    from ``lsh_band_rows``."""
+def _sig_ctes() -> str:
+    """The signature-prefix CTE chain: near corpus → 3-word shingles →
+    portable-hashed shingle sets → minhash signature list. Shared by
+    the #34/#36 candidate chain and the #219 band-tuning sweep so every
+    consumer sees the identical signatures."""
     base = portable_hash_sql("shingle")
     perms = " ".join(
         f"WHEN s.j = {j} THEN {minhash_perm_sql('bh', j)}" for j in range(MINHASH_K)
@@ -221,7 +219,16 @@ def _minhash_cand_ctes() -> str:
       FROM shh, generate_series(0, {MINHASH_K - 1}) s(j)
       GROUP BY doc_id, s.j
     ),
-    sigl AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sig GROUP BY doc_id),
+    sigl AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sig GROUP BY doc_id)"""
+
+
+def _minhash_cand_ctes() -> str:
+    """The shared candidate-generation CTE chain (signature prefix +
+    LSH band keys → band-bucket candidate pairs). Reused verbatim by
+    the #34 oracle and the #36 (dedup_ngram_jaccard) oracle so both
+    verify passes see the identical candidate space the Spark side
+    builds from ``lsh_band_rows``."""
+    return f"""{_sig_ctes()},
     bands AS (
       SELECT doc_id,
              CAST(b.b AS VARCHAR) || ':' || CAST(sig[2*b.b+1] AS VARCHAR)
@@ -1432,4 +1439,163 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.j_ppm").alias("best_j_ppm"),
         (-F.col("b.nid")).cast("long").alias("dup_of"),
         F.col("n_matches"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 219. minhash_band_tuning — the (bands, rows) LSH threshold sweep
+# --------------------------------------------------------------------------
+# every (b, r) split of the k=8 signature, with the S-curve midpoint
+# (1/b)^(1/r) each setting targets — computed once here and embedded as
+# the SAME literal on both engines
+_BAND_CFGS = [
+    (f"b{b}r{r}", b, r, int(((1 / b) ** (1 / r)) * 1_000_000))
+    for b, r in ((8, 1), (4, 2), (2, 4), (1, 8))
+]
+_BUCKET_CAP = 64  # boilerplate mega-bucket drop threshold
+
+
+def _band_tuning_oracle() -> str:
+    cfg_vals = ", ".join(
+        f"('{c}', {b}, {r}, {t})" for c, b, r, t in _BAND_CFGS
+    )
+    return f"""
+    WITH {_sig_ctes()},
+    cfg AS (SELECT * FROM (VALUES {cfg_vals})
+            t(config, b, r, threshold_ppm)),
+    rws AS (
+      SELECT c.config, s.doc_id,
+             c.config || ':' || CAST(g.band AS VARCHAR) || ':' ||
+             array_to_string(
+               list_transform(sig[g.band * c.r + 1 : g.band * c.r + c.r],
+                              x -> CAST(x AS VARCHAR)), ':') AS band_key
+      FROM sigl s, cfg c, generate_series(0, 7) g(band)
+      WHERE g.band < c.b
+    ),
+    sizes AS (
+      SELECT config, band_key, COUNT(*) AS n FROM rws GROUP BY 1, 2
+    ),
+    okb AS (
+      SELECT config, band_key FROM sizes
+      WHERE n >= 2 AND n <= {_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT r1.config, r1.doc_id AS a, r2.doc_id AS b2
+      FROM rws r1
+      JOIN okb o ON o.config = r1.config AND o.band_key = r1.band_key
+      JOIN rws r2 ON r2.config = r1.config AND r2.band_key = r1.band_key
+        AND r1.doc_id < r2.doc_id
+    ),
+    agg1 AS (
+      SELECT config,
+             SUM(CASE WHEN n >= 2 AND n <= {_BUCKET_CAP}
+                      THEN 1 ELSE 0 END) AS n_buckets,
+             SUM(CASE WHEN n > {_BUCKET_CAP} THEN 1 ELSE 0 END) AS n_dropped
+      FROM sizes GROUP BY config
+    ),
+    agg2 AS (SELECT config, COUNT(*) AS n_pairs FROM cand GROUP BY config)
+    SELECT c.config, CAST(c.b AS BIGINT) AS n_bands,
+           CAST(c.r AS BIGINT) AS rows_per_band,
+           CAST(c.threshold_ppm AS BIGINT) AS threshold_ppm,
+           CAST(a1.n_buckets AS BIGINT) AS n_buckets,
+           CAST(a1.n_dropped AS BIGINT) AS n_dropped_buckets,
+           CAST(COALESCE(a2.n_pairs, 0) AS BIGINT) AS n_candidate_pairs
+    FROM cfg c JOIN agg1 a1 USING (config) LEFT JOIN agg2 a2 USING (config)
+    """
+
+
+@register("minhash_band_tuning", oracle=_band_tuning_oracle())
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH threshold tuning: the candidate-volume table for every
+    (bands, rows-per-band) split of the k={MINHASH_K} signature — the
+    sweep a corpus owner consults before fixing the #34 banding (more
+    bands = lower Jaccard threshold = more candidates; the S-curve
+    midpoint (1/b)^(1/r) is reported next to the MEASURED candidate
+    count so the choice is data-driven, not theoretical).
+
+    Scale shape: signatures compute ONCE from the shared persisted
+    shingle stage (the same stage #34/#36/#145 reuse — tuning adds no
+    second corpus scan); each config re-bands the k-long signature in
+    expression land, so the sweep's cost is the band-bucket equi-joins
+    themselves — exactly the workload being measured. Mega-buckets
+    (>{_BUCKET_CAP} docs — boilerplate minima) are dropped on BOTH
+    engines before pairing, the production guard that keeps any
+    single bucket's fan-out bounded; drops are REPORTED per config,
+    never silent."""
+    hashed = shared_hashed_shingles(spark, sf_dir)
+    def _mh(j: int):
+        # single-parameter lambda (the lsh_band_rows trap: a 2-arg
+        # lambda makes transform pass (element, index))
+        return F.array_min(F.transform(F.col("bh"), lambda h: minhash_perm(h, j)))
+
+    sig_cols = [_mh(j).alias(f"mh{j}") for j in range(MINHASH_K)]
+    sigs = _shared_stage(
+        "band_tuning_sigs", spark, sf_dir,
+        lambda: hashed.select("doc_id", *sig_cols),
+    )
+    per_cfg = []
+    for cname, b, r, _t in _BAND_CFGS:
+        keys = F.array(*[
+            F.concat_ws(
+                ":", F.lit(cname), F.lit(band),
+                *[F.col(f"mh{band * r + i}").cast("string") for i in range(r)],
+            )
+            for band in range(b)
+        ])
+        per_cfg.append(
+            sigs.select(
+                F.lit(cname).alias("config"), "doc_id",
+                F.explode(keys).alias("band_key"),
+            )
+        )
+    rws = per_cfg[0]
+    for p in per_cfg[1:]:
+        rws = rws.unionAll(p)
+    sizes = rws.groupBy("config", "band_key").agg(F.count("*").alias("n"))
+    okb = sizes.filter(
+        (F.col("n") >= 2) & (F.col("n") <= _BUCKET_CAP)
+    ).select("config", "band_key")
+    r1, r2 = rws.alias("r1"), rws.alias("r2")
+    cand = (
+        r1.join(
+            okb.alias("o"),
+            (F.col("o.config") == F.col("r1.config"))
+            & (F.col("o.band_key") == F.col("r1.band_key")),
+        )
+        .join(
+            r2,
+            (F.col("r2.config") == F.col("r1.config"))
+            & (F.col("r2.band_key") == F.col("r1.band_key"))
+            & (F.col("r1.doc_id") < F.col("r2.doc_id")),
+        )
+        .select(
+            F.col("r1.config").alias("config"),
+            F.col("r1.doc_id").alias("a"),
+            F.col("r2.doc_id").alias("b2"),
+        )
+        .distinct()
+    )
+    agg1 = sizes.groupBy("config").agg(
+        F.sum(
+            ((F.col("n") >= 2) & (F.col("n") <= _BUCKET_CAP)).cast("long")
+        ).alias("n_buckets"),
+        F.sum((F.col("n") > _BUCKET_CAP).cast("long")).alias("n_dropped"),
+    )
+    agg2 = cand.groupBy("config").agg(F.count("*").alias("n_pairs"))
+    cfg_rows = spark.createDataFrame(
+        _BAND_CFGS, "config string, b long, r long, threshold_ppm long"
+    )
+    return (
+        cfg_rows.join(agg1, "config")
+        .join(agg2, "config", "left")
+        .select(
+            "config",
+            F.col("b").alias("n_bands"),
+            F.col("r").alias("rows_per_band"),
+            "threshold_ppm",
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+            F.col("n_dropped").cast("long").alias("n_dropped_buckets"),
+            F.coalesce(F.col("n_pairs"), F.lit(0))
+            .cast("long").alias("n_candidate_pairs"),
+        )
     )

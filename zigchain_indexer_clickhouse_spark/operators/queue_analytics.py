@@ -11,7 +11,7 @@ replays bit-identically (the reference uses wall-clock NOW()).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from zigchain_indexer_clickhouse_spark.catalog import load
@@ -639,4 +639,134 @@ def fk_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             edge("lineitem->supplier", li, "l_suppkey", s, "s_suppkey")
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# 217. block_time_drift — inter-block gap health per day
+# --------------------------------------------------------------------------
+@register(
+    "block_time_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_id AS height, CAST(ts AS DATE) AS day,
+             epoch_us(ts) AS t
+      FROM events
+    ),
+    g AS (
+      SELECT day,
+             t - LAG(t) OVER (PARTITION BY day ORDER BY height) AS gap
+      FROM b
+    )
+    SELECT day,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_blocks,
+           CAST(floor(CAST(SUM(gap) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS mean_gap_us,
+           CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+           CAST(SUM(CASE WHEN gap > 10000000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gaps_over_10s
+    FROM g WHERE gap IS NOT NULL GROUP BY day
+    """,
+)
+def block_time_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-production health: per day, the distribution of
+    HEIGHT-consecutive block timestamp gaps — the "is the chain
+    keeping its block time" monitor a chain operator reads next to the
+    reference's recent-activity window (monitor_indexer.js:119-129
+    checks volume; this checks cadence; negative gaps = out-of-order
+    timestamps, the classic consensus-clock-skew smell).
+
+    Exactness: gaps in integer epoch-micros; the mean is the one
+    float step, computed as floor(double-division) with the identical
+    expression on both engines; everything else is integer min/max/
+    conditional count.
+
+    Scale shape: the lag window partitions by DAY (the #197 stripe
+    justification: bounded by a day's block count; heights within a
+    stripe never cross executors), and the day roll-up shares the same
+    partitioning — ONE exchange end-to-end. Day-boundary gaps are
+    excluded identically on both engines (first block of each day has
+    no predecessor)."""
+    b = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("height"),
+        F.col("ts").cast("date").alias("day"),
+        F.unix_micros("ts").alias("t"),
+    )
+    w = Window.partitionBy("day").orderBy("height")
+    g = b.select(
+        "day", (F.col("t") - F.lag("t").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return g.groupBy("day").agg(
+        (F.count("*") + 1).cast("long").alias("n_blocks"),
+        F.expr(
+            "CAST(floor(CAST(SUM(gap) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+        ).alias("mean_gap_us"),
+        F.min("gap").cast("long").alias("min_gap_us"),
+        F.max("gap").cast("long").alias("max_gap_us"),
+        F.sum((F.col("gap") > 10_000_000).cast("long"))
+        .cast("long").alias("n_gaps_over_10s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 218. reorg_candidates — same-height hash disagreement audit
+# --------------------------------------------------------------------------
+@register(
+    "reorg_candidates",
+    oracle="""
+    WITH b AS (
+      SELECT event_id // 2 AS height,
+             CAST(event_id % 2 AS BIGINT) AS version,
+             sha256(CAST(event_id // 2 AS VARCHAR)
+                    || CASE WHEN event_id % 2 = 1 AND user_id % 10 = 0
+                            THEN 'fork' ELSE '' END) AS block_hash
+      FROM events
+    )
+    SELECT height,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT block_hash) AS BIGINT) AS n_variants,
+           arg_max(block_hash, version) AS canonical_hash
+    FROM b GROUP BY height
+    HAVING COUNT(DISTINCT block_hash) > 1
+    """,
+)
+def reorg_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-reorg audit: heights whose stored rows DISAGREE on the
+    block hash — the disagreement the reference's ReplacingMergeTree
+    engine silently resolves (models.js engine choice: latest version
+    wins at merge time) but an operator should see BEFORE trusting
+    FINAL reads. Synthetic forks: each height stores two versioned
+    rows, and ~10% of version-1 rows carry a forked hash; the audit
+    reports every disagreeing height with its row count, variant
+    count, and the canonical (max-version) hash #9 replacing_dedup
+    would keep.
+
+    Scale shape: ONE map-side-combinable height agg (countDistinct
+    expands to the standard two-level distinct plan; max_by rides the
+    same exchange); only disagreeing heights materialize. At 100 TB
+    this keys on the height partition axis, so the shuffle is
+    partition-aligned with the storage layout (#23)."""
+    b = load(spark, sf_dir, "events").select(
+        (F.col("event_id") / 2).cast("long").alias("height"),
+        (F.col("event_id") % 2).cast("long").alias("version"),
+        F.sha2(
+            F.concat(
+                (F.col("event_id") / 2).cast("long").cast("string"),
+                F.when(
+                    (F.col("event_id") % 2 == 1) & (F.col("user_id") % 10 == 0),
+                    F.lit("fork"),
+                ).otherwise(F.lit("")),
+            ),
+            256,
+        ).alias("block_hash"),
+    )
+    return (
+        b.groupBy("height")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct("block_hash").cast("long").alias("n_variants"),
+            F.max_by("block_hash", "version").alias("canonical_hash"),
+        )
+        .filter(F.col("n_variants") > 1)
     )
