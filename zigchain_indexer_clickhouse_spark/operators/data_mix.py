@@ -267,3 +267,131 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("long").alias("max_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 220. domain_temperature_mix — α-smoothed multilingual sampling plan
+# --------------------------------------------------------------------------
+# the one irrational step (sqrt of an exact integer count) runs as the
+# SAME formula text on both engines; the normalizing Σ√n is an ordered
+# left fold over the ≤|langs| cells so both engines sum one permutation
+_TEMP_BUDGET = 10_000
+
+
+@register(
+    "domain_temperature_mix",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY lang
+    ),
+    t AS (SELECT SUM(n_docs) AS total FROM g),
+    f AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY lang)),
+               (a, b) -> a + b) AS denom
+      FROM g
+    )
+    SELECT g.lang, g.n_docs,
+           CAST(g.n_docs * 1000000 // t.total AS BIGINT) AS raw_share_ppm,
+           CAST(floor(sqrt(CAST(g.n_docs AS DOUBLE)) / f.denom * 1000000)
+                AS BIGINT) AS smoothed_share_ppm,
+           CAST(floor(sqrt(CAST(g.n_docs AS DOUBLE)) / f.denom
+                      * {_TEMP_BUDGET}) AS BIGINT) AS target_docs
+    FROM g CROSS JOIN t CROSS JOIN f
+    """,
+)
+def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (the mBERT/XLM-R α=0.5
+    exponential smoothing, Devlin 2019 / Conneau 2020): low-resource
+    languages are UP-sampled relative to their raw share by sampling
+    ∝ n^α — the plan every multilingual training mix starts from.
+    Emits raw vs smoothed shares (ppm) and the per-language document
+    quota under a {_TEMP_BUDGET}-doc budget. Complements #120 (fixed
+    target weights); here the weights derive from the data.
+
+    Exactness: counts are exact BIGINTs; √n is the one irrational
+    step, executed as the SAME formula text on both engines, and the
+    normalizing Σ√n is a left fold over lang-ordered cells (the
+    cramers_v discipline) so both engines add one permutation of
+    ≤|langs| doubles before the ppm floor.
+
+    Scale shape: ONE map-side-combinable lang agg collapses the
+    corpus; everything downstream (fold, shares, quotas) runs on the
+    ≤|langs|-row frame with two 1-row broadcasts."""
+    g = load(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    t = g.agg(F.sum("n_docs").alias("total"))
+    f = g.agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(lang, "
+            "sqrt(CAST(n_docs AS DOUBLE)) AS s))), CAST(0 AS DOUBLE), "
+            "(a, x) -> a + x.s)"
+        ).alias("denom")
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(f))
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr(
+                "CAST(n_docs * 1000000 DIV total AS BIGINT)"
+            ).alias("raw_share_ppm"),
+            F.expr(
+                "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / denom * 1000000)"
+                " AS BIGINT)"
+            ).alias("smoothed_share_ppm"),
+            F.expr(
+                f"CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) / denom"
+                f" * {_TEMP_BUDGET}) AS BIGINT)"
+            ).alias("target_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 221. uniq_up_to_daily — ClickHouse uniqUpTo(N) analog
+# --------------------------------------------------------------------------
+_UNIQ_CAP = 10
+
+
+@register(
+    "uniq_up_to_daily",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+      FROM events
+    )
+    SELECT event_type, day,
+           CAST(LEAST(COUNT(*), {_UNIQ_CAP + 1}) AS BIGINT) AS uniq_up_to,
+           CAST(COUNT(*) > {_UNIQ_CAP} AS BIGINT) AS saturated
+    FROM d GROUP BY event_type, day
+    """,
+)
+def uniq_up_to_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo({_UNIQ_CAP})``: exact distinct users per
+    (event_type, day), saturating at {_UNIQ_CAP}+1 — the "are there
+    more than N distinct actors" gate (CH keeps ≤N+1 keys of state and
+    answers exactly below the cap; the saturated flag is all a
+    threshold consumer reads).
+
+    Scale shape: the (type, day, user) DISTINCT collapse is the only
+    corpus-sized step and it is map-side combinable (each task dedups
+    locally before the exchange); the capped count and flag are
+    per-group trivia. CH's bounded-state trick trades exactness above
+    the cap for memory — here the distinct collapse already bounds
+    the exchange, and the saturating output preserves CH's exact
+    answer-envelope: equal below the cap, pinned to N+1 above."""
+    d = (
+        load(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("date").alias("day"), "user_id")
+        .distinct()
+    )
+    return d.groupBy("event_type", "day").agg(
+        F.least(F.count("*"), F.lit(_UNIQ_CAP + 1))
+        .cast("long").alias("uniq_up_to"),
+        (F.count("*") > _UNIQ_CAP).cast("long").alias("saturated"),
+    )
