@@ -358,3 +358,101 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("long").alias("new_users"),
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+# --------------------------------------------------------------------------
+# 222. ip_subnet_rollup — ClickHouse IPv4 function family analog
+# --------------------------------------------------------------------------
+@register(
+    "ip_subnet_rollup",
+    oracle="""
+    WITH src AS (
+      SELECT '10.77.' || CAST((user_id * 40503 % 65536) // 256 AS VARCHAR)
+               || '.' || CAST(user_id * 40503 % 256 AS VARCHAR) AS ip_str,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    parsed AS (
+      SELECT CAST(string_split(ip_str, '.')[1] AS BIGINT) * 16777216
+             + CAST(string_split(ip_str, '.')[2] AS BIGINT) * 65536
+             + CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256
+             + CAST(string_split(ip_str, '.')[4] AS BIGINT) AS ip_num,
+             cents
+      FROM src
+    )
+    SELECT ip_num // 256 AS subnet24,
+           CAST((ip_num // 256) // 65536 AS VARCHAR) || '.'
+             || CAST(((ip_num // 256) // 256) % 256 AS VARCHAR) || '.'
+             || CAST((ip_num // 256) % 256 AS VARCHAR) || '.0/24'
+             AS cidr,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT ip_num) AS BIGINT) AS n_ips,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(MIN(ip_num) AS BIGINT) AS min_ip,
+           CAST(MAX(ip_num) AS BIGINT) AS max_ip
+    FROM parsed GROUP BY 1 ORDER BY subnet24
+    """,
+)
+def ip_subnet_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse IPv4 function family (``IPv4StringToNum`` /
+    ``IPv4NumToString`` / ``IPv4CIDRToRange``): parse dotted-quad
+    strings to integers IN EXPRESSION LAND, roll traffic up to /24
+    subnets, and render each subnet's CIDR — the network-analytics
+    idiom CH grew up serving. IPs are synthesized deterministically
+    from user_id (a 16-bit Fibonacci-multiplicative spread, so hosts
+    scatter across /24s the way real clients do) and the oracle
+    replays the parse.
+
+    Exactness: the parse is split+cast+shift integer arithmetic (no
+    regex captures, no floats); subnet, CIDR text, and min/max are
+    all integer-derived.
+
+    Scale shape: parse is a narrow codegen scan; ONE combinable
+    subnet agg (distinct-IP expands to the standard two-level plan);
+    output = live /24 count. The string→int→group pipeline is
+    exactly how a 100 TB access log rolls up — strings never reach
+    the exchange."""
+    e = load(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("10.77."),
+            ((F.col("user_id") * 40503 % 65536) / 256)
+            .cast("long").cast("string"),
+            F.lit("."),
+            (F.col("user_id") * 40503 % 256).cast("string"),
+        ).alias("ip_str"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    p = F.split("ip_str", "\\.")
+    parsed = e.select(
+        (
+            p.getItem(0).cast("long") * 16777216
+            + p.getItem(1).cast("long") * 65536
+            + p.getItem(2).cast("long") * 256
+            + p.getItem(3).cast("long")
+        ).alias("ip_num"),
+        "cents",
+    )
+    sub = (F.col("ip_num") / 256).cast("long")
+    return (
+        parsed.groupBy(sub.alias("subnet24"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.countDistinct("ip_num").cast("long").alias("n_ips"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.min("ip_num").cast("long").alias("min_ip"),
+            F.max("ip_num").cast("long").alias("max_ip"),
+        )
+        .select(
+            "subnet24",
+            F.concat(
+                (F.col("subnet24") / 65536).cast("long").cast("string"),
+                F.lit("."),
+                ((F.col("subnet24") / 256).cast("long") % 256).cast("string"),
+                F.lit("."),
+                (F.col("subnet24") % 256).cast("string"),
+                F.lit(".0/24"),
+            ).alias("cidr"),
+            "n_events", "n_ips", "total_cents", "min_ip", "max_ip",
+        )
+        .orderBy("subnet24")
+    )

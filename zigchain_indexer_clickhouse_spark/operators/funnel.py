@@ -539,3 +539,57 @@ def sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_users * 1000000 div tot").alias("share_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 223. path_analysis — top 3-step behavioral paths
+# --------------------------------------------------------------------------
+@register(
+    "path_analysis",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || t2 || '>' || t3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s WHERE t3 IS NOT NULL
+    GROUP BY 1 ORDER BY n_occurrences DESC, path LIMIT 10
+    """,
+)
+def path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the top-10 consecutive 3-step event
+    sequences across all users — the "what do users actually do"
+    query CH product-analytics deployments serve beside windowFunnel
+    (#81 checks a HYPOTHESIZED order; this one discovers the orders
+    that exist).
+
+    Scale shape: ONE user_id exchange — both lead() offsets share a
+    single (user_id, ts, event_id) sorted window pass; path strings
+    are assembled post-window (≤ |types|³ distinct values, so the
+    count agg collapses map-side); top-10 is TakeOrderedAndProject
+    with a deterministic (count, path) tiebreak, no global sort.
+    The (ts, event_id) ordering is total, so both engines walk one
+    permutation under timestamp ties."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        s.groupBy(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(10)
+    )
