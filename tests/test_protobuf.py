@@ -602,3 +602,73 @@ def test_msg_undelegate_shares_delegate_wire_shape(spark):
     assert row["uf"]["delegator_address"] == "zig1d"
     assert row["uf"]["validator_address"] == "zigvaloper3"
     assert row["uf"]["amount"] == "42"
+
+
+def test_msg_withdraw_reward_roundtrip_and_fail_closed(spark):
+    """MsgWithdrawDelegatorReward: the coin-less two-string body
+    round-trips; truncation, a trailing extra field, and a send-shaped
+    body all fail closed to NULL."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        encode_msg_send,
+        encode_msg_withdraw_reward,
+        msg_withdraw_reward_fields,
+    )
+
+    good = spark.range(1).select(
+        msg_withdraw_reward_fields(
+            encode_msg_withdraw_reward(F.lit("zig1w"), F.lit("zigvaloper7"))
+        ).alias("f")
+    ).collect()[0]["f"]
+    assert good["delegator_address"] == "zig1w"
+    assert good["validator_address"] == "zigvaloper7"
+
+    blob = bytes([0x0A, 2]) + b"ab" + bytes([0x12, 3]) + b"val"
+    bad = [
+        bytearray(blob[:-1]),            # truncated mid-validator
+        bytearray(blob + b"\x1a\x01x"),  # trailing third field
+    ]
+    rows = spark.createDataFrame(
+        [(r,) for r in bad], "blob binary"
+    ).select(msg_withdraw_reward_fields(F.col("blob")).alias("f")).collect()
+    assert all(r["f"] is None for r in rows)
+    # a send body (which HAS a third field) is not a valid withdraw
+    send = spark.range(1).select(
+        msg_withdraw_reward_fields(
+            encode_msg_send(F.lit("a"), F.lit("b"), F.lit("uzig"), F.lit("1"))
+        ).alias("f")
+    ).collect()[0]["f"]
+    assert send is None
+
+
+def test_msg_redelegate_roundtrip_and_fail_closed(spark):
+    """MsgBeginRedelegate: the four-field (3 strings + Coin at 0x22)
+    body round-trips; a delegate body (coin at 0x1A) fails closed."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        encode_msg_delegate,
+        encode_msg_redelegate,
+        msg_redelegate_fields,
+    )
+
+    good = spark.range(1).select(
+        msg_redelegate_fields(
+            encode_msg_redelegate(
+                F.lit("zig1r"), F.lit("zigvaloper1"), F.lit("zigvaloper2"),
+                F.lit("uzig"), F.lit("777"),
+            )
+        ).alias("f")
+    ).collect()[0]["f"]
+    assert good["delegator_address"] == "zig1r"
+    assert good["validator_src_address"] == "zigvaloper1"
+    assert good["validator_dst_address"] == "zigvaloper2"
+    assert good["denom"] == "uzig"
+    assert good["amount"] == "777"
+
+    cross = spark.range(1).select(
+        msg_redelegate_fields(
+            encode_msg_delegate(
+                F.lit("zig1r"), F.lit("zigvaloper1"), F.lit("uzig"),
+                F.lit("777"),
+            )
+        ).alias("f")
+    ).collect()[0]["f"]
+    assert cross is None

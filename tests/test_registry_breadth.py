@@ -125,18 +125,19 @@ def test_vote_and_delegate_fail_closed_not_shifted(spark):
 
 
 def test_registry_decode_populations_and_outcome_dispatch(spark):
-    """msg_registry_decode at sf0.001: seven (type_url, status) rows
-    (six registered types + fallback); only the unregistered custom
+    """msg_registry_decode at sf0.001: nine (type_url, status) rows
+    (eight registered types + fallback); only the unregistered custom
     type takes the fallback; decoded aggregates are all non-trivial
-    (amounts from four Coin/JSON paths, varint proposal ids, enum
-    yes-votes, IBC timeout varints)."""
+    (amounts from five Coin/JSON paths, varint proposal ids, enum
+    yes-votes, IBC timeout varints; the coin-less withdraw row decodes
+    ok with zero amount by design)."""
     from zigchain_indexer_clickhouse_spark.plans import registry
 
     rows = {
         r["type_url"]: r
         for r in registry.queries()["msg_registry_decode"](spark, SF).collect()
     }
-    assert len(rows) == 7
+    assert len(rows) == 9
     assert rows["/zigchain.custom.v1.MsgCustom"]["status"] == (
         "Unknown message type"
     )
@@ -146,9 +147,13 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         "/cosmos.staking.v1beta1.MsgDelegate",
         "/cosmos.staking.v1beta1.MsgUndelegate",
         "/ibc.applications.transfer.v1.MsgTransfer",
+        "/cosmos.staking.v1beta1.MsgBeginRedelegate",
     ):
         assert rows[url]["status"] == "ok"
         assert rows[url]["total_amt"] > 0
+    wd = rows["/cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward"]
+    assert wd["status"] == "ok"
+    assert wd["total_amt"] == 0  # coin-less body: outcome only
     vote = rows["/cosmos.gov.v1beta1.MsgVote"]
     assert vote["status"] == "ok"
     assert vote["sum_pid"] > 0

@@ -596,3 +596,115 @@ def msg_undelegate_fields(blob: Column) -> Column:
     return _addr_pair_coin_fields(
         blob, "delegator_address", "validator_address", _MSG_DELEGATE_STRUCT
     )
+
+
+_MSG_WITHDRAW_STRUCT = (
+    "struct<delegator_address:string,validator_address:string>"
+)
+
+
+def encode_msg_withdraw_reward(delegator: Column, validator: Column) -> Column:
+    """Wire bytes of
+    ``cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward``: the
+    registry's first COIN-LESS body — field 1 delegator (string),
+    field 2 validator (string), nothing else (the reward amount is an
+    event output, not a message field)."""
+    return F.unhex(F.concat(
+        _ld_field("0A", F.hex(delegator.cast("binary")),
+                  F.octet_length(delegator)),
+        _ld_field("12", F.hex(validator.cast("binary")),
+                  F.octet_length(validator)),
+    ))
+
+
+def msg_withdraw_reward_fields(blob: Column) -> Column:
+    """Decode a ``MsgWithdrawDelegatorReward`` body into
+    struct(delegator_address, validator_address) — the two-string scan
+    (same 1-byte-varint fast path and fail-closed discipline as
+    msg_send_fields; the exact-end check makes a trailing third field
+    NULL the struct rather than pass unnoticed)."""
+    h = F.hex(blob)
+    ok1 = F.substring(h, 1, 2) == "0A"
+    l1 = _byte_at(h, 3)
+    dele = F.decode(F.unhex(F.substr(h, F.lit(5), l1 * 2)), "UTF-8")
+    p2 = l1 * 2 + 5
+    ok2 = F.substr(h, p2, F.lit(2)) == "12"
+    l2 = _byte_at(h, p2 + 2)
+    val = F.decode(F.unhex(F.substr(h, p2 + 4, l2 * 2)), "UTF-8")
+    short = (l1 < 128) & (l2 < 128)
+    exact = p2 + 4 + l2 * 2 - 1 == F.length(h)
+    st = F.struct(dele.alias("delegator_address"),
+                  val.alias("validator_address"))
+    return F.when(ok1 & ok2 & short & exact, st).otherwise(
+        F.lit(None).cast(_MSG_WITHDRAW_STRUCT)
+    )
+
+
+_MSG_REDELEGATE_STRUCT = (
+    "struct<delegator_address:string,validator_src_address:string,"
+    "validator_dst_address:string,denom:string,amount:string>"
+)
+
+
+def encode_msg_redelegate(delegator: Column, src: Column, dst: Column,
+                          denom: Column, amount: Column) -> Column:
+    """Wire bytes of ``cosmos.staking.v1beta1.MsgBeginRedelegate``:
+    field 1 delegator, field 2 validator_src, field 3 validator_dst
+    (strings), field 4 a Coin (tag 0x22) — the first FOUR-field body
+    in this registry."""
+    coin_hex = F.concat(
+        _ld_field("0A", F.hex(denom.cast("binary")), F.octet_length(denom)),
+        _ld_field("12", F.hex(amount.cast("binary")), F.octet_length(amount)),
+    )
+    return F.unhex(F.concat(
+        _ld_field("0A", F.hex(delegator.cast("binary")),
+                  F.octet_length(delegator)),
+        _ld_field("12", F.hex(src.cast("binary")), F.octet_length(src)),
+        _ld_field("1A", F.hex(dst.cast("binary")), F.octet_length(dst)),
+        _ld_field("22", coin_hex, (F.length(coin_hex) / 2).cast("int")),
+    ))
+
+
+def msg_redelegate_fields(blob: Column) -> Column:
+    """Decode a ``MsgBeginRedelegate`` body into struct(delegator,
+    validator_src, validator_dst, denom, amount) — the three-string +
+    Coin scan (tag 0x22 for the coin, vs MsgSend's 0x1A; same
+    fail-closed length discipline)."""
+    h = F.hex(blob)
+    ok1 = F.substring(h, 1, 2) == "0A"
+    l1 = _byte_at(h, 3)
+    dele = F.decode(F.unhex(F.substr(h, F.lit(5), l1 * 2)), "UTF-8")
+    p2 = l1 * 2 + 5
+    ok2 = F.substr(h, p2, F.lit(2)) == "12"
+    l2 = _byte_at(h, p2 + 2)
+    src = F.decode(F.unhex(F.substr(h, p2 + 4, l2 * 2)), "UTF-8")
+    p3 = p2 + 4 + l2 * 2
+    ok3 = F.substr(h, p3, F.lit(2)) == "1A"
+    l3 = _byte_at(h, p3 + 2)
+    dst = F.decode(F.unhex(F.substr(h, p3 + 4, l3 * 2)), "UTF-8")
+    p4 = p3 + 4 + l3 * 2
+    ok4 = F.substr(h, p4, F.lit(2)) == "22"
+    l4 = _byte_at(h, p4 + 2)
+    coin = F.substr(h, p4 + 4, l4 * 2)
+    okc1 = F.substring(coin, 1, 2) == "0A"
+    ld = _byte_at(coin, 3)
+    denom = F.decode(F.unhex(F.substr(coin, F.lit(5), ld * 2)), "UTF-8")
+    pc = ld * 2 + 5
+    okc2 = F.substr(coin, pc, F.lit(2)) == "12"
+    la = _byte_at(coin, pc + 2)
+    amount = F.decode(F.unhex(F.substr(coin, pc + 4, la * 2)), "UTF-8")
+    short = (l1 < 128) & (l2 < 128) & (l3 < 128) & (l4 < 128) \
+        & (ld < 128) & (la < 128)
+    exact = (p4 + 4 + l4 * 2 - 1 == F.length(h)) & (
+        pc + 4 + la * 2 - 1 == F.length(coin)
+    )
+    st = F.struct(
+        dele.alias("delegator_address"),
+        src.alias("validator_src_address"),
+        dst.alias("validator_dst_address"),
+        denom.alias("denom"),
+        amount.alias("amount"),
+    )
+    return F.when(
+        ok1 & ok2 & ok3 & ok4 & okc1 & okc2 & short & exact, st
+    ).otherwise(F.lit(None).cast(_MSG_REDELEGATE_STRUCT))

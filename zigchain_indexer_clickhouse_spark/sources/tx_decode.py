@@ -38,16 +38,20 @@ from zigchain_indexer_clickhouse_spark.functions.protobuf import (
     encode_msg_delegate,
     encode_msg_execute,
     encode_msg_send,
+    encode_msg_redelegate,
     encode_msg_transfer,
     encode_msg_undelegate,
     encode_msg_vote,
+    encode_msg_withdraw_reward,
     encode_tx_raw,
     msg_delegate_fields,
     msg_execute_fields,
     msg_send_fields,
+    msg_redelegate_fields,
     msg_transfer_fields,
     msg_undelegate_fields,
     msg_vote_fields,
+    msg_withdraw_reward_fields,
     tx_body_messages,
     tx_raw_body,
 )
@@ -305,52 +309,60 @@ _MSG_DELEGATE_URL = "/cosmos.staking.v1beta1.MsgDelegate"
 _MSG_VOTE_URL = "/cosmos.gov.v1beta1.MsgVote"
 _MSG_TRANSFER_URL = "/ibc.applications.transfer.v1.MsgTransfer"
 _MSG_UNDELEGATE_URL = "/cosmos.staking.v1beta1.MsgUndelegate"
+_MSG_WITHDRAW_URL = "/cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward"
+_MSG_REDELEGATE_URL = "/cosmos.staking.v1beta1.MsgBeginRedelegate"
 
 
 # --------------------------------------------------------------------------
-# 187. msg_registry_decode — 6-type registry (bank/wasm/staking x2/gov/ibc)
+# 187. msg_registry_decode — 8-type registry (bank/wasm/staking x3/gov/ibc/distribution)
 # --------------------------------------------------------------------------
 @register(
     "msg_registry_decode",
     oracle="""
     WITH m AS (
       SELECT event_id, user_id, value,
-             CASE CAST(event_id % 7 AS INTEGER)
+             CASE CAST(event_id % 9 AS INTEGER)
                WHEN 0 THEN '/cosmos.bank.v1beta1.MsgSend'
                WHEN 1 THEN '/cosmwasm.wasm.v1.MsgExecuteContract'
                WHEN 2 THEN '/cosmos.staking.v1beta1.MsgDelegate'
                WHEN 3 THEN '/cosmos.gov.v1beta1.MsgVote'
                WHEN 4 THEN '/ibc.applications.transfer.v1.MsgTransfer'
                WHEN 5 THEN '/cosmos.staking.v1beta1.MsgUndelegate'
+               WHEN 6 THEN
+                 '/cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward'
+               WHEN 7 THEN '/cosmos.staking.v1beta1.MsgBeginRedelegate'
                ELSE '/zigchain.custom.v1.MsgCustom' END AS type_url
       FROM events)
     SELECT type_url,
            CASE WHEN type_url = '/zigchain.custom.v1.MsgCustom'
                 THEN 'Unknown message type' ELSE 'ok' END AS status,
            CAST(COUNT(*) AS BIGINT) AS n_msgs,
-           CAST(SUM(CASE WHEN event_id % 7 IN (0, 1, 2, 4, 5)
+           CAST(SUM(CASE WHEN event_id % 9 IN (0, 1, 2, 4, 5, 7)
                          THEN CAST(floor(value * 100) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS total_amt,
-           CAST(SUM(CASE WHEN event_id % 7 = 3
+           CAST(SUM(CASE WHEN event_id % 9 = 3
                          THEN user_id % 10000 ELSE 0 END) AS BIGINT)
              AS sum_pid,
-           CAST(SUM(CASE WHEN event_id % 7 = 3 AND event_id % 4 = 0
+           CAST(SUM(CASE WHEN event_id % 9 = 3 AND event_id % 4 = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_yes,
-           CAST(SUM(CASE WHEN event_id % 7 = 4
+           CAST(SUM(CASE WHEN event_id % 9 = 4
                          THEN event_id % 10000 ELSE 0 END) AS BIGINT)
              AS sum_timeout
     FROM m GROUP BY 1, 2
     """,
 )
 def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The widened registry dispatch (#151 grown from 2 to 4 decoded
-    types in round 6's first pass, then to SIX): MsgSend (bank),
-    MsgExecuteContract (wasm), MsgDelegate + MsgUndelegate (both
-    staking directions — identical wire shape, distinguished purely by
-    typeUrl, exactly how cosmjs shares generated decoders), MsgVote
-    (gov — scalar-varint proposal_id + 1-byte enum), MsgTransfer (IBC —
-    the first embedded-message-in-the-MIDDLE scan plus a trailing
-    timeout varint), and the unregistered-type fallback row. The
+    """The widened registry dispatch (#151 grown 2 → 4 → 6 → EIGHT
+    decoded types across round 6): MsgSend (bank), MsgExecuteContract
+    (wasm), MsgDelegate + MsgUndelegate (both staking directions —
+    identical wire shape, distinguished purely by typeUrl, exactly how
+    cosmjs shares generated decoders), MsgVote (gov — scalar-varint
+    proposal_id + 1-byte enum), MsgTransfer (IBC — the first
+    embedded-message-in-the-MIDDLE scan plus a trailing timeout
+    varint), MsgWithdrawDelegatorReward (distribution — the first
+    COIN-LESS two-string body), MsgBeginRedelegate (staking — the
+    first FOUR-field body, coin at tag 0x22), and the
+    unregistered-type fallback row. The
     reference registers all defaultRegistryTypes
     (src/utils/decoder.js:9) and falls back to
     ``{error: 'Unknown message type', raw}`` on a miss
@@ -358,21 +370,22 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope to real decoded fields at known cost.
 
     Dispatch keys on the DECODE OUTCOME (a non-null routed struct),
-    so a shifted offset in any of the six body scans flips rows into
-    the fallback and fails the oracle hash. The aggregate proves all
-    six decodes recover real fields: total_amt sums the Coin amount
-    from send/delegate/undelegate/transfer and the JSON-embedded
+    so a shifted offset in any of the eight body scans flips rows into
+    the fallback and fails the oracle hash. The aggregate proves the
+    decodes recover real fields: total_amt sums the Coin amount from
+    send/delegate/undelegate/transfer/redelegate and the JSON-embedded
     amount from exec; sum_pid sums the varint-decoded proposal ids;
     n_yes counts decoded VOTE_OPTION_YES enums; sum_timeout sums the
-    IBC timeout varints. Scale shape as #151: blob build and
-    Any-unwrap persist once each (bound attributes keep the ~120
-    positional references of the six decoders inside whole-stage
-    codegen — the routed projection is split in two below to hold
-    that), then one keyed aggregate."""
+    IBC timeout varints; the withdraw row contributes only its decode
+    outcome (the body has no amount by design). Scale shape as #151:
+    blob build and Any-unwrap persist once each (bound attributes keep
+    the ~160 positional references of the eight decoders inside
+    whole-stage codegen — one filter branch per type holds each body
+    scan in its own unit), then one keyed aggregate."""
 
     def _build() -> DataFrame:
         e = load(spark, sf_dir, "events")
-        kind = (F.col("event_id") % 7).cast("int")
+        kind = (F.col("event_id") % 9).cast("int")
         send_blob = _msg_send_blob(F.col("user_id"), F.col("value"))
         exec_blob = encode_any_msg(
             F.lit(_MSG_EXEC_URL),
@@ -385,6 +398,26 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.floor(F.col("value") * 100).cast("long").cast("string"),
                     F.lit('"}}'),
                 ),
+            ),
+        )
+        withdraw_blob = encode_any_msg(
+            F.lit(_MSG_WITHDRAW_URL),
+            encode_msg_withdraw_reward(
+                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
+                F.concat(F.lit("zigvaloper"),
+                         (F.col("user_id") % 50).cast("string")),
+            ),
+        )
+        redelegate_blob = encode_any_msg(
+            F.lit(_MSG_REDELEGATE_URL),
+            encode_msg_redelegate(
+                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
+                F.concat(F.lit("zigvaloper"),
+                         (F.col("user_id") % 50).cast("string")),
+                F.concat(F.lit("zigvaloper"),
+                         ((F.col("user_id") + 1) % 50).cast("string")),
+                F.lit("uzig"),
+                F.floor(F.col("value") * 100).cast("long").cast("string"),
             ),
         )
         delegate_blob = encode_any_msg(
@@ -444,7 +477,11 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .select(transfer_blob.alias("blob")))
             .unionAll(e.filter(kind == 5)
                       .select(undelegate_blob.alias("blob")))
-            .unionAll(e.filter(kind == 6).select(custom_blob.alias("blob")))
+            .unionAll(e.filter(kind == 6)
+                      .select(withdraw_blob.alias("blob")))
+            .unionAll(e.filter(kind == 7)
+                      .select(redelegate_blob.alias("blob")))
+            .unionAll(e.filter(kind == 8).select(custom_blob.alias("blob")))
         )
 
     def _unwrap() -> DataFrame:
@@ -493,9 +530,12 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote_b = _typed(_MSG_VOTE_URL, msg_vote_fields)
     xfer_b = _typed(_MSG_TRANSFER_URL, msg_transfer_fields)
     undel_b = _typed(_MSG_UNDELEGATE_URL, msg_undelegate_fields)
+    wdrw_b = _typed(_MSG_WITHDRAW_URL, msg_withdraw_reward_fields)
+    redel_b = _typed(_MSG_REDELEGATE_URL, msg_redelegate_fields)
     registered = [
         _MSG_SEND_URL, _MSG_EXEC_URL, _MSG_DELEGATE_URL,
         _MSG_VOTE_URL, _MSG_TRANSFER_URL, _MSG_UNDELEGATE_URL,
+        _MSG_WITHDRAW_URL, _MSG_REDELEGATE_URL,
     ]
     fallback = msgs.filter(
         ~F.col("type_url").isin(registered) | F.col("type_url").isNull()
@@ -519,6 +559,8 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeout=F.col("d.timeout_timestamp"),
         ))
         .unionAll(_out(undel_b, d, amt=F.col("d.amount").cast("long")))
+        .unionAll(_out(wdrw_b, d))
+        .unionAll(_out(redel_b, d, amt=F.col("d.amount").cast("long")))
         .unionAll(_out(fallback, None))
     )
     return routed.groupBy("type_url", "status").agg(
