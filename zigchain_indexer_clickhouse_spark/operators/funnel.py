@@ -593,3 +593,287 @@ def path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "path")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# 224. active_streak_lengths — longest consecutive-day streak histogram
+# --------------------------------------------------------------------------
+@register(
+    "active_streak_lengths",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    g AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER)
+               AS grp
+      FROM d
+    ),
+    streaks AS (
+      SELECT user_id, COUNT(*) AS len FROM g GROUP BY user_id, grp
+    ),
+    best AS (SELECT user_id, MAX(len) AS best FROM streaks GROUP BY user_id)
+    SELECT CAST(best AS BIGINT) AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM best GROUP BY best
+    """,
+)
+def active_streak_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, reported as a
+    histogram (streak length → user count) — the engagement metric
+    behind every "N-day streak" product surface, and a gaps-and-islands
+    exercise CH serves with one window pass.
+
+    The identity: on a user's DISTINCT sorted activity days,
+    day − row_number() is constant exactly within a run of consecutive
+    days — so streaks are one groupBy away, no self-joins.
+
+    Scale shape: the (user, day) DISTINCT collapse is the only
+    corpus-sized step (map-side combinable); the row_number window
+    partitions per user over day-grain rows (≤ a few thousand rows per
+    user even over a decade); streaks, best-per-user, and the final
+    histogram are combinable aggs riding the same user partitioning."""
+    d = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+    )
+    streaks = g.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("best"))
+    return best.groupBy(
+        F.col("best").cast("long").alias("streak_days")
+    ).agg(F.count("*").cast("long").alias("n_users"))
+
+
+# --------------------------------------------------------------------------
+# 225. cohort_transition_matrix — month-over-month engagement transitions
+# --------------------------------------------------------------------------
+@register(
+    "cohort_transition_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, date_trunc('week', CAST(ts AS DATE)) AS week,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    seg AS (
+      SELECT user_id, week,
+             CASE WHEN n >= 20 THEN 'high'
+                  WHEN n >= 10 THEN 'mid' ELSE 'low' END AS seg
+      FROM m
+    ),
+    tr AS (
+      SELECT user_id, week, seg,
+             LAG(week) OVER (PARTITION BY user_id ORDER BY week) AS pm,
+             LAG(seg) OVER (PARTITION BY user_id ORDER BY week) AS ps
+      FROM seg
+    ),
+    px AS (
+      SELECT CASE WHEN pm IS NULL THEN '(new)'
+                  WHEN pm + INTERVAL 7 DAY < week THEN '(gap)'
+                  ELSE ps END AS from_seg,
+             seg AS to_seg
+      FROM tr
+    ),
+    tot AS (SELECT COUNT(*) AS t FROM px)
+    SELECT from_seg, to_seg,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(COUNT(*) * 1000000 // MAX(tot.t) AS BIGINT) AS share_ppm
+    FROM px CROSS JOIN tot GROUP BY from_seg, to_seg
+    """,
+)
+def cohort_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week engagement transitions: each user's weekly
+    activity is bucketed low/mid/high (fixed event-count thresholds),
+    and the matrix counts (previous segment → current segment) moves —
+    the churn/upgrade dashboard behind every retention review. A
+    missing previous week is '(new)', a non-adjacent one '(gap)' (a
+    lapsed user returning counts as re-acquisition, not a segment
+    move — the classic transition-matrix bug made explicit).
+
+    Scale shape: the event stream collapses to (user, week) with one
+    combinable agg; the lag window rides user-grain weekly rows
+    (≤ weeks-per-user); the matrix is ≤ (|segs|+2)² cells with a
+    1-row total broadcast for the shares."""
+    m = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.date_trunc("week", F.col("ts").cast("date")).alias("week"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    seg = m.select(
+        "user_id",
+        "week",
+        F.when(F.col("n") >= 20, "high")
+        .when(F.col("n") >= 10, "mid")
+        .otherwise("low")
+        .alias("seg"),
+    )
+    w = Window.partitionBy("user_id").orderBy("week")
+    tr = seg.select(
+        "seg",
+        "week",
+        F.lag("week").over(w).alias("pm"),
+        F.lag("seg").over(w).alias("ps"),
+    )
+    px = tr.select(
+        F.when(F.col("pm").isNull(), "(new)")
+        .when(F.date_add(F.col("pm").cast("date"), 7) < F.col("week").cast("date"), "(gap)")
+        .otherwise(F.col("ps"))
+        .alias("from_seg"),
+        F.col("seg").alias("to_seg"),
+    )
+    tot = px.agg(F.count("*").alias("t"))
+    return (
+        px.groupBy("from_seg", "to_seg")
+        .agg(F.count("*").alias("n_transitions"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "from_seg",
+            "to_seg",
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.expr(
+                "CAST(n_transitions * 1000000 DIV t AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 226. funnel_time_to_convert — time-to-level distribution for the funnel
+# --------------------------------------------------------------------------
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > t1.ts1 AND e.ts <= t1.ts1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3
+      FROM events e
+      JOIN t1 ON e.user_id = t1.user_id
+      JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > t2.ts2 AND e.ts <= t1.ts1 + INTERVAL 7 DAY
+      GROUP BY e.user_id
+    ),
+    u AS (
+      SELECT 2 AS level, epoch_us(t2.ts2) - epoch_us(t1.ts1) AS dur
+      FROM t2 JOIN t1 USING (user_id)
+      UNION ALL
+      SELECT 3, epoch_us(t3.ts3) - epoch_us(t1.ts1)
+      FROM t3 JOIN t1 USING (user_id)
+    ),
+    c AS (SELECT level, dur, COUNT(*) AS cnt FROM u GROUP BY 1, 2),
+    r AS (
+      SELECT level, dur, cnt,
+             SUM(cnt) OVER (PARTITION BY level ORDER BY dur
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY level) AS tot
+      FROM c
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(MAX(tot) AS BIGINT) AS n_users,
+           CAST(MIN(dur) AS BIGINT) AS min_us,
+           CAST(MAX(dur) AS BIGINT) AS max_us,
+           CAST(MIN(CASE WHEN 2 * cum >= tot THEN dur END) AS BIGINT)
+             AS median_us
+    FROM r GROUP BY level
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert for the #81 funnel: among users who reached
+    level 2 (click) / level 3 (purchase), the min/median/max time from
+    funnel start to reaching that level — the latency half of the
+    funnel report (#81 reports depth; conversion REVIEWS need "how
+    long did it take").
+
+    The fold is #81's with the accumulator widened to keep each
+    level's advance time (t2, t3), so durations come from the same
+    single expression-land pass — no second scan, no joins. The
+    median is EXACT lower-median via the established duplicates-
+    collapse + cumulative-window idiom (2·cum ≥ tot on integer
+    micros), partitioned by the 2-row level key. Oracle: the
+    independent relational chain (#81's t1/t2/t3 CTEs) plus the same
+    window formulation, so the fold's timing fields are verified
+    against a formulation that never folds."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.unix_micros("ts").alias("us"),
+                    F.col("event_id").alias("eid"),
+                    F.col("event_type").alias("t"),
+                )
+            )
+        ).alias("seq")
+    )
+    z = F.lit(0).cast("long")
+    init = F.named_struct(
+        F.lit("lvl"), F.lit(0),
+        F.lit("t1"), z, F.lit("t2"), z, F.lit("t3"), z,
+        F.lit("prev"), z,
+    )
+
+    def step(acc, ev):
+        adv1 = (acc["lvl"] == 0) & (ev["t"] == "signup")
+        in_win = (ev["us"] > acc["prev"]) & (ev["us"] <= acc["t1"] + _WINDOW_US)
+        adv2 = (acc["lvl"] == 1) & (ev["t"] == "click") & in_win
+        adv3 = (acc["lvl"] == 2) & (ev["t"] == "purchase") & in_win
+        return F.named_struct(
+            F.lit("lvl"),
+            F.when(adv1, 1).when(adv2, 2).when(adv3, 3).otherwise(acc["lvl"]),
+            F.lit("t1"), F.when(adv1, ev["us"]).otherwise(acc["t1"]),
+            F.lit("t2"), F.when(adv2, ev["us"]).otherwise(acc["t2"]),
+            F.lit("t3"), F.when(adv3, ev["us"]).otherwise(acc["t3"]),
+            F.lit("prev"),
+            F.when(adv1 | adv2 | adv3, ev["us"]).otherwise(acc["prev"]),
+        )
+
+    folded = per_user.select(F.aggregate("seq", init, step).alias("f"))
+    d2 = folded.filter(F.col("f.lvl") >= 2).select(
+        F.lit(2).alias("level"), (F.col("f.t2") - F.col("f.t1")).alias("dur")
+    )
+    d3 = folded.filter(F.col("f.lvl") == 3).select(
+        F.lit(3).alias("level"), (F.col("f.t3") - F.col("f.t1")).alias("dur")
+    )
+    c = d2.unionAll(d3).groupBy("level", "dur").agg(F.count("*").alias("cnt"))
+    wc = (
+        Window.partitionBy("level")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("level")
+    r = c.select(
+        "level", "dur", "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(wt).alias("tot"),
+    )
+    return r.groupBy(F.col("level").cast("long").alias("level")).agg(
+        F.max("tot").cast("long").alias("n_users"),
+        F.min("dur").cast("long").alias("min_us"),
+        F.max("dur").cast("long").alias("max_us"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("tot"), F.col("dur"))
+        ).cast("long").alias("median_us"),
+    )
