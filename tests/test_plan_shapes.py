@@ -238,6 +238,8 @@ _BNLJ_ALLOWED = {
     "mann_whitney_u_pairs",  # |types|²-row pair-key broadcast fan-out
     "ks_test_pairs",  # same tiny pair-key broadcast as #208
     "roc_auc_doc_length",  # 1-row corpus-total broadcast
+    "domain_temperature_mix",  # 1-row total + 1-row Σ√n fold broadcasts
+    "cohort_transition_matrix",  # 1-row transition-total broadcast
 }
 
 
