@@ -478,3 +478,232 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_ppm").desc(), "w1", "w2")
         .limit(PMI_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# 227. lang_id_confusion — the #40 heuristic evaluated against ground truth
+# --------------------------------------------------------------------------
+def _lang_conf_oracle() -> str:
+    scores = ",\n           ".join(
+        f"{stopword_hits_sql('toks', lg)} AS score_{lg}" for lg in _LANGS
+    )
+    cases = []
+    for i, lg in enumerate(_LANGS):
+        conds = [f"score_{lg} > 0"] + [
+            f"score_{lg} >= score_{other}" for other in _LANGS[i + 1:]
+        ] + [f"score_{lg} > score_{other}" for other in _LANGS[:i]]
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lg}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'unknown' END"
+    return f"""
+    WITH scored AS (
+      SELECT lang AS true_lang, {scores}
+      FROM (SELECT lang, string_split(trim(text), ' ') AS toks
+            FROM documents)
+    ),
+    px AS (SELECT true_lang, {case_sql} AS pred_lang FROM scored),
+    cells AS (
+      SELECT true_lang, pred_lang, COUNT(*) AS n FROM px GROUP BY 1, 2
+    ),
+    langs AS (SELECT DISTINCT true_lang AS lang FROM cells),
+    st AS (
+      SELECT l.lang,
+             COALESCE(SUM(CASE WHEN c.true_lang = l.lang
+                               AND c.pred_lang = l.lang
+                               THEN n END), 0) AS tp,
+             COALESCE(SUM(CASE WHEN c.pred_lang = l.lang
+                               AND c.true_lang <> l.lang
+                               THEN n END), 0) AS fp,
+             COALESCE(SUM(CASE WHEN c.true_lang = l.lang
+                               AND c.pred_lang <> l.lang
+                               THEN n END), 0) AS fn
+      FROM langs l LEFT JOIN cells c
+        ON c.true_lang = l.lang OR c.pred_lang = l.lang
+      GROUP BY l.lang
+    )
+    SELECT lang, CAST(tp + fn AS BIGINT) AS n_docs,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(CASE WHEN tp + fp = 0 THEN 0
+                     ELSE tp * 1000000 // (tp + fp) END AS BIGINT)
+             AS precision_ppm,
+           CAST(CASE WHEN tp + fn = 0 THEN 0
+                     ELSE tp * 1000000 // (tp + fn) END AS BIGINT)
+             AS recall_ppm,
+           CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                     ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END
+                AS BIGINT) AS f1_ppm
+    FROM st
+    """
+
+
+@register("lang_id_confusion", oracle=_lang_conf_oracle())
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation of the engine's OWN #40 lang_id heuristic
+    against the corpus's ground-truth ``lang`` column: per-language
+    precision / recall / F1 — the report a pipeline owner reads before
+    trusting a heuristic gate in a keep-rule (and the pattern for
+    evaluating ANY rule-based classifier the engine hosts).
+
+    Exactness: F1 uses the integer identity 2·tp/(2·tp+fp+fn) — one
+    floor division on exact counts, never a division of two rounded
+    ppms.
+
+    Scale shape: ONE narrow codegen scan scores every doc (the same
+    stopword expressions as #40 — consistency by construction); the
+    (true, pred) contingency collapse is one combinable agg to
+    ≤ (|langs|+1)² cells; per-language stats derive on that tiny
+    frame via a broadcast per-lang fan-out."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), " ")
+    s = d.select(F.col("lang").alias("true_lang"), toks.alias("toks"))
+    for lg in _LANGS:
+        s = s.withColumn(f"score_{lg}", stopword_hits(F.col("toks"), lg))
+    pred = F.lit("unknown")
+    for lg in reversed(_LANGS):
+        later = _LANGS[_LANGS.index(lg) + 1:]
+        earlier = _LANGS[: _LANGS.index(lg)]
+        cond = F.col(f"score_{lg}") > 0
+        for o in later:
+            cond = cond & (F.col(f"score_{lg}") >= F.col(f"score_{o}"))
+        for o in earlier:
+            cond = cond & (F.col(f"score_{lg}") > F.col(f"score_{o}"))
+        pred = F.when(cond, lg).otherwise(pred)
+    cells = (
+        s.select("true_lang", pred.alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    langs = cells.select(
+        F.col("true_lang").alias("lang")
+    ).distinct()
+    joined = langs.join(
+        cells,
+        (F.col("true_lang") == F.col("lang"))
+        | (F.col("pred_lang") == F.col("lang")),
+        "left",
+    )
+    st = joined.groupBy("lang").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("true_lang") == F.col("lang"))
+                    & (F.col("pred_lang") == F.col("lang")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("tp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("pred_lang") == F.col("lang"))
+                    & (F.col("true_lang") != F.col("lang")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("fp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("true_lang") == F.col("lang"))
+                    & (F.col("pred_lang") != F.col("lang")),
+                    F.col("n"),
+                )
+            ),
+            F.lit(0),
+        ).alias("fn"),
+    )
+    return st.select(
+        "lang",
+        (F.col("tp") + F.col("fn")).cast("long").alias("n_docs"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.expr(
+            "CAST(CASE WHEN tp + fp = 0 THEN 0"
+            " ELSE tp * 1000000 DIV (tp + fp) END AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CASE WHEN tp + fn = 0 THEN 0"
+            " ELSE tp * 1000000 DIV (tp + fn) END AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0"
+            " ELSE 2 * tp * 1000000 DIV (2 * tp + fp + fn) END AS BIGINT)"
+        ).alias("f1_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 228. vocab_mass_spectrum — Zipf head-heaviness without a global sort
+# --------------------------------------------------------------------------
+@register(
+    "vocab_mass_spectrum",
+    oracle="""
+    WITH uni AS (
+      SELECT t.tok, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok
+            FROM documents) t
+      GROUP BY t.tok
+    ),
+    tot AS (SELECT SUM(c) AS mass, COUNT(*) AS vocab FROM uni),
+    b AS (SELECT length(bin(c)) AS bucket, c FROM uni)
+    SELECT CAST(bucket AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(c) AS BIGINT) AS token_mass,
+           CAST(SUM(c) * 1000000 // MAX(tot.mass) AS BIGINT)
+             AS mass_share_ppm,
+           CAST(COUNT(*) * 1000000 // MAX(tot.vocab) AS BIGINT)
+             AS vocab_share_ppm
+    FROM b CROSS JOIN tot GROUP BY bucket
+    """,
+)
+def vocab_mass_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Zipf head-heaviness readout: token occurrences and
+    vocabulary share per power-of-two count bucket (bucket k holds
+    tokens appearing [2^(k-1), 2^k) times). A healthy natural-language
+    corpus puts most MASS in the top buckets and most VOCABULARY in
+    bucket 1 (hapaxes); a template-dominated crawl inverts the mass
+    curve — the shape check a tokenizer owner reads before fixing a
+    vocab size.
+
+    Exactness trick: floor(log2(c))+1 computed as length(bin(c)) —
+    the binary-string length, an exact integer on both engines (no
+    libm log anywhere; log2 is NOT bit-portable between JVM and
+    libm, the entropy-op rejection rationale applied productively).
+
+    Scale shape: one combinable vocabulary agg is the only
+    corpus-sized step; bucketing is a pure expression on the vocab
+    frame; ≤64 output rows; 1-row total broadcast — NO global sort,
+    unlike a rank-decile formulation (ranking a 100 TB corpus's
+    vocabulary is a vocabulary-sized global sort this op exists to
+    avoid)."""
+    uni = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(
+        F.sum("c").alias("mass"), F.count("*").alias("vocab")
+    )
+    b = uni.select(F.length(F.bin(F.col("c"))).alias("bucket"), "c")
+    return (
+        b.groupBy(F.col("bucket").cast("long").alias("log2_bucket"))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("c").alias("token_mass"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "log2_bucket",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("token_mass").cast("long").alias("token_mass"),
+            F.expr(
+                "CAST(token_mass * 1000000 DIV mass AS BIGINT)"
+            ).alias("mass_share_ppm"),
+            F.expr(
+                "CAST(n_tokens * 1000000 DIV vocab AS BIGINT)"
+            ).alias("vocab_share_ppm"),
+        )
+    )
