@@ -240,3 +240,23 @@ def test_stream_gap_detection_matches_batch_bitmap_sweep(spark, sf_dir):
         .select("stripe", "n_seen", "n_missing")
     )
     assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_stream_uniq_up_to_matches_batch_twin(spark, sf_dir):
+    """#229 vs #221: the drained saturating distinct counts must equal
+    the batch uniqUpTo rows exactly (day rendered as string on the
+    stream side), and the caps must be the same constant."""
+    from zigchain_indexer_clickhouse_spark.operators.data_mix import _UNIQ_CAP
+    from zigchain_indexer_clickhouse_spark.streaming.event_stream import (
+        UUT_CAP,
+    )
+
+    assert UUT_CAP == _UNIQ_CAP
+    got = _Q["stream_uniq_up_to"](spark, sf_dir)
+    want = _Q["uniq_up_to_daily"](spark, sf_dir).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "uniq_up_to",
+        "saturated",
+    )
+    assert _rows(got) == _rows(want) and got.count() > 0

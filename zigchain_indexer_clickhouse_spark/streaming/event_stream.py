@@ -922,3 +922,89 @@ def stream_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_missing") > 0)
         .select("stripe", "n_seen", "n_missing")
     )
+
+
+# --------------------------------------------------------------------------
+# 229. stream_uniq_up_to — bounded-state streaming uniqUpTo (twin of #221)
+# --------------------------------------------------------------------------
+UUT_CAP = 10  # must match data_mix._UNIQ_CAP (equivalence test-asserted)
+
+
+def _uut_fn(key, pdf_iter, state):
+    """Per-(event_type, day) streaming uniqUpTo: the state is AT MOST
+    cap+1 distinct user ids — once saturated, new users are never
+    stored (this is the literal ClickHouse uniqUpTo contract: exact
+    below the cap, pinned to cap+1 above, O(cap) memory per key no
+    matter how many distinct users the day ever sees)."""
+    import pandas as pd  # local import: runs on executors
+
+    (users,) = state.get if state.exists else ([],)
+    seen = set(users)
+    for pdf in pdf_iter:
+        if len(seen) > UUT_CAP:
+            break
+        for u in pdf["user_id"].unique():
+            if len(seen) > UUT_CAP:
+                break
+            seen.add(int(u))
+    state.update((list(seen),))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "day": [key[1]],
+            "uniq_up_to": [min(len(seen), UUT_CAP + 1)],
+            "saturated": [1 if len(seen) > UUT_CAP else 0],
+        }
+    )
+
+
+@register(
+    "stream_uniq_up_to",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+      FROM events
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS day,
+           CAST(LEAST(COUNT(*), {UUT_CAP + 1}) AS BIGINT) AS uniq_up_to,
+           CAST(COUNT(*) > {UUT_CAP} AS BIGINT) AS saturated
+    FROM d GROUP BY event_type, day
+    """,
+)
+def stream_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of #221 (CH ``uniqUpTo({UUT_CAP})``) — and the
+    one operator where CH's bounded-state rationale becomes LITERAL
+    Spark state: each (event_type, day) key holds at most {UUT_CAP}+1
+    user ids in applyInPandasWithState state, so the "are there more
+    than N distinct actors" gate runs live with O(cap) memory per key
+    regardless of user cardinality (a naive streaming countDistinct
+    keys state by USER — the unbounded-key trap).
+
+    The saturating count is monotone non-decreasing across
+    micro-batches, so the final update per key IS the drained answer
+    (max over updates — batch-count-independent); equivalence with
+    the batch twin is test-asserted."""
+    s = _read_event_stream(spark, sf_dir)
+    out = (
+        s.select(
+            "event_type",
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .groupBy("event_type", "day")
+        .applyInPandasWithState(
+            _uut_fn,
+            outputStructType=(
+                "event_type string, day string, uniq_up_to long, "
+                "saturated long"
+            ),
+            stateStructType="users array<long>",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+    upd = _run_append_to_memory(out, "stream_uniq_up_to", mode="update")
+    return upd.groupBy("event_type", "day").agg(
+        F.max("uniq_up_to").cast("long").alias("uniq_up_to"),
+        F.max("saturated").cast("long").alias("saturated"),
+    )
