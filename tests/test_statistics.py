@@ -186,3 +186,30 @@ def test_interval_union_brute_force(spark, sf_dir):
         assert row.n_intervals == day_iv[day]
         assert row.covered_us == day_cov[day]
         assert row.max_user_covered_us == day_max[day]
+
+
+def test_skew_kurtosis_brute_force(spark, sf_dir):
+    from zigchain_indexer_clickhouse_spark.operators.statistics import (
+        skew_kurtosis_by_type,
+    )
+
+    import math
+
+    # Spark/DuckDB round() is half-away-from-zero; Python round() is
+    # banker's — mimic the engines (values are positive)
+    ev = [
+        (r.event_type, math.floor(r.value + 0.5))
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    ]
+    got = {r.event_type: r for r in skew_kurtosis_by_type(spark, sf_dir).collect()}
+    for t in got:
+        xs = [x for tt, x in ev if tt == t]
+        m = len(xs)
+        mean = sum(xs) / m
+        m2 = sum((x - mean) ** 2 for x in xs) / m
+        m3 = sum((x - mean) ** 3 for x in xs) / m
+        m4 = sum((x - mean) ** 4 for x in xs) / m
+        row = got[t]
+        assert row.n_events == m
+        assert abs(row.skew_micro - (m3 / m2**1.5) * 1e6) <= 3
+        assert abs(row.kurt_micro - (m4 / m2**2) * 1e6) <= 3

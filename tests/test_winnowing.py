@@ -142,3 +142,47 @@ def test_simpson_diversity_matches_recompute(spark, sf_dir):
         assert r.simpson_ppm == (n * n - sq) * 1_000_000 // (n * n)
         # a natural-text source is type-diverse: well above a coin flip
         assert 500_000 < r.simpson_ppm < 1_000_000
+
+
+def test_span_coverage_consistent_with_pairs(spark, sf_dir):
+    """#231 must classify exactly the #174 pair set, with coverages
+    recomputed from per-doc fingerprint counts."""
+    from collections import Counter
+
+    from zigchain_indexer_clickhouse_spark.operators.dedup import (
+        _shared_stage,
+    )
+    from zigchain_indexer_clickhouse_spark.operators.text_analysis import (
+        COV_FULL_PPM,
+        COV_PARTIAL_PPM,
+        _winnow_fps,
+        dup_span_coverage,
+        winnowing_fingerprint,
+    )
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnowing_fingerprint(spark, sf_dir).collect()
+    }
+    fps = _shared_stage(
+        "winnow_fps", spark, sf_dir, lambda: _winnow_fps(spark, sf_dir)
+    )
+    nf = Counter()
+    for r in fps.groupBy("doc_id").count().collect():
+        nf[r.doc_id] = r["count"]
+    got = {(r.doc_a, r.doc_b): r for r in dup_span_coverage(spark, sf_dir).collect()}
+    assert set(got) == set(pairs)
+    for (a, b), row in got.items():
+        assert row.n_shared == pairs[(a, b)]
+        assert row.cov_a_ppm == row.n_shared * 1_000_000 // nf[a]
+        assert row.cov_b_ppm == row.n_shared * 1_000_000 // nf[b]
+        mn = min(row.cov_a_ppm, row.cov_b_ppm)
+        want = (
+            "full_dup" if mn >= COV_FULL_PPM
+            else "partial" if mn >= COV_PARTIAL_PPM
+            else "spurious"
+        )
+        assert row.overlap_class == want
+    # the near-dup corpus must actually contain both regimes
+    classes = {r.overlap_class for r in got.values()}
+    assert "full_dup" in classes or "partial" in classes

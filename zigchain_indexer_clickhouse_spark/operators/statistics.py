@@ -618,3 +618,80 @@ def interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("covered_us").cast("long").alias("covered_us"),
         F.max("covered_us").cast("long").alias("max_user_covered_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 230. skew_kurtosis_by_type — ClickHouse skewPop()/kurtPop() analog
+# ---------------------------------------------------------------------------
+# central moments from exact raw integer power sums; ONE shared formula
+# string so both engines run the identical IEEE sequence
+_MOM_MEAN = "(CAST(s1 AS DOUBLE) / m)"
+_MOM_M2 = f"(CAST(s2 AS DOUBLE) / m - {_MOM_MEAN} * {_MOM_MEAN})"
+_MOM_M3 = (
+    f"(CAST(s3 AS DOUBLE) / m - 3 * {_MOM_MEAN} * (CAST(s2 AS DOUBLE) / m)"
+    f" + 2 * {_MOM_MEAN} * {_MOM_MEAN} * {_MOM_MEAN})"
+)
+_MOM_M4 = (
+    f"(CAST(s4 AS DOUBLE) / m - 4 * {_MOM_MEAN} * (CAST(s3 AS DOUBLE) / m)"
+    f" + 6 * {_MOM_MEAN} * {_MOM_MEAN} * (CAST(s2 AS DOUBLE) / m)"
+    f" - 3 * {_MOM_MEAN} * {_MOM_MEAN} * {_MOM_MEAN} * {_MOM_MEAN})"
+)
+_SKEW = f"({_MOM_M3} / pow({_MOM_M2}, 1.5))"
+_KURT = f"({_MOM_M4} / ({_MOM_M2} * {_MOM_M2}))"
+
+
+@register(
+    "skew_kurtosis_by_type",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, CAST(round(value) AS BIGINT) AS x FROM events
+    ),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(x) AS s1, SUM(x * x) AS s2,
+             SUM(x * x * x) AS s3, SUM(x * x * x * x) AS s4
+      FROM b GROUP BY event_type
+    )
+    SELECT event_type, m AS n_events,
+           CAST(floor(({_SKEW}) * 1000000) AS BIGINT) AS skew_micro,
+           CAST(floor(({_KURT}) * 1000000) AS BIGINT) AS kurt_micro
+    FROM s
+    """,
+)
+def skew_kurtosis_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``skewPop`` / ``kurtPop``: third- and fourth-moment
+    shape statistics of event value per type — the "is this
+    distribution still the one we tuned thresholds for" drift check
+    that variance alone can't see.
+
+    Exactness: values quantize to DOLLARS per row (not cents — x⁴
+    must stay in BIGINT: |x|≤490 ⇒ x⁴≤5.8·10¹⁰, exact to ~10⁸
+    rows/type; past that the op would quantize coarser, noted not
+    needed here); the four raw power sums are exact BIGINTs and the
+    central-moment/skew/kurtosis algebra is ONE shared formula string,
+    so both engines run the identical IEEE sequence before the micro
+    floor.
+
+    Scale shape: one map-side-combinable groupBy over the stream →
+    |types| rows; zero windows, zero joins — the #211 moment-agg
+    template extended two powers."""
+    b = load(spark, sf_dir, "events").select(
+        "event_type", F.round("value").cast("long").alias("x")
+    )
+    s = b.groupBy("event_type").agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    return s.select(
+        "event_type",
+        F.col("m").cast("long").alias("n_events"),
+        F.expr(f"CAST(floor(({_SKEW}) * 1000000) AS BIGINT)").alias(
+            "skew_micro"
+        ),
+        F.expr(f"CAST(floor(({_KURT}) * 1000000) AS BIGINT)").alias(
+            "kurt_micro"
+        ),
+    )

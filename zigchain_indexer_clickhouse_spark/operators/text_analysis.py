@@ -707,3 +707,99 @@ def vocab_mass_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_share_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# 231. dup_span_coverage — partial-vs-full-dup classification of #174 pairs
+# --------------------------------------------------------------------------
+COV_FULL_PPM = 900_000   # min(cov_a, cov_b) ≥ 90% → full duplicate
+COV_PARTIAL_PPM = 300_000  # ≥ 30% → partial overlap (quote/template)
+
+
+def _cov_oracle() -> str:
+    # reuse the winnowing CTE chain up to `pruned`, then add per-doc
+    # fingerprint totals and per-pair coverage
+    base = _winnow_oracle().split("SELECT a.doc_id AS doc_a")[0].rstrip()
+    return f"""{base.rstrip(",")},
+    nf AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM pruned a JOIN pruned b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {WIN_MIN_SHARED}
+    ),
+    cov AS (
+      SELECT p.doc_a, p.doc_b, p.n_shared,
+             CAST(p.n_shared * 1000000 // na.n_fp AS BIGINT) AS cov_a_ppm,
+             CAST(p.n_shared * 1000000 // nb.n_fp AS BIGINT) AS cov_b_ppm
+      FROM pairs p
+      JOIN nf na ON na.doc_id = p.doc_a
+      JOIN nf nb ON nb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, n_shared, cov_a_ppm, cov_b_ppm,
+           CASE WHEN LEAST(cov_a_ppm, cov_b_ppm) >= {COV_FULL_PPM}
+                THEN 'full_dup'
+                WHEN LEAST(cov_a_ppm, cov_b_ppm) >= {COV_PARTIAL_PPM}
+                THEN 'partial'
+                ELSE 'spurious' END AS overlap_class
+    FROM cov
+    """
+
+
+@register("dup_span_coverage", oracle=_cov_oracle())
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-vs-full-duplicate classification of the #174 winnowing
+    candidate pairs: what FRACTION of each document's fingerprints is
+    shared with its partner — the signal separating a true duplicate
+    (remove one) from a quoted passage or shared template (keep both,
+    maybe strip the span). MOSS reads exactly this ratio; a dedup
+    keep-rule that can't see it over-deletes quoting documents.
+
+    Coverage is per SIDE (n_shared / each doc's own fingerprint count,
+    integer ppm) because containment is asymmetric: a paragraph quoted
+    inside a book covers ~100% of the paragraph and ~1% of the book.
+    Classes: min coverage ≥90% 'full_dup', ≥30% 'partial', else
+    'spurious' (a df-capped boilerplate collision).
+
+    Scale shape: reuses the SHARED persisted (doc, fp) stage (#174's
+    — no new corpus scan this session); adds one doc-keyed count agg
+    and two equi-joins of the pair frame to it; everything else is the
+    #174 plan verbatim."""
+    from zigchain_indexer_clickhouse_spark.operators.dedup import (
+        _shared_stage,
+    )
+
+    fps = _shared_stage(
+        "winnow_fps", spark, sf_dir, lambda: _winnow_fps(spark, sf_dir)
+    )
+    nf = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    pairs = winnowing_fingerprint(spark, sf_dir)
+    cov = (
+        pairs.join(
+            nf.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_fp").alias("nf_a")),
+            "doc_a",
+        )
+        .join(
+            nf.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_fp").alias("nf_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            F.expr("CAST(n_shared * 1000000 DIV nf_a AS BIGINT)")
+            .alias("cov_a_ppm"),
+            F.expr("CAST(n_shared * 1000000 DIV nf_b AS BIGINT)")
+            .alias("cov_b_ppm"),
+        )
+    )
+    mn = F.least(F.col("cov_a_ppm"), F.col("cov_b_ppm"))
+    return cov.select(
+        "doc_a", "doc_b", "n_shared", "cov_a_ppm", "cov_b_ppm",
+        F.when(mn >= COV_FULL_PPM, "full_dup")
+        .when(mn >= COV_PARTIAL_PPM, "partial")
+        .otherwise("spurious")
+        .alias("overlap_class"),
+    )
