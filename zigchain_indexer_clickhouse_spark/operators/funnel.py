@@ -1,5 +1,8 @@
-"""Behavioral-analytics operators (#81-83): ClickHouse's windowFunnel /
-retention / sequenceMatch aggregate-function family, re-expressed
+"""Behavioral-analytics operators (#81-83 windowFunnel / retention /
+sequenceMatch, plus the round-5/6 growth: strict-order mode #177,
+sequenceCount #180, sequenceNextNode #207, path mining #223, streak
+histogram #224, cohort transitions #225, funnel latency #226):
+ClickHouse's event-sequence aggregate-function family, re-expressed
 Spark-first. The reference serves its analytics out of ClickHouse
 (SURVEY §2.2), where these are the standard event-stream reporting
 functions; an engine claiming the same serving surface needs them.

@@ -16,6 +16,9 @@ ONE aggregate-shaped query, the way CH serves them.
   rank/U-statistic identity, the standard corpus-signal sanity check).
 - ``interval_length_sum`` (#213): CH ``intervalLengthSum`` — per-day
   union length of overlapping per-event activity intervals.
+- ``skew_kurtosis_by_type`` (#230): CH ``skewPop``/``kurtPop`` —
+  third/fourth-moment shape drift per type from exact integer power
+  sums (values quantized to dollars so x⁴ stays in BIGINT).
 
 Reference parity: the reference (a chain indexer, Node.js→ClickHouse)
 exposes these through ClickHouse's aggregate function surface; none
