@@ -240,6 +240,8 @@ _BNLJ_ALLOWED = {
     "roc_auc_doc_length",  # 1-row corpus-total broadcast
     "domain_temperature_mix",  # 1-row total + 1-row Σ√n fold broadcasts
     "cohort_transition_matrix",  # 1-row transition-total broadcast
+    "lang_id_confusion",  # |langs|-row OR-fan over the contingency cells
+    "vocab_mass_spectrum",  # 1-row mass/vocab-total broadcast
 }
 
 
