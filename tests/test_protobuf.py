@@ -672,3 +672,33 @@ def test_msg_redelegate_roundtrip_and_fail_closed(spark):
         ).alias("f")
     ).collect()[0]["f"]
     assert cross is None
+
+
+def test_msg_deposit_roundtrip_and_fail_closed(spark):
+    """MsgDeposit: the varint + string + Coin body round-trips
+    (including a 2-byte-varint proposal id); a vote body (option
+    instead of coin) fails closed."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        encode_msg_deposit,
+        encode_msg_vote,
+        msg_deposit_fields,
+    )
+
+    good = spark.range(1).select(
+        msg_deposit_fields(
+            encode_msg_deposit(
+                F.lit(9999), F.lit("zig1dep"), F.lit("uzig"), F.lit("123")
+            )
+        ).alias("f")
+    ).collect()[0]["f"]
+    assert good["proposal_id"] == 9999
+    assert good["depositor"] == "zig1dep"
+    assert good["denom"] == "uzig"
+    assert good["amount"] == "123"
+
+    cross = spark.range(1).select(
+        msg_deposit_fields(
+            encode_msg_vote(F.lit(7), F.lit("zig1dep"), F.lit(1))
+        ).alias("f")
+    ).collect()[0]["f"]
+    assert cross is None

@@ -125,19 +125,19 @@ def test_vote_and_delegate_fail_closed_not_shifted(spark):
 
 
 def test_registry_decode_populations_and_outcome_dispatch(spark):
-    """msg_registry_decode at sf0.001: nine (type_url, status) rows
-    (eight registered types + fallback); only the unregistered custom
+    """msg_registry_decode at sf0.001: eleven (type_url, status) rows
+    (ten registered types + fallback); only the unregistered custom
     type takes the fallback; decoded aggregates are all non-trivial
-    (amounts from five Coin/JSON paths, varint proposal ids, enum
-    yes-votes, IBC timeout varints; the coin-less withdraw row decodes
-    ok with zero amount by design)."""
+    (amounts from six Coin/JSON paths, varint proposal ids from vote
+    AND deposit, enum yes-votes, IBC timeout varints; the coin-less
+    distribution rows decode ok with zero amount by design)."""
     from zigchain_indexer_clickhouse_spark.plans import registry
 
     rows = {
         r["type_url"]: r
         for r in registry.queries()["msg_registry_decode"](spark, SF).collect()
     }
-    assert len(rows) == 9
+    assert len(rows) == 11
     assert rows["/zigchain.custom.v1.MsgCustom"]["status"] == (
         "Unknown message type"
     )
@@ -148,12 +148,17 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         "/cosmos.staking.v1beta1.MsgUndelegate",
         "/ibc.applications.transfer.v1.MsgTransfer",
         "/cosmos.staking.v1beta1.MsgBeginRedelegate",
+        "/cosmos.gov.v1beta1.MsgDeposit",
     ):
         assert rows[url]["status"] == "ok"
         assert rows[url]["total_amt"] > 0
-    wd = rows["/cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward"]
-    assert wd["status"] == "ok"
-    assert wd["total_amt"] == 0  # coin-less body: outcome only
+    for url in (
+        "/cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward",
+        "/cosmos.distribution.v1beta1.MsgSetWithdrawAddress",
+    ):
+        assert rows[url]["status"] == "ok"
+        assert rows[url]["total_amt"] == 0  # coin-less body: outcome only
+    assert rows["/cosmos.gov.v1beta1.MsgDeposit"]["sum_pid"] > 0
     vote = rows["/cosmos.gov.v1beta1.MsgVote"]
     assert vote["status"] == "ok"
     assert vote["sum_pid"] > 0

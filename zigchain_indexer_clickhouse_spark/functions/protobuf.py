@@ -708,3 +708,69 @@ def msg_redelegate_fields(blob: Column) -> Column:
     return F.when(
         ok1 & ok2 & ok3 & ok4 & okc1 & okc2 & short & exact, st
     ).otherwise(F.lit(None).cast(_MSG_REDELEGATE_STRUCT))
+
+
+_MSG_DEPOSIT_STRUCT = (
+    "struct<proposal_id:bigint,depositor:string,denom:string,amount:string>"
+)
+
+
+def encode_msg_deposit(proposal_id: Column, depositor: Column,
+                       denom: Column, amount: Column) -> Column:
+    """Wire bytes of ``cosmos.gov.v1beta1.MsgDeposit``: field 1
+    proposal_id (uint64 varint, 0x08), field 2 depositor (string,
+    0x12), field 3 amount (Coin, 0x1A) — the registry's first
+    varint + string + embedded-message body shape."""
+    coin_hex = F.concat(
+        _ld_field("0A", F.hex(denom.cast("binary")), F.octet_length(denom)),
+        _ld_field("12", F.hex(amount.cast("binary")), F.octet_length(amount)),
+    )
+    return F.unhex(F.concat(
+        F.lit("08"), _varint_hex(proposal_id),
+        _ld_field("12", F.hex(depositor.cast("binary")),
+                  F.octet_length(depositor)),
+        _ld_field("1A", coin_hex, (F.length(coin_hex) / 2).cast("int")),
+    ))
+
+
+def msg_deposit_fields(blob: Column) -> Column:
+    """Decode a ``MsgDeposit`` body into struct(proposal_id,
+    depositor, denom, amount): the MsgVote varint scan followed by the
+    string + Coin walk (proposal_id accepts 1- or 2-byte varints; the
+    coin and amount lengths must land exactly on their containers'
+    ends — the usual fail-closed discipline)."""
+    h = F.hex(blob)
+    ok1 = F.substring(h, 1, 2) == "08"
+    b0 = _byte_at(h, 3)
+    b1 = _byte_at(h, 5)
+    one = b0 < 128
+    pid = F.when(one, b0).otherwise((b0 - 128) + b1 * 128).cast("bigint")
+    p2 = F.when(one, F.lit(5)).otherwise(F.lit(7))
+    ok2 = F.substr(h, p2, F.lit(2)) == "12"
+    l2 = _byte_at(h, p2 + 2)
+    depo = F.decode(F.unhex(F.substr(h, p2 + 4, l2 * 2)), "UTF-8")
+    p3 = p2 + 4 + l2 * 2
+    ok3 = F.substr(h, p3, F.lit(2)) == "1A"
+    l3 = _byte_at(h, p3 + 2)
+    coin = F.substr(h, p3 + 4, l3 * 2)
+    okc1 = F.substring(coin, 1, 2) == "0A"
+    ld = _byte_at(coin, 3)
+    denom = F.decode(F.unhex(F.substr(coin, F.lit(5), ld * 2)), "UTF-8")
+    pc = ld * 2 + 5
+    okc2 = F.substr(coin, pc, F.lit(2)) == "12"
+    la = _byte_at(coin, pc + 2)
+    amount = F.decode(F.unhex(F.substr(coin, pc + 4, la * 2)), "UTF-8")
+    st = F.struct(
+        pid.alias("proposal_id"),
+        depo.alias("depositor"),
+        denom.alias("denom"),
+        amount.alias("amount"),
+    )
+    short = (one | (b1 < 128)) & (l2 < 128) & (l3 < 128) \
+        & (ld < 128) & (la < 128)
+    exact = (p3 + 4 + l3 * 2 - 1 == F.length(h)) & (
+        pc + 4 + la * 2 - 1 == F.length(coin)
+    )
+    return F.when(
+        ok1 & ok2 & ok3 & okc1 & okc2 & short & exact, st
+    ).otherwise(F.lit(None).cast(_MSG_DEPOSIT_STRUCT))

@@ -38,6 +38,7 @@ from zigchain_indexer_clickhouse_spark.functions.protobuf import (
     encode_msg_delegate,
     encode_msg_execute,
     encode_msg_send,
+    encode_msg_deposit,
     encode_msg_redelegate,
     encode_msg_transfer,
     encode_msg_undelegate,
@@ -47,6 +48,7 @@ from zigchain_indexer_clickhouse_spark.functions.protobuf import (
     msg_delegate_fields,
     msg_execute_fields,
     msg_send_fields,
+    msg_deposit_fields,
     msg_redelegate_fields,
     msg_transfer_fields,
     msg_undelegate_fields,
@@ -311,17 +313,19 @@ _MSG_TRANSFER_URL = "/ibc.applications.transfer.v1.MsgTransfer"
 _MSG_UNDELEGATE_URL = "/cosmos.staking.v1beta1.MsgUndelegate"
 _MSG_WITHDRAW_URL = "/cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward"
 _MSG_REDELEGATE_URL = "/cosmos.staking.v1beta1.MsgBeginRedelegate"
+_MSG_SETWITHDRAW_URL = "/cosmos.distribution.v1beta1.MsgSetWithdrawAddress"
+_MSG_DEPOSIT_URL = "/cosmos.gov.v1beta1.MsgDeposit"
 
 
 # --------------------------------------------------------------------------
-# 187. msg_registry_decode — 8-type registry (bank/wasm/staking x3/gov/ibc/distribution)
+# 187. msg_registry_decode — 10-type registry (bank/wasm/staking x3/gov x2/ibc/distribution x2)
 # --------------------------------------------------------------------------
 @register(
     "msg_registry_decode",
     oracle="""
     WITH m AS (
       SELECT event_id, user_id, value,
-             CASE CAST(event_id % 9 AS INTEGER)
+             CASE CAST(event_id % 11 AS INTEGER)
                WHEN 0 THEN '/cosmos.bank.v1beta1.MsgSend'
                WHEN 1 THEN '/cosmwasm.wasm.v1.MsgExecuteContract'
                WHEN 2 THEN '/cosmos.staking.v1beta1.MsgDelegate'
@@ -331,38 +335,43 @@ _MSG_REDELEGATE_URL = "/cosmos.staking.v1beta1.MsgBeginRedelegate"
                WHEN 6 THEN
                  '/cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward'
                WHEN 7 THEN '/cosmos.staking.v1beta1.MsgBeginRedelegate'
+               WHEN 8 THEN
+                 '/cosmos.distribution.v1beta1.MsgSetWithdrawAddress'
+               WHEN 9 THEN '/cosmos.gov.v1beta1.MsgDeposit'
                ELSE '/zigchain.custom.v1.MsgCustom' END AS type_url
       FROM events)
     SELECT type_url,
            CASE WHEN type_url = '/zigchain.custom.v1.MsgCustom'
                 THEN 'Unknown message type' ELSE 'ok' END AS status,
            CAST(COUNT(*) AS BIGINT) AS n_msgs,
-           CAST(SUM(CASE WHEN event_id % 9 IN (0, 1, 2, 4, 5, 7)
+           CAST(SUM(CASE WHEN event_id % 11 IN (0, 1, 2, 4, 5, 7, 9)
                          THEN CAST(floor(value * 100) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS total_amt,
-           CAST(SUM(CASE WHEN event_id % 9 = 3
+           CAST(SUM(CASE WHEN event_id % 11 IN (3, 9)
                          THEN user_id % 10000 ELSE 0 END) AS BIGINT)
              AS sum_pid,
-           CAST(SUM(CASE WHEN event_id % 9 = 3 AND event_id % 4 = 0
+           CAST(SUM(CASE WHEN event_id % 11 = 3 AND event_id % 4 = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_yes,
-           CAST(SUM(CASE WHEN event_id % 9 = 4
+           CAST(SUM(CASE WHEN event_id % 11 = 4
                          THEN event_id % 10000 ELSE 0 END) AS BIGINT)
              AS sum_timeout
     FROM m GROUP BY 1, 2
     """,
 )
 def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The widened registry dispatch (#151 grown 2 → 4 → 6 → EIGHT
+    """The widened registry dispatch (#151 grown 2 → 4 → 6 → 8 → TEN
     decoded types across round 6): MsgSend (bank), MsgExecuteContract
     (wasm), MsgDelegate + MsgUndelegate (both staking directions —
     identical wire shape, distinguished purely by typeUrl, exactly how
     cosmjs shares generated decoders), MsgVote (gov — scalar-varint
     proposal_id + 1-byte enum), MsgTransfer (IBC — the first
     embedded-message-in-the-MIDDLE scan plus a trailing timeout
-    varint), MsgWithdrawDelegatorReward (distribution — the first
-    COIN-LESS two-string body), MsgBeginRedelegate (staking — the
-    first FOUR-field body, coin at tag 0x22), and the
-    unregistered-type fallback row. The
+    varint), MsgWithdrawDelegatorReward + MsgSetWithdrawAddress
+    (distribution — coin-less two-string bodies SHARING one generated
+    scan across typeUrls), MsgBeginRedelegate (staking — the first
+    FOUR-field body, coin at tag 0x22), MsgDeposit (gov — the first
+    varint + string + Coin shape), and the unregistered-type fallback
+    row. The
     reference registers all defaultRegistryTypes
     (src/utils/decoder.js:9) and falls back to
     ``{error: 'Unknown message type', raw}`` on a miss
@@ -370,7 +379,7 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope to real decoded fields at known cost.
 
     Dispatch keys on the DECODE OUTCOME (a non-null routed struct),
-    so a shifted offset in any of the eight body scans flips rows into
+    so a shifted offset in any of the ten body scans flips rows into
     the fallback and fails the oracle hash. The aggregate proves the
     decodes recover real fields: total_amt sums the Coin amount from
     send/delegate/undelegate/transfer/redelegate and the JSON-embedded
@@ -385,7 +394,7 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build() -> DataFrame:
         e = load(spark, sf_dir, "events")
-        kind = (F.col("event_id") % 9).cast("int")
+        kind = (F.col("event_id") % 11).cast("int")
         send_blob = _msg_send_blob(F.col("user_id"), F.col("value"))
         exec_blob = encode_any_msg(
             F.lit(_MSG_EXEC_URL),
@@ -406,6 +415,25 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
                 F.concat(F.lit("zigvaloper"),
                          (F.col("user_id") % 50).cast("string")),
+            ),
+        )
+        setwithdraw_blob = encode_any_msg(
+            F.lit(_MSG_SETWITHDRAW_URL),
+            # same two-string wire shape as the withdraw body — the
+            # cosmjs shared-generated-decoder story again
+            encode_msg_withdraw_reward(
+                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
+                F.concat(F.lit("zig1w"),
+                         (F.col("user_id") % 97).cast("string")),
+            ),
+        )
+        deposit_blob = encode_any_msg(
+            F.lit(_MSG_DEPOSIT_URL),
+            encode_msg_deposit(
+                F.col("user_id") % 10000,
+                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
+                F.lit("uzig"),
+                F.floor(F.col("value") * 100).cast("long").cast("string"),
             ),
         )
         redelegate_blob = encode_any_msg(
@@ -481,7 +509,11 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .select(withdraw_blob.alias("blob")))
             .unionAll(e.filter(kind == 7)
                       .select(redelegate_blob.alias("blob")))
-            .unionAll(e.filter(kind == 8).select(custom_blob.alias("blob")))
+            .unionAll(e.filter(kind == 8)
+                      .select(setwithdraw_blob.alias("blob")))
+            .unionAll(e.filter(kind == 9)
+                      .select(deposit_blob.alias("blob")))
+            .unionAll(e.filter(kind == 10).select(custom_blob.alias("blob")))
         )
 
     def _unwrap() -> DataFrame:
@@ -532,10 +564,15 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     undel_b = _typed(_MSG_UNDELEGATE_URL, msg_undelegate_fields)
     wdrw_b = _typed(_MSG_WITHDRAW_URL, msg_withdraw_reward_fields)
     redel_b = _typed(_MSG_REDELEGATE_URL, msg_redelegate_fields)
+    # SetWithdrawAddress shares the coin-less two-string scan with the
+    # withdraw body (identical wire shape, distinct typeUrl)
+    setw_b = _typed(_MSG_SETWITHDRAW_URL, msg_withdraw_reward_fields)
+    depo_b = _typed(_MSG_DEPOSIT_URL, msg_deposit_fields)
     registered = [
         _MSG_SEND_URL, _MSG_EXEC_URL, _MSG_DELEGATE_URL,
         _MSG_VOTE_URL, _MSG_TRANSFER_URL, _MSG_UNDELEGATE_URL,
         _MSG_WITHDRAW_URL, _MSG_REDELEGATE_URL,
+        _MSG_SETWITHDRAW_URL, _MSG_DEPOSIT_URL,
     ]
     fallback = msgs.filter(
         ~F.col("type_url").isin(registered) | F.col("type_url").isNull()
@@ -561,6 +598,10 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_out(undel_b, d, amt=F.col("d.amount").cast("long")))
         .unionAll(_out(wdrw_b, d))
         .unionAll(_out(redel_b, d, amt=F.col("d.amount").cast("long")))
+        .unionAll(_out(setw_b, d))
+        .unionAll(_out(depo_b, d,
+                       amt=F.col("d.amount").cast("long"),
+                       pid=F.col("d.proposal_id")))
         .unionAll(_out(fallback, None))
     )
     return routed.groupBy("type_url", "status").agg(
