@@ -57,6 +57,14 @@ _PROBED = [
     # normalizations must not see layout (all inputs are exact BIGINTs)
     "mann_whitney_u_pairs",
     "spearman_rank_corr",
+    # round-6 late window/threshold class: exact-median cum windows,
+    # sweep-line islands, lag-window means, LSH bucket caps, and the
+    # ten-branch decode dispatch must all be layout-blind
+    "funnel_time_to_convert",
+    "interval_length_sum",
+    "block_time_drift",
+    "minhash_band_tuning",
+    "cohort_transition_matrix",
 ]
 
 
