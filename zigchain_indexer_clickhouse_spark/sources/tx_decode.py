@@ -35,6 +35,12 @@ from zigchain_indexer_clickhouse_spark.functions.protobuf import (
     any_type_url,
     any_value,
     encode_any_msg,
+    pf_ld,
+    pf_str,
+    pf_varint,
+    proto_encode,
+    proto_encode_hex,
+    proto_scan_hex,
     encode_msg_delegate,
     encode_msg_execute,
     encode_msg_send,
@@ -315,44 +321,62 @@ _MSG_WITHDRAW_URL = "/cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward"
 _MSG_REDELEGATE_URL = "/cosmos.staking.v1beta1.MsgBeginRedelegate"
 _MSG_SETWITHDRAW_URL = "/cosmos.distribution.v1beta1.MsgSetWithdrawAddress"
 _MSG_DEPOSIT_URL = "/cosmos.gov.v1beta1.MsgDeposit"
+_MSG_GRANT_URL = "/cosmos.authz.v1beta1.MsgGrant"
+_MSG_AUTHZ_EXEC_URL = "/cosmos.authz.v1beta1.MsgExec"
+_MSG_REVOKE_URL = "/cosmos.authz.v1beta1.MsgRevoke"
+_MSG_GRANT_ALLOW_URL = "/cosmos.feegrant.v1beta1.MsgGrantAllowance"
+_MSG_REVOKE_ALLOW_URL = "/cosmos.feegrant.v1beta1.MsgRevokeAllowance"
+_MSG_UNJAIL_URL = "/cosmos.slashing.v1beta1.MsgUnjail"
+_MSG_CREATE_VAL_URL = "/cosmos.staking.v1beta1.MsgCreateValidator"
+_MSG_EDIT_VAL_URL = "/cosmos.staking.v1beta1.MsgEditValidator"
+_MSG_VESTING_URL = "/cosmos.vesting.v1beta1.MsgCreateVestingAccount"
+_BASIC_ALLOWANCE_URL = "/cosmos.feegrant.v1beta1.BasicAllowance"
+_STAKE_AUTH_URL = "/cosmos.staking.v1beta1.StakeAuthorization"
+
+# event_id % 20 → registered typeUrl (19 types + the unknown fallback),
+# in cosmjs defaultRegistryTypes families: bank, wasm, staking ×5
+# (delegate/undelegate/redelegate/create/edit), gov ×2, IBC transfer,
+# distribution ×2, authz ×3, feegrant ×2, slashing, vesting.
+_REGISTRY_URLS = [
+    _MSG_SEND_URL, _MSG_EXEC_URL, _MSG_DELEGATE_URL, _MSG_VOTE_URL,
+    _MSG_TRANSFER_URL, _MSG_UNDELEGATE_URL, _MSG_WITHDRAW_URL,
+    _MSG_REDELEGATE_URL, _MSG_SETWITHDRAW_URL, _MSG_DEPOSIT_URL,
+    _MSG_GRANT_URL, _MSG_AUTHZ_EXEC_URL, _MSG_REVOKE_URL,
+    _MSG_GRANT_ALLOW_URL, _MSG_REVOKE_ALLOW_URL, _MSG_UNJAIL_URL,
+    _MSG_CREATE_VAL_URL, _MSG_EDIT_VAL_URL, _MSG_VESTING_URL,
+]
+
+_REGISTRY_ORACLE_CASE = "\n".join(
+    f"               WHEN {i} THEN '{u}'" for i, u in enumerate(_REGISTRY_URLS)
+)
 
 
 # --------------------------------------------------------------------------
-# 187. msg_registry_decode — 10-type registry (bank/wasm/staking x3/gov x2/ibc/distribution x2)
+# 187. msg_registry_decode — 19-type registry on the constant-size walker
 # --------------------------------------------------------------------------
 @register(
     "msg_registry_decode",
-    oracle="""
+    oracle=f"""
     WITH m AS (
       SELECT event_id, user_id, value,
-             CASE CAST(event_id % 11 AS INTEGER)
-               WHEN 0 THEN '/cosmos.bank.v1beta1.MsgSend'
-               WHEN 1 THEN '/cosmwasm.wasm.v1.MsgExecuteContract'
-               WHEN 2 THEN '/cosmos.staking.v1beta1.MsgDelegate'
-               WHEN 3 THEN '/cosmos.gov.v1beta1.MsgVote'
-               WHEN 4 THEN '/ibc.applications.transfer.v1.MsgTransfer'
-               WHEN 5 THEN '/cosmos.staking.v1beta1.MsgUndelegate'
-               WHEN 6 THEN
-                 '/cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward'
-               WHEN 7 THEN '/cosmos.staking.v1beta1.MsgBeginRedelegate'
-               WHEN 8 THEN
-                 '/cosmos.distribution.v1beta1.MsgSetWithdrawAddress'
-               WHEN 9 THEN '/cosmos.gov.v1beta1.MsgDeposit'
+             CASE CAST(event_id % 20 AS INTEGER)
+{_REGISTRY_ORACLE_CASE}
                ELSE '/zigchain.custom.v1.MsgCustom' END AS type_url
       FROM events)
     SELECT type_url,
            CASE WHEN type_url = '/zigchain.custom.v1.MsgCustom'
                 THEN 'Unknown message type' ELSE 'ok' END AS status,
            CAST(COUNT(*) AS BIGINT) AS n_msgs,
-           CAST(SUM(CASE WHEN event_id % 11 IN (0, 1, 2, 4, 5, 7, 9)
+           CAST(SUM(CASE WHEN event_id % 20 IN
+                           (0, 1, 2, 4, 5, 7, 9, 11, 13, 16, 18)
                          THEN CAST(floor(value * 100) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS total_amt,
-           CAST(SUM(CASE WHEN event_id % 11 IN (3, 9)
+           CAST(SUM(CASE WHEN event_id % 20 IN (3, 9)
                          THEN user_id % 10000 ELSE 0 END) AS BIGINT)
              AS sum_pid,
-           CAST(SUM(CASE WHEN event_id % 11 = 3 AND event_id % 4 = 0
+           CAST(SUM(CASE WHEN event_id % 20 = 3 AND event_id % 4 = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_yes,
-           CAST(SUM(CASE WHEN event_id % 11 = 4
+           CAST(SUM(CASE WHEN event_id % 20 IN (4, 18)
                          THEN event_id % 10000 ELSE 0 END) AS BIGINT)
              AS sum_timeout
     FROM m GROUP BY 1, 2
