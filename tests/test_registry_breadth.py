@@ -125,23 +125,26 @@ def test_vote_and_delegate_fail_closed_not_shifted(spark):
 
 
 def test_registry_decode_populations_and_outcome_dispatch(spark):
-    """msg_registry_decode at sf0.001: eleven (type_url, status) rows
-    (ten registered types + fallback); only the unregistered custom
-    type takes the fallback; decoded aggregates are all non-trivial
-    (amounts from six Coin/JSON paths, varint proposal ids from vote
-    AND deposit, enum yes-votes, IBC timeout varints; the coin-less
-    distribution rows decode ok with zero amount by design)."""
+    """msg_registry_decode at sf0.001: twenty (type_url, status) rows
+    (nineteen registered types + fallback); only the unregistered
+    custom type takes the fallback; decoded aggregates are all
+    non-trivial (amounts from eight embedded-Coin paths — including
+    the TWO-deep Any unwraps inside authz MsgExec and feegrant
+    MsgGrantAllowance and MsgCreateValidator's field-7 self-delegation
+    — plus the wasm JSON amount; varint proposal ids from vote AND
+    deposit; enum yes-votes; IBC timeout + vesting end_time varints;
+    the coin-less bodies decode ok with zero amount by design)."""
     from zigchain_indexer_clickhouse_spark.plans import registry
 
     rows = {
         r["type_url"]: r
         for r in registry.queries()["msg_registry_decode"](spark, SF).collect()
     }
-    assert len(rows) == 11
+    assert len(rows) == 20
     assert rows["/zigchain.custom.v1.MsgCustom"]["status"] == (
         "Unknown message type"
     )
-    for url in (
+    amt_urls = (
         "/cosmos.bank.v1beta1.MsgSend",
         "/cosmwasm.wasm.v1.MsgExecuteContract",
         "/cosmos.staking.v1beta1.MsgDelegate",
@@ -149,13 +152,24 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         "/ibc.applications.transfer.v1.MsgTransfer",
         "/cosmos.staking.v1beta1.MsgBeginRedelegate",
         "/cosmos.gov.v1beta1.MsgDeposit",
-    ):
+        "/cosmos.authz.v1beta1.MsgExec",
+        "/cosmos.feegrant.v1beta1.MsgGrantAllowance",
+        "/cosmos.staking.v1beta1.MsgCreateValidator",
+        "/cosmos.vesting.v1beta1.MsgCreateVestingAccount",
+    )
+    for url in amt_urls:
         assert rows[url]["status"] == "ok"
         assert rows[url]["total_amt"] > 0
-    for url in (
+    coinless = (
         "/cosmos.distribution.v1beta1.MsgWithdrawDelegatorReward",
         "/cosmos.distribution.v1beta1.MsgSetWithdrawAddress",
-    ):
+        "/cosmos.authz.v1beta1.MsgGrant",
+        "/cosmos.authz.v1beta1.MsgRevoke",
+        "/cosmos.feegrant.v1beta1.MsgRevokeAllowance",
+        "/cosmos.slashing.v1beta1.MsgUnjail",
+        "/cosmos.staking.v1beta1.MsgEditValidator",
+    )
+    for url in coinless:
         assert rows[url]["status"] == "ok"
         assert rows[url]["total_amt"] == 0  # coin-less body: outcome only
     assert rows["/cosmos.gov.v1beta1.MsgDeposit"]["sum_pid"] > 0
@@ -165,3 +179,5 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
     assert 0 < vote["n_yes"] < vote["n_msgs"]
     xfer = rows["/ibc.applications.transfer.v1.MsgTransfer"]
     assert xfer["sum_timeout"] > 0
+    vest = rows["/cosmos.vesting.v1beta1.MsgCreateVestingAccount"]
+    assert vest["sum_timeout"] > 0

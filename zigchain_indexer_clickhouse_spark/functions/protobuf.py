@@ -731,9 +731,6 @@ def msg_redelegate_fields(blob: Column) -> Column:
 # on EVERY invocation already exceeds the fold's total row work by
 # orders of magnitude at any realistic per-query data volume.
 
-_PROTO_SCAN_TYPE = "struct<ok:boolean,ld:map<int,string>,vi:map<int,bigint>>"
-
-
 def proto_scan_hex(h: Column, max_fields: int = 8) -> Column:
     """Walk ALL top-level fields of a protobuf message given as a HEX
     string. Returns ``struct(ok boolean, ld map<int,string>,
@@ -748,7 +745,23 @@ def proto_scan_hex(h: Column, max_fields: int = 8) -> Column:
 
     One fold over ``sequence(1, max_fields)`` — message shapes with
     more fields than ``max_fields`` fail closed (the cursor can't reach
-    the end), they are never silently truncated."""
+    the end), they are never silently truncated.
+
+    The input ``h`` is BOUND ONCE as a lambda variable (a one-element
+    ``transform``) before the fold references it ~10×: without the
+    binding, every nesting level — and the registry's two-deep Any
+    unwraps nest three scans — multiplies the caller's subtree ~10×
+    into the plan, which is exponential tree growth the driver pays
+    for in analysis heap (a measured OOM at two levels), not just
+    eval time. With it, composition is additive."""
+    return F.element_at(
+        F.transform(F.array(h), lambda hh: _proto_scan_hex_bound(hh, max_fields)),
+        1,
+    )
+
+
+def _proto_scan_hex_bound(h: Column, max_fields: int) -> Column:
+    """The walk itself, over an already-bound ``h`` (see above)."""
     n = F.length(h)
     empty_ld = F.map_from_arrays(
         F.array().cast("array<int>"), F.array().cast("array<string>")
@@ -875,14 +888,25 @@ def proto_encode_hex(*parts: Column) -> Column:
     count (vs the per-type hex-concat encoders whose trees the
     registry's union multiplied into minutes of compile). Fields are
     written in the order given; callers pass them in field-number
-    order, matching cosmjs' ordered writers."""
+    order, matching cosmjs' ordered writers.
+
+    Field numbers above 15 need a multi-byte tag this single-byte
+    writer does not produce — fail LOUD (the ``_varint_hex`` policy),
+    never an ``lpad``-truncated tag that decoders would misparse."""
     arr = F.array(*parts)
     return F.aggregate(
         arr,
         F.lit(""),
         lambda acc, p: F.concat(
             acc,
-            F.lpad(F.hex(p["fno"] * 8 + p["wt"]), 2, "0"),
+            F.when(
+                p["fno"] * 8 + p["wt"] < 128,
+                F.lpad(F.hex(p["fno"] * 8 + p["wt"]), 2, "0"),
+            ).otherwise(
+                F.raise_error(
+                    F.lit("protobuf field number exceeds single-byte tag")
+                )
+            ),
             F.when(p["wt"] == 0, _varint_hex(p["vi"])).otherwise(
                 F.concat(
                     _varint_hex((F.length(p["ld"]) / 2).cast("int")), p["ld"]

@@ -38,28 +38,13 @@ from zigchain_indexer_clickhouse_spark.functions.protobuf import (
     pf_ld,
     pf_str,
     pf_varint,
-    proto_encode,
     proto_encode_hex,
     proto_scan_hex,
-    encode_msg_delegate,
     encode_msg_execute,
     encode_msg_send,
-    encode_msg_deposit,
-    encode_msg_redelegate,
-    encode_msg_transfer,
-    encode_msg_undelegate,
-    encode_msg_vote,
-    encode_msg_withdraw_reward,
     encode_tx_raw,
-    msg_delegate_fields,
     msg_execute_fields,
     msg_send_fields,
-    msg_deposit_fields,
-    msg_redelegate_fields,
-    msg_transfer_fields,
-    msg_undelegate_fields,
-    msg_vote_fields,
-    msg_withdraw_reward_fields,
     tx_body_messages,
     tx_raw_body,
 )
@@ -374,7 +359,7 @@ _REGISTRY_ORACLE_CASE = "\n".join(
            CAST(SUM(CASE WHEN event_id % 20 IN (3, 9)
                          THEN user_id % 10000 ELSE 0 END) AS BIGINT)
              AS sum_pid,
-           CAST(SUM(CASE WHEN event_id % 20 = 3 AND event_id % 4 = 0
+           CAST(SUM(CASE WHEN event_id % 20 = 3 AND user_id % 4 = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_yes,
            CAST(SUM(CASE WHEN event_id % 20 IN (4, 18)
                          THEN event_id % 10000 ELSE 0 END) AS BIGINT)
@@ -383,259 +368,298 @@ _REGISTRY_ORACLE_CASE = "\n".join(
     """,
 )
 def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The widened registry dispatch (#151 grown 2 → 4 → 6 → 8 → TEN
-    decoded types across round 6): MsgSend (bank), MsgExecuteContract
-    (wasm), MsgDelegate + MsgUndelegate (both staking directions —
-    identical wire shape, distinguished purely by typeUrl, exactly how
-    cosmjs shares generated decoders), MsgVote (gov — scalar-varint
-    proposal_id + 1-byte enum), MsgTransfer (IBC — the first
-    embedded-message-in-the-MIDDLE scan plus a trailing timeout
-    varint), MsgWithdrawDelegatorReward + MsgSetWithdrawAddress
-    (distribution — coin-less two-string bodies SHARING one generated
-    scan across typeUrls), MsgBeginRedelegate (staking — the first
-    FOUR-field body, coin at tag 0x22), MsgDeposit (gov — the first
-    varint + string + Coin shape), and the unregistered-type fallback
-    row. The
-    reference registers all defaultRegistryTypes
-    (src/utils/decoder.js:9) and falls back to
-    ``{error: 'Unknown message type', raw}`` on a miss
-    (decoder.js:20-24); each type added here shrinks the typeUrl+raw
-    envelope to real decoded fields at known cost.
+    """The registry dispatch at cosmjs ``defaultRegistryTypes`` breadth
+    (#151 grown 2 → 4 → 6 → 8 → 10 → NINETEEN decoded types): bank
+    MsgSend; wasm MsgExecuteContract; the five staking bodies
+    (Delegate / Undelegate / BeginRedelegate / CreateValidator /
+    EditValidator); gov MsgVote + MsgDeposit; IBC MsgTransfer;
+    distribution MsgWithdrawDelegatorReward + MsgSetWithdrawAddress;
+    authz MsgGrant / MsgExec / MsgRevoke; feegrant MsgGrantAllowance /
+    MsgRevokeAllowance; slashing MsgUnjail; vesting
+    MsgCreateVestingAccount — plus the unregistered-type fallback. The
+    reference registers all defaultRegistryTypes (src/utils/decoder.js:9)
+    and falls back to ``{error: 'Unknown message type', raw}`` on a
+    miss (decoder.js:20-24).
 
-    Dispatch keys on the DECODE OUTCOME (a non-null routed struct),
-    so a shifted offset in any of the ten body scans flips rows into
-    the fallback and fails the oracle hash. The aggregate proves the
-    decodes recover real fields: total_amt sums the Coin amount from
-    send/delegate/undelegate/transfer/redelegate and the JSON-embedded
-    amount from exec; sum_pid sums the varint-decoded proposal ids;
-    n_yes counts decoded VOTE_OPTION_YES enums; sum_timeout sums the
-    IBC timeout varints; the withdraw row contributes only its decode
-    outcome (the body has no amount by design). Scale shape as #151:
-    blob build and Any-unwrap persist once each (bound attributes keep
-    the ~160 positional references of the eight decoders inside
-    whole-stage codegen — one filter branch per type holds each body
-    scan in its own unit), then one keyed aggregate."""
+    Unlike the per-type positional scanners of #151 (whose expression
+    trees grow ~2^fields and whose 10-way union cost minutes of
+    Catalyst analysis + Janino compile PER INVOCATION — the round-6
+    profile), this operator runs entirely on the generic walker pair
+    (functions/protobuf.py proto_encode_hex / proto_scan_hex): ONE
+    constant-size fold synthesizes each wire body, one unwraps the
+    Any, one walks every top-level field into (field_no → payload)
+    maps, and the 19-type dispatch is plain map lookups keyed by
+    typeUrl. Plan size is independent of registry breadth — adding a
+    20th type adds one CASE branch, not another compile unit — which
+    is the property that actually survives cosmjs' ~50-type registry.
+
+    Dispatch keys on the DECODE OUTCOME: ``status`` is 'ok' only when
+    the walker lands exactly on the end of the body AND the per-type
+    shape holds (required fields present, nested Any/Coin/Description
+    scans clean, amount recovered where the type carries one), so a
+    shifted offset anywhere flips rows into a registered-URL
+    'Unknown message type' group the oracle does not have. The
+    aggregates prove real fields come back: total_amt sums Coin
+    amounts from eight embedded-Coin paths (incl. TWO-deep Any
+    unwraps for authz MsgExec's inner MsgSend and feegrant's
+    BasicAllowance, and MsgCreateValidator's field-7 self-delegation),
+    plus the JSON amount inside the wasm call; sum_pid the varint
+    proposal ids (vote + deposit); n_yes the decoded VOTE_OPTION_YES
+    enums; sum_timeout the IBC timeout + vesting end_time varints.
+
+    Scale shape: three narrow persisted stages (blob → Any scan →
+    field maps) so each interpreted fold evaluates ONCE per row —
+    binding a fold's output to a cached column before the next fold
+    consumes it, because CollapseProject would otherwise multiply the
+    upstream fold into every per-step reference of the downstream one.
+    Zero Python row UDFs, zero joins; one map-side-combinable
+    (type_url, status) aggregate whose output is ≤ 20 rows."""
 
     def _build() -> DataFrame:
         e = load(spark, sf_dir, "events")
-        kind = (F.col("event_id") % 11).cast("int")
-        send_blob = _msg_send_blob(F.col("user_id"), F.col("value"))
-        exec_blob = encode_any_msg(
-            F.lit(_MSG_EXEC_URL),
-            encode_msg_execute(
-                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
-                F.concat(F.lit("zig1w"),
-                         (F.col("event_id") % 7).cast("string")),
-                F.concat(
-                    F.lit('{"transfer":{"amount":"'),
-                    F.floor(F.col("value") * 100).cast("long").cast("string"),
-                    F.lit('"}}'),
-                ),
-            ),
+        kind = (F.col("event_id") % 20).cast("int")
+        uid = F.col("user_id").cast("string")
+        user = F.concat(F.lit("zig1u"), uid)
+        recipient = F.concat(F.lit("zig1c"), uid)
+        grantee = F.concat(F.lit("zig1g"),
+                           (F.col("user_id") % 31).cast("string"))
+        val_a = F.concat(F.lit("zigvaloper"),
+                         (F.col("user_id") % 50).cast("string"))
+        val_b = F.concat(F.lit("zigvaloper"),
+                         ((F.col("user_id") + 1) % 50).cast("string"))
+        amt_s = F.floor(F.col("value") * 100).cast("long").cast("string")
+        pid = (F.col("user_id") % 10000).cast("bigint")
+        tout = (F.col("event_id") % 10000).cast("bigint")
+        coin = proto_encode_hex(pf_str(1, F.lit("uzig")), pf_str(2, amt_s))
+        desc = proto_encode_hex(pf_str(1, F.concat(
+            F.lit("val-"), (F.col("user_id") % 50).cast("string"))))
+
+        send_body = proto_encode_hex(
+            pf_str(1, user), pf_str(2, recipient), pf_ld(3, coin))
+        exec_body = proto_encode_hex(
+            pf_str(1, user),
+            pf_str(2, F.concat(F.lit("zig1w"),
+                               (F.col("event_id") % 7).cast("string"))),
+            pf_str(3, F.concat(F.lit('{"transfer":{"amount":"'),
+                               amt_s, F.lit('"}}'))),
         )
-        withdraw_blob = encode_any_msg(
-            F.lit(_MSG_WITHDRAW_URL),
-            encode_msg_withdraw_reward(
-                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
-                F.concat(F.lit("zigvaloper"),
-                         (F.col("user_id") % 50).cast("string")),
-            ),
+        delegate_body = proto_encode_hex(
+            pf_str(1, user), pf_str(2, val_a), pf_ld(3, coin))
+        vote_body = proto_encode_hex(
+            pf_varint(1, pid), pf_str(2, user),
+            pf_varint(3, F.col("user_id") % 4 + 1))
+        transfer_body = proto_encode_hex(
+            pf_str(1, F.lit("transfer")),
+            pf_str(2, F.concat(F.lit("channel-"),
+                               (F.col("event_id") % 11).cast("string"))),
+            pf_ld(3, coin), pf_str(4, user),
+            pf_str(5, F.concat(F.lit("cosmos1r"), uid)),
+            pf_varint(7, tout),
         )
-        setwithdraw_blob = encode_any_msg(
-            F.lit(_MSG_SETWITHDRAW_URL),
-            # same two-string wire shape as the withdraw body — the
-            # cosmjs shared-generated-decoder story again
-            encode_msg_withdraw_reward(
-                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
-                F.concat(F.lit("zig1w"),
-                         (F.col("user_id") % 97).cast("string")),
-            ),
-        )
-        deposit_blob = encode_any_msg(
-            F.lit(_MSG_DEPOSIT_URL),
-            encode_msg_deposit(
-                F.col("user_id") % 10000,
-                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
-                F.lit("uzig"),
-                F.floor(F.col("value") * 100).cast("long").cast("string"),
-            ),
-        )
-        redelegate_blob = encode_any_msg(
-            F.lit(_MSG_REDELEGATE_URL),
-            encode_msg_redelegate(
-                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
-                F.concat(F.lit("zigvaloper"),
-                         (F.col("user_id") % 50).cast("string")),
-                F.concat(F.lit("zigvaloper"),
-                         ((F.col("user_id") + 1) % 50).cast("string")),
-                F.lit("uzig"),
-                F.floor(F.col("value") * 100).cast("long").cast("string"),
-            ),
-        )
-        delegate_blob = encode_any_msg(
-            F.lit(_MSG_DELEGATE_URL),
-            encode_msg_delegate(
-                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
-                F.concat(F.lit("zigvaloper"),
-                         (F.col("user_id") % 50).cast("string")),
-                F.lit("uzig"),
-                F.floor(F.col("value") * 100).cast("long").cast("string"),
-            ),
-        )
-        vote_blob = encode_any_msg(
-            F.lit(_MSG_VOTE_URL),
-            encode_msg_vote(
-                F.col("user_id") % 10000,
-                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
-                (F.col("event_id") % 4 + 1).cast("int"),
-            ),
-        )
-        transfer_blob = encode_any_msg(
-            F.lit(_MSG_TRANSFER_URL),
-            encode_msg_transfer(
-                F.lit("transfer"),
-                F.concat(F.lit("channel-"),
-                         (F.col("event_id") % 11).cast("string")),
-                F.lit("uzig"),
-                F.floor(F.col("value") * 100).cast("long").cast("string"),
-                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
-                F.concat(F.lit("cosmos1r"), F.col("user_id").cast("string")),
-                F.col("event_id") % 10000,
-            ),
-        )
-        undelegate_blob = encode_any_msg(
-            F.lit(_MSG_UNDELEGATE_URL),
-            encode_msg_undelegate(
-                F.concat(F.lit("zig1u"), F.col("user_id").cast("string")),
-                F.concat(F.lit("zigvaloper"),
-                         (F.col("user_id") % 50).cast("string")),
-                F.lit("uzig"),
-                F.floor(F.col("value") * 100).cast("long").cast("string"),
-            ),
-        )
-        custom_blob = encode_any_msg(
-            F.lit("/zigchain.custom.v1.MsgCustom"),
+        withdraw_body = proto_encode_hex(pf_str(1, user), pf_str(2, val_a))
+        redelegate_body = proto_encode_hex(
+            pf_str(1, user), pf_str(2, val_a), pf_str(3, val_b),
+            pf_ld(4, coin))
+        setwithdraw_body = proto_encode_hex(
+            pf_str(1, user),
+            pf_str(2, F.concat(F.lit("zig1w"),
+                               (F.col("user_id") % 97).cast("string"))))
+        deposit_body = proto_encode_hex(
+            pf_varint(1, pid), pf_str(2, user), pf_ld(3, coin))
+        # authz Grant{authorization: Any(StakeAuthorization)} — nested
+        # message inside an Any inside the MsgGrant body
+        auth_any = proto_encode_hex(
+            pf_str(1, F.lit(_STAKE_AUTH_URL)),
+            pf_ld(2, proto_encode_hex(pf_varint(4, F.lit(1)))))
+        grant_body = proto_encode_hex(
+            pf_str(1, user), pf_str(2, grantee),
+            pf_ld(3, proto_encode_hex(pf_ld(1, auth_any))))
+        # authz MsgExec carries a REGISTERED message as its payload —
+        # the inner Any is a full MsgSend the decode side must unwrap
+        send_any = proto_encode_hex(
+            pf_str(1, F.lit(_MSG_SEND_URL)), pf_ld(2, send_body))
+        authz_exec_body = proto_encode_hex(
+            pf_str(1, grantee), pf_ld(2, send_any))
+        revoke_body = proto_encode_hex(
+            pf_str(1, user), pf_str(2, grantee),
+            pf_str(3, F.lit(_MSG_SEND_URL)))
+        allow_any = proto_encode_hex(
+            pf_str(1, F.lit(_BASIC_ALLOWANCE_URL)),
+            pf_ld(2, proto_encode_hex(pf_ld(1, coin))))
+        grant_allow_body = proto_encode_hex(
+            pf_str(1, user), pf_str(2, grantee), pf_ld(3, allow_any))
+        revoke_allow_body = proto_encode_hex(
+            pf_str(1, user), pf_str(2, grantee))
+        unjail_body = proto_encode_hex(pf_str(1, val_a))
+        create_val_body = proto_encode_hex(
+            pf_ld(1, desc), pf_str(3, F.lit("1")), pf_str(4, user),
+            pf_str(5, val_a), pf_ld(7, coin))
+        edit_val_body = proto_encode_hex(
+            pf_ld(1, desc), pf_str(2, val_a),
+            pf_str(3, F.lit("0.100000000000000000")), pf_str(4, F.lit("1")))
+        vesting_body = proto_encode_hex(
+            pf_str(1, user), pf_str(2, recipient), pf_ld(3, coin),
+            pf_varint(4, tout))
+        custom_body = F.hex(
             F.concat(F.lit("custom:"), F.col("event_id").cast("string"))
-            .cast("binary"),
-        )
-        # one UNION branch per message type (the Janino 64 KB lesson of
-        # #151): each branch codegens its single encoder alone
-        return (
-            e.filter(kind == 0).select(send_blob.alias("blob"))
-            .unionAll(e.filter(kind == 1).select(exec_blob.alias("blob")))
-            .unionAll(e.filter(kind == 2).select(delegate_blob.alias("blob")))
-            .unionAll(e.filter(kind == 3).select(vote_blob.alias("blob")))
-            .unionAll(e.filter(kind == 4)
-                      .select(transfer_blob.alias("blob")))
-            .unionAll(e.filter(kind == 5)
-                      .select(undelegate_blob.alias("blob")))
-            .unionAll(e.filter(kind == 6)
-                      .select(withdraw_blob.alias("blob")))
-            .unionAll(e.filter(kind == 7)
-                      .select(redelegate_blob.alias("blob")))
-            .unionAll(e.filter(kind == 8)
-                      .select(setwithdraw_blob.alias("blob")))
-            .unionAll(e.filter(kind == 9)
-                      .select(deposit_blob.alias("blob")))
-            .unionAll(e.filter(kind == 10).select(custom_blob.alias("blob")))
-        )
+            .cast("binary"))
 
-    def _unwrap() -> DataFrame:
-        blobs = _shared_stage("registry_decode_blobs", spark, sf_dir, _build)
+        body = (
+            F.when(kind == 0, send_body)
+            .when(kind == 1, exec_body)
+            .when(kind == 2, delegate_body)
+            .when(kind == 3, vote_body)
+            .when(kind == 4, transfer_body)
+            .when(kind == 5, delegate_body)      # undelegate: same wire
+            .when(kind == 6, withdraw_body)      # shape, distinct typeUrl
+            .when(kind == 7, redelegate_body)
+            .when(kind == 8, setwithdraw_body)
+            .when(kind == 9, deposit_body)
+            .when(kind == 10, grant_body)
+            .when(kind == 11, authz_exec_body)
+            .when(kind == 12, revoke_body)
+            .when(kind == 13, grant_allow_body)
+            .when(kind == 14, revoke_allow_body)
+            .when(kind == 15, unjail_body)
+            .when(kind == 16, create_val_body)
+            .when(kind == 17, edit_val_body)
+            .when(kind == 18, vesting_body)
+            .otherwise(custom_body)
+        )
+        url = F.element_at(
+            F.array(*[F.lit(x) for x in _REGISTRY_URLS],
+                    F.lit("/zigchain.custom.v1.MsgCustom")),
+            kind + 1,
+        )
+        any_hex = proto_encode_hex(pf_str(1, url), pf_ld(2, body))
+        return e.select(any_hex.alias("blob_hex"))
+
+    def _any() -> DataFrame:
+        blobs = _shared_stage("registry20_blobs", spark, sf_dir, _build)
         return blobs.select(
-            any_type_url(F.col("blob")).alias("type_url"),
-            any_value(F.col("blob")).alias("body"),
+            proto_scan_hex(F.col("blob_hex"), 2).alias("a"))
+
+    def _walk() -> DataFrame:
+        anyd = _shared_stage("registry20_any", spark, sf_dir, _any)
+        a = F.col("a")
+        return anyd.select(
+            F.decode(F.unhex(a["ld"][1]), "UTF-8").alias("type_url"),
+            proto_scan_hex(a["ld"][2], 8).alias("scan"),
         )
 
-    msgs = _shared_stage("registry_decode_unwrapped", spark, sf_dir, _unwrap)
-    # ONE registered type per union branch: six decoder trees in a
-    # single projection are one >64 KB codegen method Janino rejects,
-    # and CollapseProject merges adjacent selects so a staged select
-    # can't hold them apart — a filter branch per type keeps each body
-    # scan in its own whole-stage unit over the persisted unwrap stage
-    # (which is memory-cached, so the 7 branch scans are cache reads).
+    walked = _shared_stage("registry20_walk", spark, sf_dir, _walk)
+    u = F.col("type_url")
+    s = F.col("scan")
+    ld, vi = s["ld"], s["vi"]
+
+    def _has_ld(*ks):
+        c = F.lit(True)
+        for k in ks:
+            c = c & F.map_contains_key(ld, F.lit(k))
+        return c
+
+    def _has_vi(*ks):
+        c = F.lit(True)
+        for k in ks:
+            c = c & F.map_contains_key(vi, F.lit(k))
+        return c
+
+    def _coin_amt(coin_hex):
+        cs = proto_scan_hex(coin_hex, 2)
+        return F.when(
+            cs["ok"] & F.map_contains_key(cs["ld"], F.lit(2)),
+            F.decode(F.unhex(cs["ld"][2]), "UTF-8").cast("long"),
+        )
+
+    # two-deep unwraps: authz MsgExec.msgs → Any → MsgSend body, and
+    # feegrant allowance → Any → BasicAllowance.spend_limit Coin
+    any2 = proto_scan_hex(ld[2], 2)
+    inner = proto_scan_hex(any2["ld"][2], 4)
+    any3 = proto_scan_hex(ld[3], 2)
+    basic = proto_scan_hex(any3["ld"][2], 2)
+    g = proto_scan_hex(ld[3], 2)          # authz Grant wrapper
+    ga = proto_scan_hex(g["ld"][1], 2)    # Grant.authorization Any
+    d1 = proto_scan_hex(ld[1], 2)         # validator Description
+
+    amt = (
+        F.when(u.isin(_MSG_SEND_URL, _MSG_DELEGATE_URL, _MSG_UNDELEGATE_URL,
+                      _MSG_TRANSFER_URL, _MSG_DEPOSIT_URL, _MSG_VESTING_URL),
+               _coin_amt(ld[3]))
+        .when(u == _MSG_REDELEGATE_URL, _coin_amt(ld[4]))
+        .when(u == _MSG_CREATE_VAL_URL, _coin_amt(ld[7]))
+        .when(u == _MSG_EXEC_URL,
+              F.get_json_object(F.decode(F.unhex(ld[3]), "UTF-8"),
+                                "$.transfer.amount").cast("long"))
+        .when(u == _MSG_AUTHZ_EXEC_URL,
+              F.when(any2["ok"] & inner["ok"]
+                     & (F.decode(F.unhex(any2["ld"][1]), "UTF-8")
+                        == _MSG_SEND_URL),
+                     _coin_amt(inner["ld"][3])))
+        .when(u == _MSG_GRANT_ALLOW_URL,
+              F.when(any3["ok"] & basic["ok"]
+                     & (F.decode(F.unhex(any3["ld"][1]), "UTF-8")
+                        == _BASIC_ALLOWANCE_URL),
+                     _coin_amt(basic["ld"][1])))
+    )
+    pid = F.when(u.isin(_MSG_VOTE_URL, _MSG_DEPOSIT_URL), vi[1])
+    yes = F.when(u == _MSG_VOTE_URL, (vi[3] == 1).cast("long"))
+    timeout = (F.when(u == _MSG_TRANSFER_URL, vi[7])
+               .when(u == _MSG_VESTING_URL, vi[4]))
+
+    shape_ok = (
+        F.when(u.isin(_MSG_SEND_URL, _MSG_DELEGATE_URL,
+                      _MSG_UNDELEGATE_URL, _MSG_EXEC_URL),
+               _has_ld(1, 2, 3))
+        .when(u == _MSG_VOTE_URL, _has_vi(1, 3) & _has_ld(2))
+        .when(u == _MSG_TRANSFER_URL, _has_ld(1, 2, 3, 4, 5) & _has_vi(7))
+        .when(u.isin(_MSG_WITHDRAW_URL, _MSG_SETWITHDRAW_URL,
+                     _MSG_REVOKE_ALLOW_URL),
+              _has_ld(1, 2))
+        .when(u == _MSG_REDELEGATE_URL, _has_ld(1, 2, 3, 4))
+        .when(u == _MSG_DEPOSIT_URL, _has_vi(1) & _has_ld(2, 3))
+        .when(u == _MSG_GRANT_URL,
+              _has_ld(1, 2, 3) & g["ok"] & ga["ok"]
+              & (F.decode(F.unhex(ga["ld"][1]), "UTF-8")
+                 == _STAKE_AUTH_URL))
+        .when(u.isin(_MSG_AUTHZ_EXEC_URL, _MSG_GRANT_ALLOW_URL),
+              _has_ld(1, 2))
+        .when(u == _MSG_REVOKE_URL, _has_ld(1, 2, 3))
+        .when(u == _MSG_UNJAIL_URL, _has_ld(1))
+        .when(u == _MSG_CREATE_VAL_URL,
+              _has_ld(1, 3, 4, 5, 7) & d1["ok"]
+              & F.map_contains_key(d1["ld"], F.lit(1)))
+        .when(u == _MSG_EDIT_VAL_URL,
+              _has_ld(1, 2, 3, 4) & d1["ok"]
+              & F.map_contains_key(d1["ld"], F.lit(1)))
+        .when(u == _MSG_VESTING_URL, _has_ld(1, 2, 3) & _has_vi(4))
+        .otherwise(F.lit(False))
+    )
+    needs_amt = u.isin(
+        _MSG_SEND_URL, _MSG_EXEC_URL, _MSG_DELEGATE_URL, _MSG_TRANSFER_URL,
+        _MSG_UNDELEGATE_URL, _MSG_REDELEGATE_URL, _MSG_DEPOSIT_URL,
+        _MSG_AUTHZ_EXEC_URL, _MSG_GRANT_ALLOW_URL, _MSG_CREATE_VAL_URL,
+        _MSG_VESTING_URL,
+    )
+    decode_ok = s["ok"] & shape_ok & (~needs_amt | amt.isNotNull())
+    status = F.when(decode_ok, F.lit("ok")).otherwise(
+        F.lit("Unknown message type"))
+
     z = F.lit(0).cast("long")
-
-    def _status(d):  # decode OUTCOME, not the url string
-        return F.when(d.isNotNull(), "ok").otherwise("Unknown message type")
-
-    def _out(df, d, amt=None, pid=None, yes=None, timeout=None):
-        return df.select(
-            "type_url",
-            _status(d).alias("status") if d is not None
-            else F.lit("Unknown message type").alias("status"),
-            F.coalesce(amt, z).alias("amt") if amt is not None
-            else z.alias("amt"),
-            F.coalesce(pid, z).alias("pid") if pid is not None
-            else z.alias("pid"),
-            F.coalesce(yes, z).alias("yes") if yes is not None
-            else z.alias("yes"),
-            F.coalesce(timeout, z).alias("timeout") if timeout is not None
-            else z.alias("timeout"),
-        )
-
-    def _typed(url, fields):
-        return msgs.filter(F.col("type_url") == url).select(
-            "type_url", fields(F.col("body")).alias("d")
-        )
-
-    d = F.col("d")
-    send_b = _typed(_MSG_SEND_URL, msg_send_fields)
-    exec_b = _typed(_MSG_EXEC_URL, msg_execute_fields)
-    dele_b = _typed(_MSG_DELEGATE_URL, msg_delegate_fields)
-    vote_b = _typed(_MSG_VOTE_URL, msg_vote_fields)
-    xfer_b = _typed(_MSG_TRANSFER_URL, msg_transfer_fields)
-    undel_b = _typed(_MSG_UNDELEGATE_URL, msg_undelegate_fields)
-    wdrw_b = _typed(_MSG_WITHDRAW_URL, msg_withdraw_reward_fields)
-    redel_b = _typed(_MSG_REDELEGATE_URL, msg_redelegate_fields)
-    # SetWithdrawAddress shares the coin-less two-string scan with the
-    # withdraw body (identical wire shape, distinct typeUrl)
-    setw_b = _typed(_MSG_SETWITHDRAW_URL, msg_withdraw_reward_fields)
-    depo_b = _typed(_MSG_DEPOSIT_URL, msg_deposit_fields)
-    registered = [
-        _MSG_SEND_URL, _MSG_EXEC_URL, _MSG_DELEGATE_URL,
-        _MSG_VOTE_URL, _MSG_TRANSFER_URL, _MSG_UNDELEGATE_URL,
-        _MSG_WITHDRAW_URL, _MSG_REDELEGATE_URL,
-        _MSG_SETWITHDRAW_URL, _MSG_DEPOSIT_URL,
-    ]
-    fallback = msgs.filter(
-        ~F.col("type_url").isin(registered) | F.col("type_url").isNull()
+    decoded = walked.select(
+        u.alias("type_url"),
+        status.alias("status"),
+        F.coalesce(amt, z).alias("amt"),
+        F.coalesce(pid, z).alias("pid"),
+        F.coalesce(yes, z).alias("yes"),
+        F.coalesce(timeout, z).alias("timeout"),
     )
-    routed = (
-        _out(send_b, d, amt=F.col("d.amount").cast("long"))
-        .unionAll(_out(
-            exec_b, d,
-            amt=F.get_json_object(F.col("d.msg_json"), "$.transfer.amount")
-            .cast("long"),
-        ))
-        .unionAll(_out(dele_b, d, amt=F.col("d.amount").cast("long")))
-        .unionAll(_out(
-            vote_b, d,
-            pid=F.col("d.proposal_id"),
-            yes=(F.col("d.option") == 1).cast("long"),
-        ))
-        .unionAll(_out(
-            xfer_b, d,
-            amt=F.col("d.amount").cast("long"),
-            timeout=F.col("d.timeout_timestamp"),
-        ))
-        .unionAll(_out(undel_b, d, amt=F.col("d.amount").cast("long")))
-        .unionAll(_out(wdrw_b, d))
-        .unionAll(_out(redel_b, d, amt=F.col("d.amount").cast("long")))
-        .unionAll(_out(setw_b, d))
-        .unionAll(_out(depo_b, d,
-                       amt=F.col("d.amount").cast("long"),
-                       pid=F.col("d.proposal_id")))
-        .unionAll(_out(fallback, None))
-    )
-    return routed.groupBy("type_url", "status").agg(
+    return decoded.groupBy("type_url", "status").agg(
         F.count("*").alias("n_msgs"),
         F.sum("amt").alias("total_amt"),
         F.sum("pid").alias("sum_pid"),
-        F.sum("yes").cast("long").alias("n_yes"),
+        F.sum("yes").alias("n_yes"),
         F.sum("timeout").alias("sum_timeout"),
     )
-
 
 # --------------------------------------------------------------------------
 # 214. token_flow_graph — sender→recipient transfer matrix from decoded sends
