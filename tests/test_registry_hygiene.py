@@ -1,0 +1,83 @@
+"""Registry ↔ SURVEY ↔ oracle-snapshot hygiene (VERDICT r6 item 8, r7
+item 4). Three invariants, all cheap (no Spark session):
+
+1. Every `@register`-ed operator appears in SURVEY.md §2, and every §2
+   operator is registered — the judge checks §2 line by line, so a
+   drifted inventory misreports coverage in BOTH directions.
+2. Every registered oracle's text matches the committed snapshot
+   (tools/oracle_snapshot.json). The snapshot can only be refreshed by
+   `python tools/oracle_snapshot.py --update`, which re-runs the local
+   correctness gate on exactly the changed operators first — so an
+   oracle-semantics change cannot land without a same-session green
+   gate line (the round-7 msg_registry_decode hole: oracle widened,
+   engine not, driver sample didn't draw it, tree shipped broken).
+3. The snapshot carries no stale names.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from zigchain_indexer_clickhouse_spark.plans import registry
+
+import tools.oracle_snapshot as snap_mod
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _survey_section2_names() -> set[str]:
+    text = open(os.path.join(_REPO, "SURVEY.md")).read()
+    start = text.index("## §2 ")
+    end = text.index("## §3 ")
+    names: set[str] = set()
+    for line in text[start:end].splitlines():
+        if not line.startswith("|"):
+            continue
+        cells = line.split("|")
+        if len(cells) < 3 or not re.match(r"^\s*\d+[a-z]?\s*$", cells[1]):
+            continue
+        # operator cell: backticked name(s) before the first em-dash;
+        # rows like 8 and 32a carry several names separated by " / "
+        head = cells[2].split("—")[0]
+        names.update(re.findall(r"`([a-z0-9_]+)`", head))
+    return names
+
+
+def test_registry_matches_survey_section2():
+    registered = set(registry.queries())
+    survey = _survey_section2_names()
+    missing_from_survey = sorted(registered - survey)
+    missing_from_registry = sorted(survey - registered)
+    assert not missing_from_survey, (
+        f"registered but absent from SURVEY §2: {missing_from_survey}"
+    )
+    assert not missing_from_registry, (
+        f"in SURVEY §2 but not @register-ed: {missing_from_registry}"
+    )
+
+
+def test_oracle_snapshot_is_current():
+    cur = snap_mod.current_hashes()
+    snap = snap_mod.load_snapshot()
+    assert snap, (
+        "tools/oracle_snapshot.json missing — run "
+        "`python tools/oracle_snapshot.py --update`"
+    )
+    drifted = snap_mod.drift(cur, snap)
+    assert not drifted, (
+        f"oracle text changed without re-verification for {drifted}; run "
+        "`python tools/oracle_snapshot.py --update <sf_dir>` (it re-runs "
+        "the local correctness gate on exactly these operators before "
+        "refreshing the snapshot)"
+    )
+
+
+def test_oracle_snapshot_has_no_stale_names():
+    cur = snap_mod.current_hashes()
+    snap = snap_mod.load_snapshot()
+    stale = sorted(set(snap) - set(cur))
+    assert not stale, (
+        f"snapshot names no longer registered: {stale}; run "
+        "`python tools/oracle_snapshot.py --update`"
+    )
