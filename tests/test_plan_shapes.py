@@ -64,6 +64,22 @@ def test_partitioned_write_prunes(spark, sf_dir):
     assert "PartitionFilters" in plan and "height_bucket" in plan
 
 
+def test_blob_decode_at_rest_proves_both_prunings(spark, sf_dir):
+    """The at-rest decode must reach storage with BOTH prunings: the
+    height-range predicate resolved entirely by PartitionFilters (the
+    range aligns with bucket boundaries, so no row-level DataFilter
+    survives) and ReadSchema carrying ONLY the blob column — the five
+    decoy columns written beside it never leave the parquet footer."""
+    df = _QUERIES["blob_decode_at_rest"](spark, sf_dir)
+    df.collect()  # materializes the at-rest layout on first run
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters: [isnotnull(height_bucket" in scan
+    assert "(height_bucket" in scan and ">= 2" in scan and "< 5" in scan
+    assert "DataFilters: []" in scan
+    assert "ReadSchema: struct<blob_hex:string>" in scan
+
+
 def test_range_split_matches_reference_formula(spark, sf_dir):
     """splitRange parity (orchestrator.js:78-92): parts are contiguous,
     cover [s,e] exactly, and sizes differ by at most 1 with remainder

@@ -27,6 +27,8 @@ positional reference (the msg_body_decode 10 MiB codegen lesson).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -825,4 +827,113 @@ def contract_call_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object(F.col("d.msg_json"), "$.transfer.amount")
             .cast("long")
         ).alias("total_transferred"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 23b. blob_decode_at_rest — pushdown-proven decode over height-partitioned
+#      wire blobs at rest
+# --------------------------------------------------------------------------
+_AT_REST_BUCKET = 100  # heights per partition (reference: intDiv 100k)
+
+
+@register(
+    "blob_decode_at_rest",
+    oracle="""
+    SELECT CASE WHEN event_id % 2 = 0 THEN '/cosmos.bank.v1beta1.MsgSend'
+                ELSE '/cosmos.staking.v1beta1.MsgDelegate'
+           END AS type_url,
+           CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+             AS total_amt
+    FROM events
+    WHERE event_id >= 200 AND event_id < 500
+    GROUP BY 1
+    """,
+)
+def blob_decode_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode wire blobs FROM STORAGE with storage-side pruning — the
+    production shape of the whole decode family. Every other decode
+    operator synthesizes blobs in the same plan that decodes them; the
+    reference's real pipeline persists raw txs in ClickHouse first
+    (models.js:118 ``PARTITION BY intDiv(height, 100000)``) and decodes
+    on read (src/utils/decoder.js:12). This operator writes a
+    height-partitioned parquet dataset of Any-wrapped message blobs
+    alongside five OTHER columns, then answers a height-range question
+    by reading it back: Catalyst must prove BOTH prunings —
+    ``PartitionFilters`` drop every directory outside buckets [2,5)
+    (the predicate aligns with bucket boundaries, so NO row-level
+    filter survives), and ``ReadSchema`` carries ONLY the blob column
+    (the decode needs nothing else; the five decoy columns never leave
+    the footer). tests/test_plan_shapes.py asserts both on the
+    physical plan; the oracle recomputes the answer from the source
+    table over the same height range.
+
+    Decode is the r8 walker (constant-size folds): Any unwrap →
+    field-map scan → Coin amount, dispatched on the recovered
+    type_url. At 100 TB the layout IS the optimization: a range query
+    touches height-bucket directories totaling ~range-size bytes, and
+    each scan task reads one column of one row group — the decode
+    cost is proportional to the asked-for range, never the chain."""
+    from zigchain_indexer_clickhouse_spark.sources.scratch import scratch_dir
+
+    path = scratch_dir(spark, "blob_at_rest", sf_dir)
+    if not os.path.isdir(path):  # write once per (application, sf_dir)
+        e = load(spark, sf_dir, "events")
+        coin = proto_encode_hex(
+            pf_str(1, F.lit("uzig")),
+            pf_str(2, F.floor(F.col("value") * 100).cast("long")
+                   .cast("string")),
+        )
+        body = proto_encode_hex(
+            pf_str(1, F.concat(F.lit("zig1u"),
+                               F.col("user_id").cast("string"))),
+            pf_str(2, F.concat(F.lit("zig1r"),
+                               (F.col("user_id") % 53).cast("string"))),
+            pf_ld(3, coin),
+        )
+        url = F.when(F.col("event_id") % 2 == 0, F.lit(_MSG_SEND_URL)) \
+            .otherwise(F.lit(_MSG_DELEGATE_URL))
+        blob = proto_encode_hex(pf_str(1, url), pf_ld(2, body))
+        at_rest = e.select(
+            F.col("event_id").alias("height"),
+            blob.alias("blob_hex"),
+            # decoy columns: the read side must prune ALL of these
+            "user_id", "event_type", "value", "ts",
+        ).withColumn(
+            "height_bucket",
+            F.floor(F.col("height") / _AT_REST_BUCKET).cast("long"),
+        )
+        (
+            at_rest.repartitionByRange("height_bucket")
+            .write.mode("overwrite")
+            .partitionBy("height_bucket")
+            .parquet(path)
+        )
+
+    lo, hi = 200 // _AT_REST_BUCKET, 500 // _AT_REST_BUCKET
+    back = (
+        spark.read.parquet(path)
+        .filter((F.col("height_bucket") >= lo) & (F.col("height_bucket") < hi))
+        .select("blob_hex")
+    )
+    a = proto_scan_hex(F.col("blob_hex"), 2)
+    msgs = back.select(
+        F.decode(F.unhex(a["ld"][1]), "UTF-8").alias("type_url"),
+        proto_scan_hex(a["ld"][2], 3).alias("scan"),
+    )
+    cs = proto_scan_hex(F.col("scan")["ld"][3], 2)
+    return (
+        msgs.select(
+            "type_url",
+            F.when(
+                F.col("scan")["ok"] & cs["ok"],
+                F.decode(F.unhex(cs["ld"][2]), "UTF-8").cast("long"),
+            ).alias("amt"),
+        )
+        .groupBy("type_url")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum("amt").alias("total_amt"),
+        )
     )
