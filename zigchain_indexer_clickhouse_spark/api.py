@@ -402,9 +402,32 @@ class IndexerAPI:
           (the monitor's stuck/stale age arithmetic)
         - ``countIf(cond)`` → ``count_if(cond)``
 
+        Round-8 breadth (the GROUP BY modifier / combinator families
+        the CH-style OLAP surface serves — #83 rollup_totals, #84
+        sum_map_daily):
+
+        - ``GROUP BY k... WITH TOTALS`` → ``GROUP BY GROUPING SETS
+          ((k...), ())`` — the grand-total extra row; rolled-up keys
+          arrive as NULL (Spark grouping-sets idiom) where CH emits
+          type defaults, disambiguate with ``grouping()`` either way
+        - ``GROUP BY ... WITH ROLLUP / WITH CUBE`` pass through (Spark
+          parses the CH postfix spelling natively — parity-tested)
+        - ``sumMap(m)`` / ``minMap(m)`` / ``maxMap(m)`` over a
+          ``Map(String, Int64)`` column (the attrs-map shape this
+          engine serves) → a ``collect_list`` fold merged per key with
+          ``map_zip_with`` — same union-of-keys semantics as CH
+        - ``sumIf/avgIf/minIf/maxIf(x, cond)`` → ``agg(IF(cond, x,
+          NULL))`` (countIf above predates this family)
+        - ``quantile(q)(x)`` → ``percentile_approx(x, q)``;
+          ``quantileExact(q)(x)`` → ``percentile(x, q)`` — the
+          parameterized-aggregate syntax class
+        - ``toStartOfMinute/Hour/Week/Month(x)`` → ``date_trunc`` of
+          the matching unit (extends the toStartOfDay rewrite)
+
         Pure text translation for the constructs the reference uses —
-        not a full CH parser; anything it does not recognize passes
-        through to Spark SQL untouched.
+        not a full CH parser; combinator arguments support one nested
+        paren level (matching the intDiv/argMax patterns); anything it
+        does not recognize passes through to Spark SQL untouched.
         tests/test_ch_dialect_parity.py extracts EVERY SELECT template
         literal actually present in the reference tree and runs it
         through this shim, so dialect drift in a future reference
@@ -453,7 +476,67 @@ class IndexerAPI:
                       r"approx_count_distinct(\1)", out)
         out = _re.sub(r"\btoStartOfDay\(([^()]+)\)",
                       r"date_trunc('DAY', \1)", out)
+        out = _re.sub(
+            r"\btoStartOf(Minute|Hour|Week|Month)\(([^()]+)\)",
+            lambda m: f"date_trunc('{m.group(1).upper()}', {m.group(2)})",
+            out,
+        )
         out = _re.sub(r"\btoDate\(([^()]+)\)", r"CAST(\1 AS DATE)", out)
+        # GROUP BY modifiers: WITH TOTALS is the one Spark lacks as a
+        # postfix — the equivalent is the explicit grouping-sets pair
+        # (all keys, grand total); WITH ROLLUP / WITH CUBE parse as-is.
+        out = _re.sub(
+            r"GROUP\s+BY\s+(.*?)\s+WITH\s+TOTALS",
+            r"GROUP BY GROUPING SETS ((\1), ())",
+            out, flags=_re.IGNORECASE | _re.S,
+        )
+        # -Map combinators over Map(String, Int64) columns: merge the
+        # group's maps per key. map_zip_with unions key sets; the
+        # coalesce pair makes a key missing on either side behave as
+        # CH does (sum treats it as 0, min/max take the present value).
+        _arg = r"([^(),]*(?:\([^()]*\)[^(),]*)*)"
+        _fold = (
+            "aggregate(collect_list({m}), "
+            "cast(map() as map<string,bigint>), "
+            "(acc, x) -> map_zip_with(acc, x, (k, a, b) -> {merge}))"
+        )
+        out = _re.sub(
+            r"\bsumMap\(" + _arg + r"\)",
+            lambda m: _fold.format(
+                m=m.group(1), merge="coalesce(a, 0L) + coalesce(b, 0L)"
+            ),
+            out,
+        )
+        out = _re.sub(
+            r"\bminMap\(" + _arg + r"\)",
+            lambda m: _fold.format(
+                m=m.group(1), merge="least(coalesce(a, b), coalesce(b, a))"
+            ),
+            out,
+        )
+        out = _re.sub(
+            r"\bmaxMap\(" + _arg + r"\)",
+            lambda m: _fold.format(
+                m=m.group(1), merge="greatest(coalesce(a, b), coalesce(b, a))"
+            ),
+            out,
+        )
+        # -If combinator family (countIf handled above: Spark has a
+        # native count_if; the rest become agg over a NULL-masked arg)
+        out = _re.sub(
+            r"\b(sum|avg|min|max)If\(" + _arg + r",\s*" + _arg + r"\)",
+            r"\1(IF(\3, \2, NULL))", out,
+        )
+        # parameterized aggregates: quantileExact BEFORE quantile (the
+        # latter's pattern is a prefix of the former's)
+        out = _re.sub(
+            r"\bquantileExact\(([^()]+)\)\(([^()]+)\)",
+            r"percentile(\2, \1)", out,
+        )
+        out = _re.sub(
+            r"\bquantile\(([^()]+)\)\(([^()]+)\)",
+            r"percentile_approx(\2, \1)", out,
+        )
         return out
 
     def ch_query(self, sql: str) -> DataFrame:
