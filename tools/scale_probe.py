@@ -153,8 +153,13 @@ def build_scaled(dst: str, replicas: int) -> None:
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALE.json"
+    args = sys.argv[1:]
+    merge_tier = "--merge-tier" in args
+    args = [a for a in args if a != "--merge-tier"]
+    replicas = int(args[0]) if args else 10
+    out = args[1] if len(args) > 1 else "BENCH_SCALE.json"
+    only = args[2:]  # optional query-name filter (the 30-100x tier
+    # re-probes just the ops whose 10x factor exceeded 3x)
     from zigchain_indexer_clickhouse_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
@@ -166,8 +171,12 @@ def main() -> None:
 
     spark = get_spark("scale-probe")
     qs = entry_mod.queries()
+    probe_list = [q for q in QUERIES if not only or q in only]
+    for q in only:
+        if q not in QUERIES:
+            probe_list.append(q)
     report = {"replicas": replicas, "base_sf_dir": SRC, "queries": {}}
-    for name in QUERIES:
+    for name in probe_list:
         # warm up BOTH datasets before timing: a base-only warmup would
         # leave eviction-managed _shared_stage caches populated for the
         # base run and cold for the scaled run, inflating scale_factor
@@ -236,6 +245,12 @@ def main() -> None:
         if worst <= replicas * 1.2 and all(v <= 1.2 for v in superlin.values())
         else "SUPERLINEAR"
     )
+    if merge_tier and os.path.exists(out):
+        # append this tier to the existing report instead of replacing
+        # the canonical 10x sweep
+        base = json.load(open(out))
+        base[f"tier_{replicas}x"] = report
+        report = base
     with open(out, "w", encoding="utf-8") as f:
         json.dump(report, f, indent=2)
     print(json.dumps({"worst_scale_factor": worst, "out": out}))

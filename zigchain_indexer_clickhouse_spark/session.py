@@ -65,6 +65,13 @@ def get_spark(app_name: str = "zigchain-indexer-spark", master: str | None = Non
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # last-wins overrides for harness probes (tools/resilience_probe.py
+    # squeezes memory + forces spill paths this way): semicolon-
+    # separated k=v pairs, applied after every default above
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, (p.strip() for p in extra.split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
     if master is not None:
         builder = builder.master(master)
     elif "SPARK_MASTER" not in os.environ:
