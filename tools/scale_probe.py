@@ -247,9 +247,23 @@ def main() -> None:
     )
     if merge_tier and os.path.exists(out):
         # append this tier to the existing report instead of replacing
-        # the canonical 10x sweep
+        # the canonical 10x sweep; re-probes of a subset deep-merge
+        # into the tier's query map
         base = json.load(open(out))
-        base[f"tier_{replicas}x"] = report
+        key = f"tier_{replicas}x"
+        if key in base:
+            merged = base[key]
+            merged["queries"].update(report["queries"])
+            for k in ("worst_scale_factor_linear_output",
+                      "time_per_output_row_factor_superlinear_output",
+                      "verdict"):
+                merged.pop(k, None)
+            linear = {n: q for n, q in merged["queries"].items()
+                      if q.get("output_growth", 1.0) <= replicas}
+            merged["worst_scale_factor_linear_output"] = max(
+                q["scale_factor"] for q in linear.values())
+        else:
+            base[key] = report
         report = base
     with open(out, "w", encoding="utf-8") as f:
         json.dump(report, f, indent=2)
