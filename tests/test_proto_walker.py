@@ -134,3 +134,162 @@ def test_encoder_raises_on_field_number_above_15(spark):
 def test_encoder_raises_on_varint_overflow(spark):
     with pytest.raises(Exception, match="2-byte varint"):
         _encode_one(spark, pf_varint(1, F.lit(16384)))
+
+
+# ---------------------------------------------------------------------------
+# Agreement with the per-type positional scanners (VERDICT r7 item 2):
+# both decode paths must recover identical fields from the same wire
+# bytes — the walker is the breadth/interactive path, the scanners are
+# the codegen volume path (PLANS.md r8 walker-migration row), and any
+# divergence between them is a wire-format bug in one of the two.
+# ---------------------------------------------------------------------------
+
+def _walk_fields(spark, body_hex):
+    s = _scan_one(spark, body_hex, 8)
+    assert s["ok"] is True
+    ld = {k: bytes.fromhex(v).decode() for k, v in s["ld"].items()}
+    return ld, dict(s["vi"])
+
+
+def test_walker_agrees_with_msg_send_scanner(spark):
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        encode_msg_send,
+        msg_send_fields,
+    )
+
+    row = spark.range(1).select(
+        encode_msg_send(
+            F.lit("zig1ufrom"), F.lit("zig1cto"), F.lit("uzig"),
+            F.lit("123456"),
+        ).alias("b")
+    ).select(
+        msg_send_fields(F.col("b")).alias("d"), F.hex(F.col("b")).alias("h")
+    ).collect()[0]
+    pos = row["d"].asDict()
+    ld, _vi = _walk_fields(spark, row["h"])
+    coin = _scan_one(spark, _scan_one(spark, row["h"], 8)["ld"][3], 2)
+    assert ld[1] == pos["from_address"]
+    assert ld[2] == pos["to_address"]
+    assert bytes.fromhex(coin["ld"][1]).decode() == pos["denom"]
+    assert bytes.fromhex(coin["ld"][2]).decode() == pos["amount"]
+
+
+def test_walker_agrees_with_msg_vote_scanner(spark):
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        encode_msg_vote,
+        msg_vote_fields,
+    )
+
+    row = spark.range(1).select(
+        encode_msg_vote(F.lit(4242), F.lit("zig1voter"), F.lit(3)).alias("b")
+    ).select(
+        msg_vote_fields(F.col("b")).alias("d"), F.hex(F.col("b")).alias("h")
+    ).collect()[0]
+    pos = row["d"].asDict()
+    ld, vi = _walk_fields(spark, row["h"])
+    assert vi[1] == pos["proposal_id"] == 4242
+    assert ld[2] == pos["voter"]
+    assert vi[3] == pos["option"] == 3
+
+
+def test_walker_agrees_with_msg_transfer_scanner(spark):
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        encode_msg_transfer,
+        msg_transfer_fields,
+    )
+
+    row = spark.range(1).select(
+        encode_msg_transfer(
+            F.lit("transfer"), F.lit("channel-7"), F.lit("uzig"),
+            F.lit("999"), F.lit("zig1sender"), F.lit("cosmos1recv"),
+            F.lit(12345),
+        ).alias("b")
+    ).select(
+        msg_transfer_fields(F.col("b")).alias("d"),
+        F.hex(F.col("b")).alias("h"),
+    ).collect()[0]
+    pos = row["d"].asDict()
+    s = _scan_one(spark, row["h"], 8)
+    assert s["ok"] is True
+    assert bytes.fromhex(s["ld"][1]).decode() == pos["source_port"]
+    assert bytes.fromhex(s["ld"][2]).decode() == pos["source_channel"]
+    assert bytes.fromhex(s["ld"][4]).decode() == pos["sender"]
+    assert bytes.fromhex(s["ld"][5]).decode() == pos["receiver"]
+    assert s["vi"][7] == pos["timeout_timestamp"] == 12345
+    coin = _scan_one(spark, s["ld"][3], 2)
+    assert bytes.fromhex(coin["ld"][2]).decode() == pos["amount"]
+
+
+def test_walker_agrees_with_msg_redelegate_scanner(spark):
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        encode_msg_redelegate,
+        msg_redelegate_fields,
+    )
+
+    row = spark.range(1).select(
+        encode_msg_redelegate(
+            F.lit("zig1d"), F.lit("zigvaloper1"), F.lit("zigvaloper2"),
+            F.lit("uzig"), F.lit("777"),
+        ).alias("b")
+    ).select(
+        msg_redelegate_fields(F.col("b")).alias("d"),
+        F.hex(F.col("b")).alias("h"),
+    ).collect()[0]
+    pos = row["d"].asDict()
+    s = _scan_one(spark, row["h"], 8)
+    assert s["ok"] is True
+    assert bytes.fromhex(s["ld"][1]).decode() == pos["delegator_address"]
+    assert bytes.fromhex(s["ld"][2]).decode() == pos["validator_src_address"]
+    assert bytes.fromhex(s["ld"][3]).decode() == pos["validator_dst_address"]
+    coin = _scan_one(spark, s["ld"][4], 2)
+    assert bytes.fromhex(coin["ld"][2]).decode() == pos["amount"]
+
+
+# ---------------------------------------------------------------------------
+# Property: encode→scan is the identity over random field sets inside
+# the walker's documented range (fields ≤ 15, varints < 16384, any
+# payload bytes) — hypothesis drives the shapes, Spark does the work.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_field = st.one_of(
+    st.tuples(st.just("vi"), st.integers(min_value=0, max_value=16383)),
+    st.tuples(st.just("str"), st.text(
+        alphabet=st.characters(codec="ascii", min_codepoint=32,
+                               max_codepoint=126),
+        max_size=40,
+    )),
+    st.tuples(st.just("ld"), st.binary(max_size=40)),
+)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.dictionaries(st.integers(min_value=1, max_value=15), _field,
+                       min_size=0, max_size=8))
+def test_property_roundtrip_random_field_sets(spark, fields):
+    parts = []
+    for fno in sorted(fields):
+        kind, v = fields[fno]
+        if kind == "vi":
+            parts.append(pf_varint(fno, F.lit(v)))
+        elif kind == "str":
+            parts.append(pf_str(fno, F.lit(v)))
+        else:
+            parts.append(pf_ld(fno, F.lit(v.hex().upper())))
+    h = _encode_one(spark, *parts) if parts else ""
+    s = _scan_one(spark, h)
+    assert s["ok"] is True
+    got_vi = dict(s["vi"])
+    got_ld = dict(s["ld"])
+    for fno in sorted(fields):
+        kind, v = fields[fno]
+        if kind == "vi":
+            assert got_vi[fno] == v
+        elif kind == "str":
+            assert bytes.fromhex(got_ld[fno]).decode() == v
+        else:
+            assert got_ld[fno] == v.hex().upper()
+    assert len(got_vi) + len(got_ld) == len(fields)
