@@ -125,8 +125,8 @@ def test_vote_and_delegate_fail_closed_not_shifted(spark):
 
 
 def test_registry_decode_populations_and_outcome_dispatch(spark):
-    """msg_registry_decode at sf0.001: twenty (type_url, status) rows
-    (nineteen registered types + fallback); only the unregistered
+    """msg_registry_decode at sf0.001: twenty-six (type_url, status)
+    rows (twenty-five registered types + fallback); only the unregistered
     custom type takes the fallback; decoded aggregates are all
     non-trivial (amounts from eight embedded-Coin paths — including
     the TWO-deep Any unwraps inside authz MsgExec and feegrant
@@ -140,7 +140,7 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         r["type_url"]: r
         for r in registry.queries()["msg_registry_decode"](spark, SF).collect()
     }
-    assert len(rows) == 20
+    assert len(rows) == 26
     assert rows["/zigchain.custom.v1.MsgCustom"]["status"] == (
         "Unknown message type"
     )
@@ -156,6 +156,10 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         "/cosmos.feegrant.v1beta1.MsgGrantAllowance",
         "/cosmos.staking.v1beta1.MsgCreateValidator",
         "/cosmos.vesting.v1beta1.MsgCreateVestingAccount",
+        "/cosmos.bank.v1beta1.MsgMultiSend",
+        "/cosmos.staking.v1beta1.MsgCancelUnbondingDelegation",
+        "/cosmos.distribution.v1beta1.MsgFundCommunityPool",
+        "/cosmos.gov.v1beta1.MsgSubmitProposal",
     )
     for url in amt_urls:
         assert rows[url]["status"] == "ok"
@@ -168,6 +172,8 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         "/cosmos.feegrant.v1beta1.MsgRevokeAllowance",
         "/cosmos.slashing.v1beta1.MsgUnjail",
         "/cosmos.staking.v1beta1.MsgEditValidator",
+        "/cosmos.distribution.v1beta1.MsgWithdrawValidatorCommission",
+        "/cosmos.gov.v1beta1.MsgVoteWeighted",
     )
     for url in coinless:
         assert rows[url]["status"] == "ok"
@@ -181,3 +187,7 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
     assert xfer["sum_timeout"] > 0
     vest = rows["/cosmos.vesting.v1beta1.MsgCreateVestingAccount"]
     assert vest["sum_timeout"] > 0
+    vw = rows["/cosmos.gov.v1beta1.MsgVoteWeighted"]
+    assert vw["sum_pid"] > 0 and 0 < vw["n_yes"] < vw["n_msgs"]
+    cu = rows["/cosmos.staking.v1beta1.MsgCancelUnbondingDelegation"]
+    assert cu["sum_timeout"] > 0  # decoded creation_height varints

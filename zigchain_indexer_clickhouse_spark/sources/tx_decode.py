@@ -336,11 +336,22 @@ _MSG_EDIT_VAL_URL = "/cosmos.staking.v1beta1.MsgEditValidator"
 _MSG_VESTING_URL = "/cosmos.vesting.v1beta1.MsgCreateVestingAccount"
 _BASIC_ALLOWANCE_URL = "/cosmos.feegrant.v1beta1.BasicAllowance"
 _STAKE_AUTH_URL = "/cosmos.staking.v1beta1.StakeAuthorization"
+_MSG_MULTISEND_URL = "/cosmos.bank.v1beta1.MsgMultiSend"
+_MSG_CANCEL_UNBOND_URL = "/cosmos.staking.v1beta1.MsgCancelUnbondingDelegation"
+_MSG_FUND_POOL_URL = "/cosmos.distribution.v1beta1.MsgFundCommunityPool"
+_MSG_WITHDRAW_COMM_URL = (
+    "/cosmos.distribution.v1beta1.MsgWithdrawValidatorCommission")
+_MSG_VOTE_WEIGHTED_URL = "/cosmos.gov.v1beta1.MsgVoteWeighted"
+_MSG_SUBMIT_PROPOSAL_URL = "/cosmos.gov.v1beta1.MsgSubmitProposal"
+_TEXT_PROPOSAL_URL = "/cosmos.gov.v1beta1.TextProposal"
 
-# event_id % 20 → registered typeUrl (19 types + the unknown fallback),
-# in cosmjs defaultRegistryTypes families: bank, wasm, staking ×5
-# (delegate/undelegate/redelegate/create/edit), gov ×2, IBC transfer,
-# distribution ×2, authz ×3, feegrant ×2, slashing, vesting.
+# event_id % 26 → registered typeUrl (25 types + the unknown fallback),
+# in cosmjs defaultRegistryTypes families: bank ×2 (send/multi-send),
+# wasm, staking ×6 (delegate/undelegate/redelegate/create/edit/
+# cancel-unbonding), gov ×4 (vote/deposit/vote-weighted/
+# submit-proposal), IBC transfer, distribution ×4 (withdraw/
+# set-withdraw/fund-pool/withdraw-commission), authz ×3, feegrant ×2,
+# slashing, vesting.
 _REGISTRY_URLS = [
     _MSG_SEND_URL, _MSG_EXEC_URL, _MSG_DELEGATE_URL, _MSG_VOTE_URL,
     _MSG_TRANSFER_URL, _MSG_UNDELEGATE_URL, _MSG_WITHDRAW_URL,
@@ -348,6 +359,9 @@ _REGISTRY_URLS = [
     _MSG_GRANT_URL, _MSG_AUTHZ_EXEC_URL, _MSG_REVOKE_URL,
     _MSG_GRANT_ALLOW_URL, _MSG_REVOKE_ALLOW_URL, _MSG_UNJAIL_URL,
     _MSG_CREATE_VAL_URL, _MSG_EDIT_VAL_URL, _MSG_VESTING_URL,
+    _MSG_MULTISEND_URL, _MSG_CANCEL_UNBOND_URL, _MSG_FUND_POOL_URL,
+    _MSG_WITHDRAW_COMM_URL, _MSG_VOTE_WEIGHTED_URL,
+    _MSG_SUBMIT_PROPOSAL_URL,
 ]
 
 _REGISTRY_ORACLE_CASE = "\n".join(
@@ -363,7 +377,7 @@ _REGISTRY_ORACLE_CASE = "\n".join(
     oracle=f"""
     WITH m AS (
       SELECT event_id, user_id, value,
-             CASE CAST(event_id % 20 AS INTEGER)
+             CASE CAST(event_id % 26 AS INTEGER)
 {_REGISTRY_ORACLE_CASE}
                ELSE '/zigchain.custom.v1.MsgCustom' END AS type_url
       FROM events)
@@ -371,16 +385,18 @@ _REGISTRY_ORACLE_CASE = "\n".join(
            CASE WHEN type_url = '/zigchain.custom.v1.MsgCustom'
                 THEN 'Unknown message type' ELSE 'ok' END AS status,
            CAST(COUNT(*) AS BIGINT) AS n_msgs,
-           CAST(SUM(CASE WHEN event_id % 20 IN
-                           (0, 1, 2, 4, 5, 7, 9, 11, 13, 16, 18)
+           CAST(SUM(CASE WHEN event_id % 26 IN
+                           (0, 1, 2, 4, 5, 7, 9, 11, 13, 16, 18,
+                            19, 20, 21, 24)
                          THEN CAST(floor(value * 100) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS total_amt,
-           CAST(SUM(CASE WHEN event_id % 20 IN (3, 9)
+           CAST(SUM(CASE WHEN event_id % 26 IN (3, 9, 23)
                          THEN user_id % 10000 ELSE 0 END) AS BIGINT)
              AS sum_pid,
-           CAST(SUM(CASE WHEN event_id % 20 = 3 AND user_id % 4 = 0
+           CAST(SUM(CASE WHEN event_id % 26 IN (3, 23)
+                          AND user_id % 4 = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_yes,
-           CAST(SUM(CASE WHEN event_id % 20 IN (4, 18)
+           CAST(SUM(CASE WHEN event_id % 26 IN (4, 18, 20)
                          THEN event_id % 10000 ELSE 0 END) AS BIGINT)
              AS sum_timeout
     FROM m GROUP BY 1, 2
@@ -388,12 +404,16 @@ _REGISTRY_ORACLE_CASE = "\n".join(
 )
 def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registry dispatch at cosmjs ``defaultRegistryTypes`` breadth
-    (#151 grown 2 → 4 → 6 → 8 → 10 → NINETEEN decoded types): bank
-    MsgSend; wasm MsgExecuteContract; the five staking bodies
-    (Delegate / Undelegate / BeginRedelegate / CreateValidator /
-    EditValidator); gov MsgVote + MsgDeposit; IBC MsgTransfer;
-    distribution MsgWithdrawDelegatorReward + MsgSetWithdrawAddress;
-    authz MsgGrant / MsgExec / MsgRevoke; feegrant MsgGrantAllowance /
+    (#151 grown 2 → 4 → 6 → 8 → 10 → 19 → TWENTY-FIVE decoded types):
+    bank MsgSend + MsgMultiSend (repeated Input/Output wrappers); wasm
+    MsgExecuteContract; the six staking bodies (Delegate / Undelegate /
+    BeginRedelegate / CreateValidator / EditValidator /
+    CancelUnbondingDelegation); gov MsgVote + MsgDeposit +
+    MsgVoteWeighted (nested WeightedVoteOption) + MsgSubmitProposal
+    (content Any → TextProposal); IBC MsgTransfer; distribution
+    MsgWithdrawDelegatorReward + MsgSetWithdrawAddress +
+    MsgFundCommunityPool + MsgWithdrawValidatorCommission; authz
+    MsgGrant / MsgExec / MsgRevoke; feegrant MsgGrantAllowance /
     MsgRevokeAllowance; slashing MsgUnjail; vesting
     MsgCreateVestingAccount — plus the unregistered-type fallback. The
     reference registers all defaultRegistryTypes (src/utils/decoder.js:9)
@@ -407,10 +427,11 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/protobuf.py proto_encode_hex / proto_scan_hex): ONE
     constant-size fold synthesizes each wire body, one unwraps the
     Any, one walks every top-level field into (field_no → payload)
-    maps, and the 19-type dispatch is plain map lookups keyed by
-    typeUrl. Plan size is independent of registry breadth — adding a
-    20th type adds one CASE branch, not another compile unit — which
-    is the property that actually survives cosmjs' ~50-type registry.
+    maps, and the 25-type dispatch is plain map lookups keyed by
+    typeUrl. Plan size is independent of registry breadth — the r8
+    19 → 25 widening added six CASE branches and zero compile units —
+    which is the property that actually survives cosmjs' ~50-type
+    registry.
 
     Dispatch keys on the DECODE OUTCOME: ``status`` is 'ok' only when
     the walker lands exactly on the end of the body AND the per-type
@@ -436,7 +457,7 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build() -> DataFrame:
         e = load(spark, sf_dir, "events")
-        kind = (F.col("event_id") % 20).cast("int")
+        kind = (F.col("event_id") % 26).cast("int")
         uid = F.col("user_id").cast("string")
         user = F.concat(F.lit("zig1u"), uid)
         recipient = F.concat(F.lit("zig1c"), uid)
@@ -519,6 +540,35 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         vesting_body = proto_encode_hex(
             pf_str(1, user), pf_str(2, recipient), pf_ld(3, coin),
             pf_varint(4, tout))
+        # MsgMultiSend with ONE Input and ONE Output (repeated fields
+        # stay walker-legal as long as each field number appears once)
+        multisend_body = proto_encode_hex(
+            pf_ld(1, proto_encode_hex(pf_str(1, user), pf_ld(2, coin))),
+            pf_ld(2, proto_encode_hex(pf_str(1, recipient),
+                                      pf_ld(2, coin))),
+        )
+        cancel_unbond_body = proto_encode_hex(
+            pf_str(1, user), pf_str(2, val_a), pf_ld(3, coin),
+            pf_varint(4, tout))   # creation_height
+        fund_pool_body = proto_encode_hex(
+            pf_ld(1, coin), pf_str(2, user))
+        withdraw_comm_body = proto_encode_hex(pf_str(1, val_a))
+        vote_weighted_body = proto_encode_hex(
+            pf_varint(1, pid), pf_str(2, user),
+            pf_ld(3, proto_encode_hex(
+                pf_varint(1, F.col("user_id") % 4 + 1),
+                pf_str(2, F.lit("1.000000000000000000")))),
+        )
+        text_prop_any = proto_encode_hex(
+            pf_str(1, F.lit(_TEXT_PROPOSAL_URL)),
+            pf_ld(2, proto_encode_hex(
+                pf_str(1, F.concat(F.lit("prop-"),
+                                   (F.col("event_id") % 100)
+                                   .cast("string"))),
+                pf_str(2, F.lit("synthetic text proposal")))),
+        )
+        submit_prop_body = proto_encode_hex(
+            pf_ld(1, text_prop_any), pf_ld(2, coin), pf_str(3, user))
         custom_body = F.hex(
             F.concat(F.lit("custom:"), F.col("event_id").cast("string"))
             .cast("binary"))
@@ -543,6 +593,12 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(kind == 16, create_val_body)
             .when(kind == 17, edit_val_body)
             .when(kind == 18, vesting_body)
+            .when(kind == 19, multisend_body)
+            .when(kind == 20, cancel_unbond_body)
+            .when(kind == 21, fund_pool_body)
+            .when(kind == 22, withdraw_comm_body)
+            .when(kind == 23, vote_weighted_body)
+            .when(kind == 24, submit_prop_body)
             .otherwise(custom_body)
         )
         url = F.element_at(
@@ -600,6 +656,9 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = proto_scan_hex(ld[3], 2)          # authz Grant wrapper
         ga = proto_scan_hex(g["ld"][1], 2)    # Grant.authorization Any
         d1 = proto_scan_hex(ld[1], 2)         # validator Description
+        outp = proto_scan_hex(ld[2], 2)       # MsgMultiSend.outputs[0]
+        wopt = proto_scan_hex(ld[3], 2)       # WeightedVoteOption
+        prop = proto_scan_hex(ld[1], 2)       # SubmitProposal content Any
 
         amt = (
             F.when(u.isin(_MSG_SEND_URL, _MSG_DELEGATE_URL, _MSG_UNDELEGATE_URL,
@@ -620,11 +679,23 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                          & (F.decode(F.unhex(any3["ld"][1]), "UTF-8")
                             == _BASIC_ALLOWANCE_URL),
                          _coin_amt(basic["ld"][1])))
+            .when(u.isin(_MSG_CANCEL_UNBOND_URL, _MSG_FUND_POOL_URL),
+                  _coin_amt(F.when(u == _MSG_FUND_POOL_URL, ld[1])
+                            .otherwise(ld[3])))
+            .when(u == _MSG_MULTISEND_URL,
+                  F.when(outp["ok"], _coin_amt(outp["ld"][2])))
+            .when(u == _MSG_SUBMIT_PROPOSAL_URL, _coin_amt(ld[2]))
         )
-        pid = F.when(u.isin(_MSG_VOTE_URL, _MSG_DEPOSIT_URL), vi[1])
-        yes = F.when(u == _MSG_VOTE_URL, (vi[3] == 1).cast("long"))
+        pid = F.when(
+            u.isin(_MSG_VOTE_URL, _MSG_DEPOSIT_URL, _MSG_VOTE_WEIGHTED_URL),
+            vi[1])
+        yes = (F.when(u == _MSG_VOTE_URL, (vi[3] == 1).cast("long"))
+               .when(u == _MSG_VOTE_WEIGHTED_URL,
+                     F.when(wopt["ok"],
+                            (wopt["vi"][1] == 1).cast("long"))))
         timeout = (F.when(u == _MSG_TRANSFER_URL, vi[7])
-                   .when(u == _MSG_VESTING_URL, vi[4]))
+                   .when(u == _MSG_VESTING_URL, vi[4])
+                   .when(u == _MSG_CANCEL_UNBOND_URL, vi[4]))
 
         shape_ok = (
             F.when(u.isin(_MSG_SEND_URL, _MSG_DELEGATE_URL,
@@ -652,13 +723,28 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                   _has_ld(1, 2, 3, 4) & d1["ok"]
                   & F.map_contains_key(d1["ld"], F.lit(1)))
             .when(u == _MSG_VESTING_URL, _has_ld(1, 2, 3) & _has_vi(4))
+            .when(u == _MSG_MULTISEND_URL,
+                  _has_ld(1, 2) & outp["ok"]
+                  & F.map_contains_key(outp["ld"], F.lit(1)))
+            .when(u == _MSG_CANCEL_UNBOND_URL,
+                  _has_ld(1, 2, 3) & _has_vi(4))
+            .when(u == _MSG_FUND_POOL_URL, _has_ld(1, 2))
+            .when(u == _MSG_WITHDRAW_COMM_URL, _has_ld(1))
+            .when(u == _MSG_VOTE_WEIGHTED_URL,
+                  _has_vi(1) & _has_ld(2, 3) & wopt["ok"]
+                  & F.map_contains_key(wopt["ld"], F.lit(2)))
+            .when(u == _MSG_SUBMIT_PROPOSAL_URL,
+                  _has_ld(1, 2, 3) & prop["ok"]
+                  & (F.decode(F.unhex(prop["ld"][1]), "UTF-8")
+                     == _TEXT_PROPOSAL_URL))
             .otherwise(F.lit(False))
         )
         needs_amt = u.isin(
             _MSG_SEND_URL, _MSG_EXEC_URL, _MSG_DELEGATE_URL, _MSG_TRANSFER_URL,
             _MSG_UNDELEGATE_URL, _MSG_REDELEGATE_URL, _MSG_DEPOSIT_URL,
             _MSG_AUTHZ_EXEC_URL, _MSG_GRANT_ALLOW_URL, _MSG_CREATE_VAL_URL,
-            _MSG_VESTING_URL,
+            _MSG_VESTING_URL, _MSG_MULTISEND_URL, _MSG_CANCEL_UNBOND_URL,
+            _MSG_FUND_POOL_URL, _MSG_SUBMIT_PROPOSAL_URL,
         )
         # layered selects: the amt CASE (the largest subtree) appears
         # ONCE in the first projection; the status branch consumes it
