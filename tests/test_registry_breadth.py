@@ -125,8 +125,8 @@ def test_vote_and_delegate_fail_closed_not_shifted(spark):
 
 
 def test_registry_decode_populations_and_outcome_dispatch(spark):
-    """msg_registry_decode at sf0.001: twenty-six (type_url, status)
-    rows (twenty-five registered types + fallback); only the unregistered
+    """msg_registry_decode at sf0.001: thirty-two (type_url, status)
+    rows (thirty-one registered types + fallback); only the unregistered
     custom type takes the fallback; decoded aggregates are all
     non-trivial (amounts from eight embedded-Coin paths — including
     the TWO-deep Any unwraps inside authz MsgExec and feegrant
@@ -140,7 +140,7 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         r["type_url"]: r
         for r in registry.queries()["msg_registry_decode"](spark, SF).collect()
     }
-    assert len(rows) == 26
+    assert len(rows) == 32
     assert rows["/zigchain.custom.v1.MsgCustom"]["status"] == (
         "Unknown message type"
     )
@@ -160,6 +160,9 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         "/cosmos.staking.v1beta1.MsgCancelUnbondingDelegation",
         "/cosmos.distribution.v1beta1.MsgFundCommunityPool",
         "/cosmos.gov.v1beta1.MsgSubmitProposal",
+        "/cosmos.vesting.v1beta1.MsgCreatePermanentLockedAccount",
+        "/cosmos.vesting.v1beta1.MsgCreatePeriodicVestingAccount",
+        "/cosmwasm.wasm.v1.MsgInstantiateContract",
     )
     for url in amt_urls:
         assert rows[url]["status"] == "ok"
@@ -174,6 +177,9 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         "/cosmos.staking.v1beta1.MsgEditValidator",
         "/cosmos.distribution.v1beta1.MsgWithdrawValidatorCommission",
         "/cosmos.gov.v1beta1.MsgVoteWeighted",
+        "/ibc.core.client.v1.MsgUpdateClient",
+        "/ibc.core.channel.v1.MsgRecvPacket",
+        "/cosmos.crisis.v1beta1.MsgVerifyInvariant",
     )
     for url in coinless:
         assert rows[url]["status"] == "ok"
@@ -191,3 +197,7 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
     assert vw["sum_pid"] > 0 and 0 < vw["n_yes"] < vw["n_msgs"]
     cu = rows["/cosmos.staking.v1beta1.MsgCancelUnbondingDelegation"]
     assert cu["sum_timeout"] > 0  # decoded creation_height varints
+    rp = rows["/ibc.core.channel.v1.MsgRecvPacket"]
+    assert rp["sum_timeout"] > 0  # timeout recovered from NESTED Packet
+    pv = rows["/cosmos.vesting.v1beta1.MsgCreatePeriodicVestingAccount"]
+    assert pv["sum_timeout"] > 0  # start_time varints

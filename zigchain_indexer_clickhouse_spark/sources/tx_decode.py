@@ -344,14 +344,24 @@ _MSG_WITHDRAW_COMM_URL = (
 _MSG_VOTE_WEIGHTED_URL = "/cosmos.gov.v1beta1.MsgVoteWeighted"
 _MSG_SUBMIT_PROPOSAL_URL = "/cosmos.gov.v1beta1.MsgSubmitProposal"
 _TEXT_PROPOSAL_URL = "/cosmos.gov.v1beta1.TextProposal"
+_MSG_UPDATE_CLIENT_URL = "/ibc.core.client.v1.MsgUpdateClient"
+_TM_HEADER_URL = "/ibc.lightclients.tendermint.v1.Header"
+_MSG_RECV_PACKET_URL = "/ibc.core.channel.v1.MsgRecvPacket"
+_MSG_PERM_LOCKED_URL = (
+    "/cosmos.vesting.v1beta1.MsgCreatePermanentLockedAccount")
+_MSG_PERIODIC_VEST_URL = (
+    "/cosmos.vesting.v1beta1.MsgCreatePeriodicVestingAccount")
+_MSG_INSTANTIATE_URL = "/cosmwasm.wasm.v1.MsgInstantiateContract"
+_MSG_VERIFY_INVARIANT_URL = "/cosmos.crisis.v1beta1.MsgVerifyInvariant"
 
-# event_id % 26 → registered typeUrl (25 types + the unknown fallback),
+# event_id % 32 → registered typeUrl (31 types + the unknown fallback),
 # in cosmjs defaultRegistryTypes families: bank ×2 (send/multi-send),
-# wasm, staking ×6 (delegate/undelegate/redelegate/create/edit/
-# cancel-unbonding), gov ×4 (vote/deposit/vote-weighted/
-# submit-proposal), IBC transfer, distribution ×4 (withdraw/
-# set-withdraw/fund-pool/withdraw-commission), authz ×3, feegrant ×2,
-# slashing, vesting.
+# wasm ×2 (execute/instantiate), staking ×6 (delegate/undelegate/
+# redelegate/create/edit/cancel-unbonding), gov ×4 (vote/deposit/
+# vote-weighted/submit-proposal), IBC ×3 (transfer/update-client/
+# recv-packet), distribution ×4 (withdraw/set-withdraw/fund-pool/
+# withdraw-commission), authz ×3, feegrant ×2, slashing, crisis,
+# vesting ×3 (account/permanent-locked/periodic).
 _REGISTRY_URLS = [
     _MSG_SEND_URL, _MSG_EXEC_URL, _MSG_DELEGATE_URL, _MSG_VOTE_URL,
     _MSG_TRANSFER_URL, _MSG_UNDELEGATE_URL, _MSG_WITHDRAW_URL,
@@ -361,7 +371,9 @@ _REGISTRY_URLS = [
     _MSG_CREATE_VAL_URL, _MSG_EDIT_VAL_URL, _MSG_VESTING_URL,
     _MSG_MULTISEND_URL, _MSG_CANCEL_UNBOND_URL, _MSG_FUND_POOL_URL,
     _MSG_WITHDRAW_COMM_URL, _MSG_VOTE_WEIGHTED_URL,
-    _MSG_SUBMIT_PROPOSAL_URL,
+    _MSG_SUBMIT_PROPOSAL_URL, _MSG_UPDATE_CLIENT_URL,
+    _MSG_RECV_PACKET_URL, _MSG_PERM_LOCKED_URL, _MSG_PERIODIC_VEST_URL,
+    _MSG_INSTANTIATE_URL, _MSG_VERIFY_INVARIANT_URL,
 ]
 
 _REGISTRY_ORACLE_CASE = "\n".join(
@@ -377,7 +389,7 @@ _REGISTRY_ORACLE_CASE = "\n".join(
     oracle=f"""
     WITH m AS (
       SELECT event_id, user_id, value,
-             CASE CAST(event_id % 26 AS INTEGER)
+             CASE CAST(event_id % 32 AS INTEGER)
 {_REGISTRY_ORACLE_CASE}
                ELSE '/zigchain.custom.v1.MsgCustom' END AS type_url
       FROM events)
@@ -385,18 +397,18 @@ _REGISTRY_ORACLE_CASE = "\n".join(
            CASE WHEN type_url = '/zigchain.custom.v1.MsgCustom'
                 THEN 'Unknown message type' ELSE 'ok' END AS status,
            CAST(COUNT(*) AS BIGINT) AS n_msgs,
-           CAST(SUM(CASE WHEN event_id % 26 IN
+           CAST(SUM(CASE WHEN event_id % 32 IN
                            (0, 1, 2, 4, 5, 7, 9, 11, 13, 16, 18,
-                            19, 20, 21, 24)
+                            19, 20, 21, 24, 27, 28, 29)
                          THEN CAST(floor(value * 100) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS total_amt,
-           CAST(SUM(CASE WHEN event_id % 26 IN (3, 9, 23)
+           CAST(SUM(CASE WHEN event_id % 32 IN (3, 9, 23)
                          THEN user_id % 10000 ELSE 0 END) AS BIGINT)
              AS sum_pid,
-           CAST(SUM(CASE WHEN event_id % 26 IN (3, 23)
+           CAST(SUM(CASE WHEN event_id % 32 IN (3, 23)
                           AND user_id % 4 = 0
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_yes,
-           CAST(SUM(CASE WHEN event_id % 26 IN (4, 18, 20)
+           CAST(SUM(CASE WHEN event_id % 32 IN (4, 18, 20, 26, 28)
                          THEN event_id % 10000 ELSE 0 END) AS BIGINT)
              AS sum_timeout
     FROM m GROUP BY 1, 2
@@ -404,18 +416,22 @@ _REGISTRY_ORACLE_CASE = "\n".join(
 )
 def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registry dispatch at cosmjs ``defaultRegistryTypes`` breadth
-    (#151 grown 2 → 4 → 6 → 8 → 10 → 19 → TWENTY-FIVE decoded types):
-    bank MsgSend + MsgMultiSend (repeated Input/Output wrappers); wasm
-    MsgExecuteContract; the six staking bodies (Delegate / Undelegate /
-    BeginRedelegate / CreateValidator / EditValidator /
-    CancelUnbondingDelegation); gov MsgVote + MsgDeposit +
-    MsgVoteWeighted (nested WeightedVoteOption) + MsgSubmitProposal
-    (content Any → TextProposal); IBC MsgTransfer; distribution
-    MsgWithdrawDelegatorReward + MsgSetWithdrawAddress +
+    (#151 grown 2 → 4 → 6 → 8 → 10 → 19 → 25 → THIRTY-ONE decoded
+    types): bank MsgSend + MsgMultiSend (repeated Input/Output
+    wrappers); wasm MsgExecuteContract + MsgInstantiateContract; the
+    six staking bodies (Delegate / Undelegate / BeginRedelegate /
+    CreateValidator / EditValidator / CancelUnbondingDelegation); gov
+    MsgVote + MsgDeposit + MsgVoteWeighted (nested WeightedVoteOption)
+    + MsgSubmitProposal (content Any → TextProposal); IBC MsgTransfer
+    + MsgUpdateClient (header Any) + MsgRecvPacket (a 7-field nested
+    Packet with the trailing timeout varint, plus a Height pair);
+    distribution MsgWithdrawDelegatorReward + MsgSetWithdrawAddress +
     MsgFundCommunityPool + MsgWithdrawValidatorCommission; authz
     MsgGrant / MsgExec / MsgRevoke; feegrant MsgGrantAllowance /
-    MsgRevokeAllowance; slashing MsgUnjail; vesting
-    MsgCreateVestingAccount — plus the unregistered-type fallback. The
+    MsgRevokeAllowance; slashing MsgUnjail; crisis MsgVerifyInvariant;
+    vesting MsgCreateVestingAccount + MsgCreatePermanentLockedAccount
+    + MsgCreatePeriodicVestingAccount (nested Period coin) — plus the
+    unregistered-type fallback. The
     reference registers all defaultRegistryTypes (src/utils/decoder.js:9)
     and falls back to ``{error: 'Unknown message type', raw}`` on a
     miss (decoder.js:20-24).
@@ -427,11 +443,11 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/protobuf.py proto_encode_hex / proto_scan_hex): ONE
     constant-size fold synthesizes each wire body, one unwraps the
     Any, one walks every top-level field into (field_no → payload)
-    maps, and the 25-type dispatch is plain map lookups keyed by
-    typeUrl. Plan size is independent of registry breadth — the r8
-    19 → 25 widening added six CASE branches and zero compile units —
-    which is the property that actually survives cosmjs' ~50-type
-    registry.
+    maps, and the 31-type dispatch is plain map lookups keyed by
+    typeUrl. Plan size is independent of registry breadth — each r8
+    widening batch (19 → 25 → 31) added only CASE branches and zero
+    compile units — which is the property that actually survives
+    cosmjs' ~50-type registry.
 
     Dispatch keys on the DECODE OUTCOME: ``status`` is 'ok' only when
     the walker lands exactly on the end of the body AND the per-type
@@ -457,7 +473,7 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build() -> DataFrame:
         e = load(spark, sf_dir, "events")
-        kind = (F.col("event_id") % 26).cast("int")
+        kind = (F.col("event_id") % 32).cast("int")
         uid = F.col("user_id").cast("string")
         user = F.concat(F.lit("zig1u"), uid)
         recipient = F.concat(F.lit("zig1c"), uid)
@@ -569,6 +585,56 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         submit_prop_body = proto_encode_hex(
             pf_ld(1, text_prop_any), pf_ld(2, coin), pf_str(3, user))
+        # IBC client update: header rides as a nested Any
+        update_client_body = proto_encode_hex(
+            pf_str(1, F.concat(F.lit("07-tendermint-"),
+                               (F.col("user_id") % 5).cast("string"))),
+            pf_ld(2, proto_encode_hex(
+                pf_str(1, F.lit(_TM_HEADER_URL)),
+                pf_ld(2, proto_encode_hex(pf_varint(1, tout))))),
+        )
+        # IBC packet receive: a 7-field nested Packet (sequence, route
+        # strings, opaque data, trailing timeout varint) + proof bytes
+        # + a Height pair + the relayer signer
+        packet = proto_encode_hex(
+            pf_varint(1, F.col("event_id") % 1000),
+            pf_str(2, F.lit("transfer")),
+            pf_str(3, F.concat(F.lit("channel-"),
+                               (F.col("event_id") % 11).cast("string"))),
+            pf_str(4, F.lit("transfer")),
+            pf_str(5, F.concat(F.lit("channel-"),
+                               (F.col("event_id") % 7).cast("string"))),
+            pf_ld(6, F.hex(F.concat(F.lit("pkt:"), uid).cast("binary"))),
+            pf_varint(8, tout),
+        )
+        recv_packet_body = proto_encode_hex(
+            pf_ld(1, packet),
+            pf_ld(2, F.hex(F.lit("proof").cast("binary"))),
+            pf_ld(3, proto_encode_hex(pf_varint(1, F.lit(1)),
+                                      pf_varint(2, tout))),
+            pf_str(4, user),
+        )
+        perm_locked_body = proto_encode_hex(
+            pf_str(1, user), pf_str(2, recipient), pf_ld(3, coin))
+        # periodic vesting: start_time varint + ONE Period{length, coin}
+        periodic_vest_body = proto_encode_hex(
+            pf_str(1, user), pf_str(2, recipient), pf_varint(3, tout),
+            pf_ld(4, proto_encode_hex(pf_varint(1, F.lit(86)),
+                                      pf_ld(2, coin))),
+        )
+        instantiate_body = proto_encode_hex(
+            pf_str(1, user),
+            pf_str(2, F.concat(F.lit("zig1adm"),
+                               (F.col("user_id") % 9).cast("string"))),
+            pf_varint(3, F.col("event_id") % 500),
+            pf_str(4, F.concat(F.lit("contract-"),
+                               (F.col("event_id") % 7).cast("string"))),
+            pf_str(5, F.concat(F.lit('{"count":"'), amt_s, F.lit('"}'))),
+            pf_ld(6, coin),
+        )
+        verify_invariant_body = proto_encode_hex(
+            pf_str(1, user), pf_str(2, F.lit("bank")),
+            pf_str(3, F.lit("nonnegative-outstanding")))
         custom_body = F.hex(
             F.concat(F.lit("custom:"), F.col("event_id").cast("string"))
             .cast("binary"))
@@ -599,6 +665,12 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(kind == 22, withdraw_comm_body)
             .when(kind == 23, vote_weighted_body)
             .when(kind == 24, submit_prop_body)
+            .when(kind == 25, update_client_body)
+            .when(kind == 26, recv_packet_body)
+            .when(kind == 27, perm_locked_body)
+            .when(kind == 28, periodic_vest_body)
+            .when(kind == 29, instantiate_body)
+            .when(kind == 30, verify_invariant_body)
             .otherwise(custom_body)
         )
         url = F.element_at(
@@ -659,10 +731,15 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         outp = proto_scan_hex(ld[2], 2)       # MsgMultiSend.outputs[0]
         wopt = proto_scan_hex(ld[3], 2)       # WeightedVoteOption
         prop = proto_scan_hex(ld[1], 2)       # SubmitProposal content Any
+        pkt = proto_scan_hex(ld[1], 8)        # MsgRecvPacket.packet
+        per = proto_scan_hex(ld[4], 2)        # periodic vesting Period
+        # any2 doubles as MsgUpdateClient's header Any (same ld[2]
+        # slot); g doubles as MsgRecvPacket's proof Height (ld[3])
 
         amt = (
             F.when(u.isin(_MSG_SEND_URL, _MSG_DELEGATE_URL, _MSG_UNDELEGATE_URL,
-                          _MSG_TRANSFER_URL, _MSG_DEPOSIT_URL, _MSG_VESTING_URL),
+                          _MSG_TRANSFER_URL, _MSG_DEPOSIT_URL, _MSG_VESTING_URL,
+                          _MSG_PERM_LOCKED_URL),
                    _coin_amt(ld[3]))
             .when(u == _MSG_REDELEGATE_URL, _coin_amt(ld[4]))
             .when(u == _MSG_CREATE_VAL_URL, _coin_amt(ld[7]))
@@ -685,6 +762,9 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(u == _MSG_MULTISEND_URL,
                   F.when(outp["ok"], _coin_amt(outp["ld"][2])))
             .when(u == _MSG_SUBMIT_PROPOSAL_URL, _coin_amt(ld[2]))
+            .when(u == _MSG_PERIODIC_VEST_URL,
+                  F.when(per["ok"], _coin_amt(per["ld"][2])))
+            .when(u == _MSG_INSTANTIATE_URL, _coin_amt(ld[6]))
         )
         pid = F.when(
             u.isin(_MSG_VOTE_URL, _MSG_DEPOSIT_URL, _MSG_VOTE_WEIGHTED_URL),
@@ -695,7 +775,10 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (wopt["vi"][1] == 1).cast("long"))))
         timeout = (F.when(u == _MSG_TRANSFER_URL, vi[7])
                    .when(u == _MSG_VESTING_URL, vi[4])
-                   .when(u == _MSG_CANCEL_UNBOND_URL, vi[4]))
+                   .when(u == _MSG_CANCEL_UNBOND_URL, vi[4])
+                   .when(u == _MSG_RECV_PACKET_URL,
+                         F.when(pkt["ok"], pkt["vi"][8]))
+                   .when(u == _MSG_PERIODIC_VEST_URL, vi[3]))
 
         shape_ok = (
             F.when(u.isin(_MSG_SEND_URL, _MSG_DELEGATE_URL,
@@ -737,6 +820,19 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                   _has_ld(1, 2, 3) & prop["ok"]
                   & (F.decode(F.unhex(prop["ld"][1]), "UTF-8")
                      == _TEXT_PROPOSAL_URL))
+            .when(u == _MSG_UPDATE_CLIENT_URL,
+                  _has_ld(1, 2) & any2["ok"]
+                  & (F.decode(F.unhex(any2["ld"][1]), "UTF-8")
+                     == _TM_HEADER_URL))
+            .when(u == _MSG_RECV_PACKET_URL,
+                  _has_ld(1, 2, 3, 4) & pkt["ok"] & g["ok"]
+                  & F.map_contains_key(pkt["vi"], F.lit(8)))
+            .when(u == _MSG_PERM_LOCKED_URL, _has_ld(1, 2, 3))
+            .when(u == _MSG_PERIODIC_VEST_URL,
+                  _has_ld(1, 2, 4) & _has_vi(3) & per["ok"])
+            .when(u == _MSG_INSTANTIATE_URL,
+                  _has_ld(1, 2, 4, 5, 6) & _has_vi(3))
+            .when(u == _MSG_VERIFY_INVARIANT_URL, _has_ld(1, 2, 3))
             .otherwise(F.lit(False))
         )
         needs_amt = u.isin(
@@ -745,6 +841,8 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             _MSG_AUTHZ_EXEC_URL, _MSG_GRANT_ALLOW_URL, _MSG_CREATE_VAL_URL,
             _MSG_VESTING_URL, _MSG_MULTISEND_URL, _MSG_CANCEL_UNBOND_URL,
             _MSG_FUND_POOL_URL, _MSG_SUBMIT_PROPOSAL_URL,
+            _MSG_PERM_LOCKED_URL, _MSG_PERIODIC_VEST_URL,
+            _MSG_INSTANTIATE_URL,
         )
         # layered selects: the amt CASE (the largest subtree) appears
         # ONCE in the first projection; the status branch consumes it
