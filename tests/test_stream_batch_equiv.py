@@ -260,3 +260,24 @@ def test_stream_uniq_up_to_matches_batch_twin(spark, sf_dir):
         "saturated",
     )
     assert _rows(got) == _rows(want) and got.count() > 0
+
+
+def test_stream_registry_decode_matches_batch_twin(spark, sf_dir):
+    """The live 31-type registry rollup equals the batch operator's —
+    same synthesis, same dispatch (shared helpers), different
+    execution shape (per-row bound expressions + complete-mode agg vs
+    four memoized stages)."""
+    from zigchain_indexer_clickhouse_spark.plans import registry
+
+    qs = registry.queries()
+    cols = ["type_url", "status", "n_msgs", "total_amt", "sum_pid",
+            "n_yes", "sum_timeout"]
+    stream = {
+        tuple(r[c] for c in cols)
+        for r in qs["stream_registry_decode"](spark, sf_dir).collect()
+    }
+    batch = {
+        tuple(r[c] for c in cols)
+        for r in qs["msg_registry_decode"](spark, sf_dir).collect()
+    }
+    assert stream == batch and len(batch) == 32

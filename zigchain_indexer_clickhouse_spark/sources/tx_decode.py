@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from zigchain_indexer_clickhouse_spark.catalog import load
@@ -380,13 +380,7 @@ _REGISTRY_ORACLE_CASE = "\n".join(
     f"               WHEN {i} THEN '{u}'" for i, u in enumerate(_REGISTRY_URLS)
 )
 
-
-# --------------------------------------------------------------------------
-# 187. msg_registry_decode — 19-type registry on the constant-size walker
-# --------------------------------------------------------------------------
-@register(
-    "msg_registry_decode",
-    oracle=f"""
+_REGISTRY_ORACLE_SQL = f"""
     WITH m AS (
       SELECT event_id, user_id, value,
              CASE CAST(event_id % 32 AS INTEGER)
@@ -412,7 +406,387 @@ _REGISTRY_ORACLE_CASE = "\n".join(
                          THEN event_id % 10000 ELSE 0 END) AS BIGINT)
              AS sum_timeout
     FROM m GROUP BY 1, 2
-    """,
+    """
+
+
+def _registry_blob_hex() -> Column:
+    """The 31-type registry wire synthesis as ONE column expression
+    over (event_id, user_id, value) — shared verbatim by the batch
+    operator (#187) and its streaming twin, so the two can never
+    drift. kind = event_id % 32; kind 31 carries the unregistered
+    custom payload."""
+    kind = (F.col("event_id") % 32).cast("int")
+    uid = F.col("user_id").cast("string")
+    user = F.concat(F.lit("zig1u"), uid)
+    recipient = F.concat(F.lit("zig1c"), uid)
+    grantee = F.concat(F.lit("zig1g"),
+                       (F.col("user_id") % 31).cast("string"))
+    val_a = F.concat(F.lit("zigvaloper"),
+                     (F.col("user_id") % 50).cast("string"))
+    val_b = F.concat(F.lit("zigvaloper"),
+                     ((F.col("user_id") + 1) % 50).cast("string"))
+    amt_s = F.floor(F.col("value") * 100).cast("long").cast("string")
+    pid = (F.col("user_id") % 10000).cast("bigint")
+    tout = (F.col("event_id") % 10000).cast("bigint")
+    coin = proto_encode_hex(pf_str(1, F.lit("uzig")), pf_str(2, amt_s))
+    desc = proto_encode_hex(pf_str(1, F.concat(
+        F.lit("val-"), (F.col("user_id") % 50).cast("string"))))
+
+    send_body = proto_encode_hex(
+        pf_str(1, user), pf_str(2, recipient), pf_ld(3, coin))
+    exec_body = proto_encode_hex(
+        pf_str(1, user),
+        pf_str(2, F.concat(F.lit("zig1w"),
+                           (F.col("event_id") % 7).cast("string"))),
+        pf_str(3, F.concat(F.lit('{"transfer":{"amount":"'),
+                           amt_s, F.lit('"}}'))),
+    )
+    delegate_body = proto_encode_hex(
+        pf_str(1, user), pf_str(2, val_a), pf_ld(3, coin))
+    vote_body = proto_encode_hex(
+        pf_varint(1, pid), pf_str(2, user),
+        pf_varint(3, F.col("user_id") % 4 + 1))
+    transfer_body = proto_encode_hex(
+        pf_str(1, F.lit("transfer")),
+        pf_str(2, F.concat(F.lit("channel-"),
+                           (F.col("event_id") % 11).cast("string"))),
+        pf_ld(3, coin), pf_str(4, user),
+        pf_str(5, F.concat(F.lit("cosmos1r"), uid)),
+        pf_varint(7, tout),
+    )
+    withdraw_body = proto_encode_hex(pf_str(1, user), pf_str(2, val_a))
+    redelegate_body = proto_encode_hex(
+        pf_str(1, user), pf_str(2, val_a), pf_str(3, val_b),
+        pf_ld(4, coin))
+    setwithdraw_body = proto_encode_hex(
+        pf_str(1, user),
+        pf_str(2, F.concat(F.lit("zig1w"),
+                           (F.col("user_id") % 97).cast("string"))))
+    deposit_body = proto_encode_hex(
+        pf_varint(1, pid), pf_str(2, user), pf_ld(3, coin))
+    # authz Grant{authorization: Any(StakeAuthorization)} — nested
+    # message inside an Any inside the MsgGrant body
+    auth_any = proto_encode_hex(
+        pf_str(1, F.lit(_STAKE_AUTH_URL)),
+        pf_ld(2, proto_encode_hex(pf_varint(4, F.lit(1)))))
+    grant_body = proto_encode_hex(
+        pf_str(1, user), pf_str(2, grantee),
+        pf_ld(3, proto_encode_hex(pf_ld(1, auth_any))))
+    # authz MsgExec carries a REGISTERED message as its payload —
+    # the inner Any is a full MsgSend the decode side must unwrap
+    send_any = proto_encode_hex(
+        pf_str(1, F.lit(_MSG_SEND_URL)), pf_ld(2, send_body))
+    authz_exec_body = proto_encode_hex(
+        pf_str(1, grantee), pf_ld(2, send_any))
+    revoke_body = proto_encode_hex(
+        pf_str(1, user), pf_str(2, grantee),
+        pf_str(3, F.lit(_MSG_SEND_URL)))
+    allow_any = proto_encode_hex(
+        pf_str(1, F.lit(_BASIC_ALLOWANCE_URL)),
+        pf_ld(2, proto_encode_hex(pf_ld(1, coin))))
+    grant_allow_body = proto_encode_hex(
+        pf_str(1, user), pf_str(2, grantee), pf_ld(3, allow_any))
+    revoke_allow_body = proto_encode_hex(
+        pf_str(1, user), pf_str(2, grantee))
+    unjail_body = proto_encode_hex(pf_str(1, val_a))
+    create_val_body = proto_encode_hex(
+        pf_ld(1, desc), pf_str(3, F.lit("1")), pf_str(4, user),
+        pf_str(5, val_a), pf_ld(7, coin))
+    edit_val_body = proto_encode_hex(
+        pf_ld(1, desc), pf_str(2, val_a),
+        pf_str(3, F.lit("0.100000000000000000")), pf_str(4, F.lit("1")))
+    vesting_body = proto_encode_hex(
+        pf_str(1, user), pf_str(2, recipient), pf_ld(3, coin),
+        pf_varint(4, tout))
+    # MsgMultiSend with ONE Input and ONE Output (repeated fields
+    # stay walker-legal as long as each field number appears once)
+    multisend_body = proto_encode_hex(
+        pf_ld(1, proto_encode_hex(pf_str(1, user), pf_ld(2, coin))),
+        pf_ld(2, proto_encode_hex(pf_str(1, recipient),
+                                  pf_ld(2, coin))),
+    )
+    cancel_unbond_body = proto_encode_hex(
+        pf_str(1, user), pf_str(2, val_a), pf_ld(3, coin),
+        pf_varint(4, tout))   # creation_height
+    fund_pool_body = proto_encode_hex(
+        pf_ld(1, coin), pf_str(2, user))
+    withdraw_comm_body = proto_encode_hex(pf_str(1, val_a))
+    vote_weighted_body = proto_encode_hex(
+        pf_varint(1, pid), pf_str(2, user),
+        pf_ld(3, proto_encode_hex(
+            pf_varint(1, F.col("user_id") % 4 + 1),
+            pf_str(2, F.lit("1.000000000000000000")))),
+    )
+    text_prop_any = proto_encode_hex(
+        pf_str(1, F.lit(_TEXT_PROPOSAL_URL)),
+        pf_ld(2, proto_encode_hex(
+            pf_str(1, F.concat(F.lit("prop-"),
+                               (F.col("event_id") % 100)
+                               .cast("string"))),
+            pf_str(2, F.lit("synthetic text proposal")))),
+    )
+    submit_prop_body = proto_encode_hex(
+        pf_ld(1, text_prop_any), pf_ld(2, coin), pf_str(3, user))
+    # IBC client update: header rides as a nested Any
+    update_client_body = proto_encode_hex(
+        pf_str(1, F.concat(F.lit("07-tendermint-"),
+                           (F.col("user_id") % 5).cast("string"))),
+        pf_ld(2, proto_encode_hex(
+            pf_str(1, F.lit(_TM_HEADER_URL)),
+            pf_ld(2, proto_encode_hex(pf_varint(1, tout))))),
+    )
+    # IBC packet receive: a 7-field nested Packet (sequence, route
+    # strings, opaque data, trailing timeout varint) + proof bytes
+    # + a Height pair + the relayer signer
+    packet = proto_encode_hex(
+        pf_varint(1, F.col("event_id") % 1000),
+        pf_str(2, F.lit("transfer")),
+        pf_str(3, F.concat(F.lit("channel-"),
+                           (F.col("event_id") % 11).cast("string"))),
+        pf_str(4, F.lit("transfer")),
+        pf_str(5, F.concat(F.lit("channel-"),
+                           (F.col("event_id") % 7).cast("string"))),
+        pf_ld(6, F.hex(F.concat(F.lit("pkt:"), uid).cast("binary"))),
+        pf_varint(8, tout),
+    )
+    recv_packet_body = proto_encode_hex(
+        pf_ld(1, packet),
+        pf_ld(2, F.hex(F.lit("proof").cast("binary"))),
+        pf_ld(3, proto_encode_hex(pf_varint(1, F.lit(1)),
+                                  pf_varint(2, tout))),
+        pf_str(4, user),
+    )
+    perm_locked_body = proto_encode_hex(
+        pf_str(1, user), pf_str(2, recipient), pf_ld(3, coin))
+    # periodic vesting: start_time varint + ONE Period{length, coin}
+    periodic_vest_body = proto_encode_hex(
+        pf_str(1, user), pf_str(2, recipient), pf_varint(3, tout),
+        pf_ld(4, proto_encode_hex(pf_varint(1, F.lit(86)),
+                                  pf_ld(2, coin))),
+    )
+    instantiate_body = proto_encode_hex(
+        pf_str(1, user),
+        pf_str(2, F.concat(F.lit("zig1adm"),
+                           (F.col("user_id") % 9).cast("string"))),
+        pf_varint(3, F.col("event_id") % 500),
+        pf_str(4, F.concat(F.lit("contract-"),
+                           (F.col("event_id") % 7).cast("string"))),
+        pf_str(5, F.concat(F.lit('{"count":"'), amt_s, F.lit('"}'))),
+        pf_ld(6, coin),
+    )
+    verify_invariant_body = proto_encode_hex(
+        pf_str(1, user), pf_str(2, F.lit("bank")),
+        pf_str(3, F.lit("nonnegative-outstanding")))
+    custom_body = F.hex(
+        F.concat(F.lit("custom:"), F.col("event_id").cast("string"))
+        .cast("binary"))
+
+    body = (
+        F.when(kind == 0, send_body)
+        .when(kind == 1, exec_body)
+        .when(kind == 2, delegate_body)
+        .when(kind == 3, vote_body)
+        .when(kind == 4, transfer_body)
+        .when(kind == 5, delegate_body)      # undelegate: same wire
+        .when(kind == 6, withdraw_body)      # shape, distinct typeUrl
+        .when(kind == 7, redelegate_body)
+        .when(kind == 8, setwithdraw_body)
+        .when(kind == 9, deposit_body)
+        .when(kind == 10, grant_body)
+        .when(kind == 11, authz_exec_body)
+        .when(kind == 12, revoke_body)
+        .when(kind == 13, grant_allow_body)
+        .when(kind == 14, revoke_allow_body)
+        .when(kind == 15, unjail_body)
+        .when(kind == 16, create_val_body)
+        .when(kind == 17, edit_val_body)
+        .when(kind == 18, vesting_body)
+        .when(kind == 19, multisend_body)
+        .when(kind == 20, cancel_unbond_body)
+        .when(kind == 21, fund_pool_body)
+        .when(kind == 22, withdraw_comm_body)
+        .when(kind == 23, vote_weighted_body)
+        .when(kind == 24, submit_prop_body)
+        .when(kind == 25, update_client_body)
+        .when(kind == 26, recv_packet_body)
+        .when(kind == 27, perm_locked_body)
+        .when(kind == 28, periodic_vest_body)
+        .when(kind == 29, instantiate_body)
+        .when(kind == 30, verify_invariant_body)
+        .otherwise(custom_body)
+    )
+    url = F.element_at(
+        F.array(*[F.lit(x) for x in _REGISTRY_URLS],
+                F.lit("/zigchain.custom.v1.MsgCustom")),
+        kind + 1,
+    )
+    any_hex = proto_encode_hex(pf_str(1, url), pf_ld(2, body))
+    return any_hex
+
+
+def _registry_decoded_cols(u: Column, s: Column) -> dict:
+    """The 31-type dispatch over a recovered (type_url, field-map
+    scan) pair: amt / pid / yes / timeout extraction plus the
+    outcome predicates. Shared by the batch operator (#187, where
+    u and s are persisted stage columns) and the streaming twin
+    (where they are lambda-bound) — single source of truth for the
+    registry semantics."""
+    ld, vi = s["ld"], s["vi"]
+
+    def _has_ld(*ks):
+        c = F.lit(True)
+        for k in ks:
+            c = c & F.map_contains_key(ld, F.lit(k))
+        return c
+
+    def _has_vi(*ks):
+        c = F.lit(True)
+        for k in ks:
+            c = c & F.map_contains_key(vi, F.lit(k))
+        return c
+
+    def _coin_amt(coin_hex):
+        cs = proto_scan_hex(coin_hex, 2)
+        return F.when(
+            cs["ok"] & F.map_contains_key(cs["ld"], F.lit(2)),
+            F.decode(F.unhex(cs["ld"][2]), "UTF-8").cast("long"),
+        )
+
+    # two-deep unwraps: authz MsgExec.msgs → Any → MsgSend body, and
+    # feegrant allowance → Any → BasicAllowance.spend_limit Coin
+    any2 = proto_scan_hex(ld[2], 2)
+    inner = proto_scan_hex(any2["ld"][2], 4)
+    any3 = proto_scan_hex(ld[3], 2)
+    basic = proto_scan_hex(any3["ld"][2], 2)
+    g = proto_scan_hex(ld[3], 2)          # authz Grant wrapper
+    ga = proto_scan_hex(g["ld"][1], 2)    # Grant.authorization Any
+    d1 = proto_scan_hex(ld[1], 2)         # validator Description
+    outp = proto_scan_hex(ld[2], 2)       # MsgMultiSend.outputs[0]
+    wopt = proto_scan_hex(ld[3], 2)       # WeightedVoteOption
+    prop = proto_scan_hex(ld[1], 2)       # SubmitProposal content Any
+    pkt = proto_scan_hex(ld[1], 8)        # MsgRecvPacket.packet
+    per = proto_scan_hex(ld[4], 2)        # periodic vesting Period
+    # any2 doubles as MsgUpdateClient's header Any (same ld[2]
+    # slot); g doubles as MsgRecvPacket's proof Height (ld[3])
+
+    amt = (
+        F.when(u.isin(_MSG_SEND_URL, _MSG_DELEGATE_URL, _MSG_UNDELEGATE_URL,
+                      _MSG_TRANSFER_URL, _MSG_DEPOSIT_URL, _MSG_VESTING_URL,
+                      _MSG_PERM_LOCKED_URL),
+               _coin_amt(ld[3]))
+        .when(u == _MSG_REDELEGATE_URL, _coin_amt(ld[4]))
+        .when(u == _MSG_CREATE_VAL_URL, _coin_amt(ld[7]))
+        .when(u == _MSG_EXEC_URL,
+              F.get_json_object(F.decode(F.unhex(ld[3]), "UTF-8"),
+                                "$.transfer.amount").cast("long"))
+        .when(u == _MSG_AUTHZ_EXEC_URL,
+              F.when(any2["ok"] & inner["ok"]
+                     & (F.decode(F.unhex(any2["ld"][1]), "UTF-8")
+                        == _MSG_SEND_URL),
+                     _coin_amt(inner["ld"][3])))
+        .when(u == _MSG_GRANT_ALLOW_URL,
+              F.when(any3["ok"] & basic["ok"]
+                     & (F.decode(F.unhex(any3["ld"][1]), "UTF-8")
+                        == _BASIC_ALLOWANCE_URL),
+                     _coin_amt(basic["ld"][1])))
+        .when(u.isin(_MSG_CANCEL_UNBOND_URL, _MSG_FUND_POOL_URL),
+              _coin_amt(F.when(u == _MSG_FUND_POOL_URL, ld[1])
+                        .otherwise(ld[3])))
+        .when(u == _MSG_MULTISEND_URL,
+              F.when(outp["ok"], _coin_amt(outp["ld"][2])))
+        .when(u == _MSG_SUBMIT_PROPOSAL_URL, _coin_amt(ld[2]))
+        .when(u == _MSG_PERIODIC_VEST_URL,
+              F.when(per["ok"], _coin_amt(per["ld"][2])))
+        .when(u == _MSG_INSTANTIATE_URL, _coin_amt(ld[6]))
+    )
+    pid = F.when(
+        u.isin(_MSG_VOTE_URL, _MSG_DEPOSIT_URL, _MSG_VOTE_WEIGHTED_URL),
+        vi[1])
+    yes = (F.when(u == _MSG_VOTE_URL, (vi[3] == 1).cast("long"))
+           .when(u == _MSG_VOTE_WEIGHTED_URL,
+                 F.when(wopt["ok"],
+                        (wopt["vi"][1] == 1).cast("long"))))
+    timeout = (F.when(u == _MSG_TRANSFER_URL, vi[7])
+               .when(u == _MSG_VESTING_URL, vi[4])
+               .when(u == _MSG_CANCEL_UNBOND_URL, vi[4])
+               .when(u == _MSG_RECV_PACKET_URL,
+                     F.when(pkt["ok"], pkt["vi"][8]))
+               .when(u == _MSG_PERIODIC_VEST_URL, vi[3]))
+
+    shape_ok = (
+        F.when(u.isin(_MSG_SEND_URL, _MSG_DELEGATE_URL,
+                      _MSG_UNDELEGATE_URL, _MSG_EXEC_URL),
+               _has_ld(1, 2, 3))
+        .when(u == _MSG_VOTE_URL, _has_vi(1, 3) & _has_ld(2))
+        .when(u == _MSG_TRANSFER_URL, _has_ld(1, 2, 3, 4, 5) & _has_vi(7))
+        .when(u.isin(_MSG_WITHDRAW_URL, _MSG_SETWITHDRAW_URL,
+                     _MSG_REVOKE_ALLOW_URL),
+              _has_ld(1, 2))
+        .when(u == _MSG_REDELEGATE_URL, _has_ld(1, 2, 3, 4))
+        .when(u == _MSG_DEPOSIT_URL, _has_vi(1) & _has_ld(2, 3))
+        .when(u == _MSG_GRANT_URL,
+              _has_ld(1, 2, 3) & g["ok"] & ga["ok"]
+              & (F.decode(F.unhex(ga["ld"][1]), "UTF-8")
+                 == _STAKE_AUTH_URL))
+        .when(u.isin(_MSG_AUTHZ_EXEC_URL, _MSG_GRANT_ALLOW_URL),
+              _has_ld(1, 2))
+        .when(u == _MSG_REVOKE_URL, _has_ld(1, 2, 3))
+        .when(u == _MSG_UNJAIL_URL, _has_ld(1))
+        .when(u == _MSG_CREATE_VAL_URL,
+              _has_ld(1, 3, 4, 5, 7) & d1["ok"]
+              & F.map_contains_key(d1["ld"], F.lit(1)))
+        .when(u == _MSG_EDIT_VAL_URL,
+              _has_ld(1, 2, 3, 4) & d1["ok"]
+              & F.map_contains_key(d1["ld"], F.lit(1)))
+        .when(u == _MSG_VESTING_URL, _has_ld(1, 2, 3) & _has_vi(4))
+        .when(u == _MSG_MULTISEND_URL,
+              _has_ld(1, 2) & outp["ok"]
+              & F.map_contains_key(outp["ld"], F.lit(1)))
+        .when(u == _MSG_CANCEL_UNBOND_URL,
+              _has_ld(1, 2, 3) & _has_vi(4))
+        .when(u == _MSG_FUND_POOL_URL, _has_ld(1, 2))
+        .when(u == _MSG_WITHDRAW_COMM_URL, _has_ld(1))
+        .when(u == _MSG_VOTE_WEIGHTED_URL,
+              _has_vi(1) & _has_ld(2, 3) & wopt["ok"]
+              & F.map_contains_key(wopt["ld"], F.lit(2)))
+        .when(u == _MSG_SUBMIT_PROPOSAL_URL,
+              _has_ld(1, 2, 3) & prop["ok"]
+              & (F.decode(F.unhex(prop["ld"][1]), "UTF-8")
+                 == _TEXT_PROPOSAL_URL))
+        .when(u == _MSG_UPDATE_CLIENT_URL,
+              _has_ld(1, 2) & any2["ok"]
+              & (F.decode(F.unhex(any2["ld"][1]), "UTF-8")
+                 == _TM_HEADER_URL))
+        .when(u == _MSG_RECV_PACKET_URL,
+              _has_ld(1, 2, 3, 4) & pkt["ok"] & g["ok"]
+              & F.map_contains_key(pkt["vi"], F.lit(8)))
+        .when(u == _MSG_PERM_LOCKED_URL, _has_ld(1, 2, 3))
+        .when(u == _MSG_PERIODIC_VEST_URL,
+              _has_ld(1, 2, 4) & _has_vi(3) & per["ok"])
+        .when(u == _MSG_INSTANTIATE_URL,
+              _has_ld(1, 2, 4, 5, 6) & _has_vi(3))
+        .when(u == _MSG_VERIFY_INVARIANT_URL, _has_ld(1, 2, 3))
+        .otherwise(F.lit(False))
+    )
+    needs_amt = u.isin(
+        _MSG_SEND_URL, _MSG_EXEC_URL, _MSG_DELEGATE_URL, _MSG_TRANSFER_URL,
+        _MSG_UNDELEGATE_URL, _MSG_REDELEGATE_URL, _MSG_DEPOSIT_URL,
+        _MSG_AUTHZ_EXEC_URL, _MSG_GRANT_ALLOW_URL, _MSG_CREATE_VAL_URL,
+        _MSG_VESTING_URL, _MSG_MULTISEND_URL, _MSG_CANCEL_UNBOND_URL,
+        _MSG_FUND_POOL_URL, _MSG_SUBMIT_PROPOSAL_URL,
+        _MSG_PERM_LOCKED_URL, _MSG_PERIODIC_VEST_URL,
+        _MSG_INSTANTIATE_URL,
+    )
+    return {"amt": amt, "pid": pid, "yes": yes, "timeout": timeout,
+            "shape_ok": s["ok"] & shape_ok, "needs_amt": needs_amt}
+
+
+# --------------------------------------------------------------------------
+# 187. msg_registry_decode — 31-type registry on the constant-size walker
+# --------------------------------------------------------------------------
+@register(
+    "msg_registry_decode",
+    oracle=_REGISTRY_ORACLE_SQL,
 )
 def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The registry dispatch at cosmjs ``defaultRegistryTypes`` breadth
@@ -473,213 +847,7 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build() -> DataFrame:
         e = load(spark, sf_dir, "events")
-        kind = (F.col("event_id") % 32).cast("int")
-        uid = F.col("user_id").cast("string")
-        user = F.concat(F.lit("zig1u"), uid)
-        recipient = F.concat(F.lit("zig1c"), uid)
-        grantee = F.concat(F.lit("zig1g"),
-                           (F.col("user_id") % 31).cast("string"))
-        val_a = F.concat(F.lit("zigvaloper"),
-                         (F.col("user_id") % 50).cast("string"))
-        val_b = F.concat(F.lit("zigvaloper"),
-                         ((F.col("user_id") + 1) % 50).cast("string"))
-        amt_s = F.floor(F.col("value") * 100).cast("long").cast("string")
-        pid = (F.col("user_id") % 10000).cast("bigint")
-        tout = (F.col("event_id") % 10000).cast("bigint")
-        coin = proto_encode_hex(pf_str(1, F.lit("uzig")), pf_str(2, amt_s))
-        desc = proto_encode_hex(pf_str(1, F.concat(
-            F.lit("val-"), (F.col("user_id") % 50).cast("string"))))
-
-        send_body = proto_encode_hex(
-            pf_str(1, user), pf_str(2, recipient), pf_ld(3, coin))
-        exec_body = proto_encode_hex(
-            pf_str(1, user),
-            pf_str(2, F.concat(F.lit("zig1w"),
-                               (F.col("event_id") % 7).cast("string"))),
-            pf_str(3, F.concat(F.lit('{"transfer":{"amount":"'),
-                               amt_s, F.lit('"}}'))),
-        )
-        delegate_body = proto_encode_hex(
-            pf_str(1, user), pf_str(2, val_a), pf_ld(3, coin))
-        vote_body = proto_encode_hex(
-            pf_varint(1, pid), pf_str(2, user),
-            pf_varint(3, F.col("user_id") % 4 + 1))
-        transfer_body = proto_encode_hex(
-            pf_str(1, F.lit("transfer")),
-            pf_str(2, F.concat(F.lit("channel-"),
-                               (F.col("event_id") % 11).cast("string"))),
-            pf_ld(3, coin), pf_str(4, user),
-            pf_str(5, F.concat(F.lit("cosmos1r"), uid)),
-            pf_varint(7, tout),
-        )
-        withdraw_body = proto_encode_hex(pf_str(1, user), pf_str(2, val_a))
-        redelegate_body = proto_encode_hex(
-            pf_str(1, user), pf_str(2, val_a), pf_str(3, val_b),
-            pf_ld(4, coin))
-        setwithdraw_body = proto_encode_hex(
-            pf_str(1, user),
-            pf_str(2, F.concat(F.lit("zig1w"),
-                               (F.col("user_id") % 97).cast("string"))))
-        deposit_body = proto_encode_hex(
-            pf_varint(1, pid), pf_str(2, user), pf_ld(3, coin))
-        # authz Grant{authorization: Any(StakeAuthorization)} — nested
-        # message inside an Any inside the MsgGrant body
-        auth_any = proto_encode_hex(
-            pf_str(1, F.lit(_STAKE_AUTH_URL)),
-            pf_ld(2, proto_encode_hex(pf_varint(4, F.lit(1)))))
-        grant_body = proto_encode_hex(
-            pf_str(1, user), pf_str(2, grantee),
-            pf_ld(3, proto_encode_hex(pf_ld(1, auth_any))))
-        # authz MsgExec carries a REGISTERED message as its payload —
-        # the inner Any is a full MsgSend the decode side must unwrap
-        send_any = proto_encode_hex(
-            pf_str(1, F.lit(_MSG_SEND_URL)), pf_ld(2, send_body))
-        authz_exec_body = proto_encode_hex(
-            pf_str(1, grantee), pf_ld(2, send_any))
-        revoke_body = proto_encode_hex(
-            pf_str(1, user), pf_str(2, grantee),
-            pf_str(3, F.lit(_MSG_SEND_URL)))
-        allow_any = proto_encode_hex(
-            pf_str(1, F.lit(_BASIC_ALLOWANCE_URL)),
-            pf_ld(2, proto_encode_hex(pf_ld(1, coin))))
-        grant_allow_body = proto_encode_hex(
-            pf_str(1, user), pf_str(2, grantee), pf_ld(3, allow_any))
-        revoke_allow_body = proto_encode_hex(
-            pf_str(1, user), pf_str(2, grantee))
-        unjail_body = proto_encode_hex(pf_str(1, val_a))
-        create_val_body = proto_encode_hex(
-            pf_ld(1, desc), pf_str(3, F.lit("1")), pf_str(4, user),
-            pf_str(5, val_a), pf_ld(7, coin))
-        edit_val_body = proto_encode_hex(
-            pf_ld(1, desc), pf_str(2, val_a),
-            pf_str(3, F.lit("0.100000000000000000")), pf_str(4, F.lit("1")))
-        vesting_body = proto_encode_hex(
-            pf_str(1, user), pf_str(2, recipient), pf_ld(3, coin),
-            pf_varint(4, tout))
-        # MsgMultiSend with ONE Input and ONE Output (repeated fields
-        # stay walker-legal as long as each field number appears once)
-        multisend_body = proto_encode_hex(
-            pf_ld(1, proto_encode_hex(pf_str(1, user), pf_ld(2, coin))),
-            pf_ld(2, proto_encode_hex(pf_str(1, recipient),
-                                      pf_ld(2, coin))),
-        )
-        cancel_unbond_body = proto_encode_hex(
-            pf_str(1, user), pf_str(2, val_a), pf_ld(3, coin),
-            pf_varint(4, tout))   # creation_height
-        fund_pool_body = proto_encode_hex(
-            pf_ld(1, coin), pf_str(2, user))
-        withdraw_comm_body = proto_encode_hex(pf_str(1, val_a))
-        vote_weighted_body = proto_encode_hex(
-            pf_varint(1, pid), pf_str(2, user),
-            pf_ld(3, proto_encode_hex(
-                pf_varint(1, F.col("user_id") % 4 + 1),
-                pf_str(2, F.lit("1.000000000000000000")))),
-        )
-        text_prop_any = proto_encode_hex(
-            pf_str(1, F.lit(_TEXT_PROPOSAL_URL)),
-            pf_ld(2, proto_encode_hex(
-                pf_str(1, F.concat(F.lit("prop-"),
-                                   (F.col("event_id") % 100)
-                                   .cast("string"))),
-                pf_str(2, F.lit("synthetic text proposal")))),
-        )
-        submit_prop_body = proto_encode_hex(
-            pf_ld(1, text_prop_any), pf_ld(2, coin), pf_str(3, user))
-        # IBC client update: header rides as a nested Any
-        update_client_body = proto_encode_hex(
-            pf_str(1, F.concat(F.lit("07-tendermint-"),
-                               (F.col("user_id") % 5).cast("string"))),
-            pf_ld(2, proto_encode_hex(
-                pf_str(1, F.lit(_TM_HEADER_URL)),
-                pf_ld(2, proto_encode_hex(pf_varint(1, tout))))),
-        )
-        # IBC packet receive: a 7-field nested Packet (sequence, route
-        # strings, opaque data, trailing timeout varint) + proof bytes
-        # + a Height pair + the relayer signer
-        packet = proto_encode_hex(
-            pf_varint(1, F.col("event_id") % 1000),
-            pf_str(2, F.lit("transfer")),
-            pf_str(3, F.concat(F.lit("channel-"),
-                               (F.col("event_id") % 11).cast("string"))),
-            pf_str(4, F.lit("transfer")),
-            pf_str(5, F.concat(F.lit("channel-"),
-                               (F.col("event_id") % 7).cast("string"))),
-            pf_ld(6, F.hex(F.concat(F.lit("pkt:"), uid).cast("binary"))),
-            pf_varint(8, tout),
-        )
-        recv_packet_body = proto_encode_hex(
-            pf_ld(1, packet),
-            pf_ld(2, F.hex(F.lit("proof").cast("binary"))),
-            pf_ld(3, proto_encode_hex(pf_varint(1, F.lit(1)),
-                                      pf_varint(2, tout))),
-            pf_str(4, user),
-        )
-        perm_locked_body = proto_encode_hex(
-            pf_str(1, user), pf_str(2, recipient), pf_ld(3, coin))
-        # periodic vesting: start_time varint + ONE Period{length, coin}
-        periodic_vest_body = proto_encode_hex(
-            pf_str(1, user), pf_str(2, recipient), pf_varint(3, tout),
-            pf_ld(4, proto_encode_hex(pf_varint(1, F.lit(86)),
-                                      pf_ld(2, coin))),
-        )
-        instantiate_body = proto_encode_hex(
-            pf_str(1, user),
-            pf_str(2, F.concat(F.lit("zig1adm"),
-                               (F.col("user_id") % 9).cast("string"))),
-            pf_varint(3, F.col("event_id") % 500),
-            pf_str(4, F.concat(F.lit("contract-"),
-                               (F.col("event_id") % 7).cast("string"))),
-            pf_str(5, F.concat(F.lit('{"count":"'), amt_s, F.lit('"}'))),
-            pf_ld(6, coin),
-        )
-        verify_invariant_body = proto_encode_hex(
-            pf_str(1, user), pf_str(2, F.lit("bank")),
-            pf_str(3, F.lit("nonnegative-outstanding")))
-        custom_body = F.hex(
-            F.concat(F.lit("custom:"), F.col("event_id").cast("string"))
-            .cast("binary"))
-
-        body = (
-            F.when(kind == 0, send_body)
-            .when(kind == 1, exec_body)
-            .when(kind == 2, delegate_body)
-            .when(kind == 3, vote_body)
-            .when(kind == 4, transfer_body)
-            .when(kind == 5, delegate_body)      # undelegate: same wire
-            .when(kind == 6, withdraw_body)      # shape, distinct typeUrl
-            .when(kind == 7, redelegate_body)
-            .when(kind == 8, setwithdraw_body)
-            .when(kind == 9, deposit_body)
-            .when(kind == 10, grant_body)
-            .when(kind == 11, authz_exec_body)
-            .when(kind == 12, revoke_body)
-            .when(kind == 13, grant_allow_body)
-            .when(kind == 14, revoke_allow_body)
-            .when(kind == 15, unjail_body)
-            .when(kind == 16, create_val_body)
-            .when(kind == 17, edit_val_body)
-            .when(kind == 18, vesting_body)
-            .when(kind == 19, multisend_body)
-            .when(kind == 20, cancel_unbond_body)
-            .when(kind == 21, fund_pool_body)
-            .when(kind == 22, withdraw_comm_body)
-            .when(kind == 23, vote_weighted_body)
-            .when(kind == 24, submit_prop_body)
-            .when(kind == 25, update_client_body)
-            .when(kind == 26, recv_packet_body)
-            .when(kind == 27, perm_locked_body)
-            .when(kind == 28, periodic_vest_body)
-            .when(kind == 29, instantiate_body)
-            .when(kind == 30, verify_invariant_body)
-            .otherwise(custom_body)
-        )
-        url = F.element_at(
-            F.array(*[F.lit(x) for x in _REGISTRY_URLS],
-                    F.lit("/zigchain.custom.v1.MsgCustom")),
-            kind + 1,
-        )
-        any_hex = proto_encode_hex(pf_str(1, url), pf_ld(2, body))
-        return e.select(any_hex.alias("blob_hex"))
+        return e.select(_registry_blob_hex().alias("blob_hex"))
 
     def _any() -> DataFrame:
         blobs = _shared_stage("registry20_blobs", spark, sf_dir, _build)
@@ -696,167 +864,20 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _decode() -> DataFrame:
         walked = _shared_stage("registry20_walk", spark, sf_dir, _walk)
-        u = F.col("type_url")
-        s = F.col("scan")
-        ld, vi = s["ld"], s["vi"]
-
-        def _has_ld(*ks):
-            c = F.lit(True)
-            for k in ks:
-                c = c & F.map_contains_key(ld, F.lit(k))
-            return c
-
-        def _has_vi(*ks):
-            c = F.lit(True)
-            for k in ks:
-                c = c & F.map_contains_key(vi, F.lit(k))
-            return c
-
-        def _coin_amt(coin_hex):
-            cs = proto_scan_hex(coin_hex, 2)
-            return F.when(
-                cs["ok"] & F.map_contains_key(cs["ld"], F.lit(2)),
-                F.decode(F.unhex(cs["ld"][2]), "UTF-8").cast("long"),
-            )
-
-        # two-deep unwraps: authz MsgExec.msgs → Any → MsgSend body, and
-        # feegrant allowance → Any → BasicAllowance.spend_limit Coin
-        any2 = proto_scan_hex(ld[2], 2)
-        inner = proto_scan_hex(any2["ld"][2], 4)
-        any3 = proto_scan_hex(ld[3], 2)
-        basic = proto_scan_hex(any3["ld"][2], 2)
-        g = proto_scan_hex(ld[3], 2)          # authz Grant wrapper
-        ga = proto_scan_hex(g["ld"][1], 2)    # Grant.authorization Any
-        d1 = proto_scan_hex(ld[1], 2)         # validator Description
-        outp = proto_scan_hex(ld[2], 2)       # MsgMultiSend.outputs[0]
-        wopt = proto_scan_hex(ld[3], 2)       # WeightedVoteOption
-        prop = proto_scan_hex(ld[1], 2)       # SubmitProposal content Any
-        pkt = proto_scan_hex(ld[1], 8)        # MsgRecvPacket.packet
-        per = proto_scan_hex(ld[4], 2)        # periodic vesting Period
-        # any2 doubles as MsgUpdateClient's header Any (same ld[2]
-        # slot); g doubles as MsgRecvPacket's proof Height (ld[3])
-
-        amt = (
-            F.when(u.isin(_MSG_SEND_URL, _MSG_DELEGATE_URL, _MSG_UNDELEGATE_URL,
-                          _MSG_TRANSFER_URL, _MSG_DEPOSIT_URL, _MSG_VESTING_URL,
-                          _MSG_PERM_LOCKED_URL),
-                   _coin_amt(ld[3]))
-            .when(u == _MSG_REDELEGATE_URL, _coin_amt(ld[4]))
-            .when(u == _MSG_CREATE_VAL_URL, _coin_amt(ld[7]))
-            .when(u == _MSG_EXEC_URL,
-                  F.get_json_object(F.decode(F.unhex(ld[3]), "UTF-8"),
-                                    "$.transfer.amount").cast("long"))
-            .when(u == _MSG_AUTHZ_EXEC_URL,
-                  F.when(any2["ok"] & inner["ok"]
-                         & (F.decode(F.unhex(any2["ld"][1]), "UTF-8")
-                            == _MSG_SEND_URL),
-                         _coin_amt(inner["ld"][3])))
-            .when(u == _MSG_GRANT_ALLOW_URL,
-                  F.when(any3["ok"] & basic["ok"]
-                         & (F.decode(F.unhex(any3["ld"][1]), "UTF-8")
-                            == _BASIC_ALLOWANCE_URL),
-                         _coin_amt(basic["ld"][1])))
-            .when(u.isin(_MSG_CANCEL_UNBOND_URL, _MSG_FUND_POOL_URL),
-                  _coin_amt(F.when(u == _MSG_FUND_POOL_URL, ld[1])
-                            .otherwise(ld[3])))
-            .when(u == _MSG_MULTISEND_URL,
-                  F.when(outp["ok"], _coin_amt(outp["ld"][2])))
-            .when(u == _MSG_SUBMIT_PROPOSAL_URL, _coin_amt(ld[2]))
-            .when(u == _MSG_PERIODIC_VEST_URL,
-                  F.when(per["ok"], _coin_amt(per["ld"][2])))
-            .when(u == _MSG_INSTANTIATE_URL, _coin_amt(ld[6]))
-        )
-        pid = F.when(
-            u.isin(_MSG_VOTE_URL, _MSG_DEPOSIT_URL, _MSG_VOTE_WEIGHTED_URL),
-            vi[1])
-        yes = (F.when(u == _MSG_VOTE_URL, (vi[3] == 1).cast("long"))
-               .when(u == _MSG_VOTE_WEIGHTED_URL,
-                     F.when(wopt["ok"],
-                            (wopt["vi"][1] == 1).cast("long"))))
-        timeout = (F.when(u == _MSG_TRANSFER_URL, vi[7])
-                   .when(u == _MSG_VESTING_URL, vi[4])
-                   .when(u == _MSG_CANCEL_UNBOND_URL, vi[4])
-                   .when(u == _MSG_RECV_PACKET_URL,
-                         F.when(pkt["ok"], pkt["vi"][8]))
-                   .when(u == _MSG_PERIODIC_VEST_URL, vi[3]))
-
-        shape_ok = (
-            F.when(u.isin(_MSG_SEND_URL, _MSG_DELEGATE_URL,
-                          _MSG_UNDELEGATE_URL, _MSG_EXEC_URL),
-                   _has_ld(1, 2, 3))
-            .when(u == _MSG_VOTE_URL, _has_vi(1, 3) & _has_ld(2))
-            .when(u == _MSG_TRANSFER_URL, _has_ld(1, 2, 3, 4, 5) & _has_vi(7))
-            .when(u.isin(_MSG_WITHDRAW_URL, _MSG_SETWITHDRAW_URL,
-                         _MSG_REVOKE_ALLOW_URL),
-                  _has_ld(1, 2))
-            .when(u == _MSG_REDELEGATE_URL, _has_ld(1, 2, 3, 4))
-            .when(u == _MSG_DEPOSIT_URL, _has_vi(1) & _has_ld(2, 3))
-            .when(u == _MSG_GRANT_URL,
-                  _has_ld(1, 2, 3) & g["ok"] & ga["ok"]
-                  & (F.decode(F.unhex(ga["ld"][1]), "UTF-8")
-                     == _STAKE_AUTH_URL))
-            .when(u.isin(_MSG_AUTHZ_EXEC_URL, _MSG_GRANT_ALLOW_URL),
-                  _has_ld(1, 2))
-            .when(u == _MSG_REVOKE_URL, _has_ld(1, 2, 3))
-            .when(u == _MSG_UNJAIL_URL, _has_ld(1))
-            .when(u == _MSG_CREATE_VAL_URL,
-                  _has_ld(1, 3, 4, 5, 7) & d1["ok"]
-                  & F.map_contains_key(d1["ld"], F.lit(1)))
-            .when(u == _MSG_EDIT_VAL_URL,
-                  _has_ld(1, 2, 3, 4) & d1["ok"]
-                  & F.map_contains_key(d1["ld"], F.lit(1)))
-            .when(u == _MSG_VESTING_URL, _has_ld(1, 2, 3) & _has_vi(4))
-            .when(u == _MSG_MULTISEND_URL,
-                  _has_ld(1, 2) & outp["ok"]
-                  & F.map_contains_key(outp["ld"], F.lit(1)))
-            .when(u == _MSG_CANCEL_UNBOND_URL,
-                  _has_ld(1, 2, 3) & _has_vi(4))
-            .when(u == _MSG_FUND_POOL_URL, _has_ld(1, 2))
-            .when(u == _MSG_WITHDRAW_COMM_URL, _has_ld(1))
-            .when(u == _MSG_VOTE_WEIGHTED_URL,
-                  _has_vi(1) & _has_ld(2, 3) & wopt["ok"]
-                  & F.map_contains_key(wopt["ld"], F.lit(2)))
-            .when(u == _MSG_SUBMIT_PROPOSAL_URL,
-                  _has_ld(1, 2, 3) & prop["ok"]
-                  & (F.decode(F.unhex(prop["ld"][1]), "UTF-8")
-                     == _TEXT_PROPOSAL_URL))
-            .when(u == _MSG_UPDATE_CLIENT_URL,
-                  _has_ld(1, 2) & any2["ok"]
-                  & (F.decode(F.unhex(any2["ld"][1]), "UTF-8")
-                     == _TM_HEADER_URL))
-            .when(u == _MSG_RECV_PACKET_URL,
-                  _has_ld(1, 2, 3, 4) & pkt["ok"] & g["ok"]
-                  & F.map_contains_key(pkt["vi"], F.lit(8)))
-            .when(u == _MSG_PERM_LOCKED_URL, _has_ld(1, 2, 3))
-            .when(u == _MSG_PERIODIC_VEST_URL,
-                  _has_ld(1, 2, 4) & _has_vi(3) & per["ok"])
-            .when(u == _MSG_INSTANTIATE_URL,
-                  _has_ld(1, 2, 4, 5, 6) & _has_vi(3))
-            .when(u == _MSG_VERIFY_INVARIANT_URL, _has_ld(1, 2, 3))
-            .otherwise(F.lit(False))
-        )
-        needs_amt = u.isin(
-            _MSG_SEND_URL, _MSG_EXEC_URL, _MSG_DELEGATE_URL, _MSG_TRANSFER_URL,
-            _MSG_UNDELEGATE_URL, _MSG_REDELEGATE_URL, _MSG_DEPOSIT_URL,
-            _MSG_AUTHZ_EXEC_URL, _MSG_GRANT_ALLOW_URL, _MSG_CREATE_VAL_URL,
-            _MSG_VESTING_URL, _MSG_MULTISEND_URL, _MSG_CANCEL_UNBOND_URL,
-            _MSG_FUND_POOL_URL, _MSG_SUBMIT_PROPOSAL_URL,
-            _MSG_PERM_LOCKED_URL, _MSG_PERIODIC_VEST_URL,
-            _MSG_INSTANTIATE_URL,
-        )
+        cols = _registry_decoded_cols(F.col("type_url"), F.col("scan"))
         # layered selects: the amt CASE (the largest subtree) appears
         # ONCE in the first projection; the status branch consumes it
         # as a plain column reference in the second, so the analyzer
         # never sees the tree duplicated into the outcome check
         z = F.lit(0).cast("long")
         fields = walked.select(
-            u.alias("type_url"),
-            (s["ok"] & shape_ok).alias("shape_ok"),
-            needs_amt.alias("needs_amt"),
-            amt.alias("amt_raw"),
-            F.coalesce(pid, z).alias("pid"),
-            F.coalesce(yes, z).alias("yes"),
-            F.coalesce(timeout, z).alias("timeout"),
+            F.col("type_url"),
+            cols["shape_ok"].alias("shape_ok"),
+            cols["needs_amt"].alias("needs_amt"),
+            cols["amt"].alias("amt_raw"),
+            F.coalesce(cols["pid"], z).alias("pid"),
+            F.coalesce(cols["yes"], z).alias("yes"),
+            F.coalesce(cols["timeout"], z).alias("timeout"),
         )
         decode_ok = (F.col("shape_ok")
                      & (~F.col("needs_amt") | F.col("amt_raw").isNotNull()))

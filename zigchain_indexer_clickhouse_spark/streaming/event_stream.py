@@ -27,7 +27,7 @@ import hashlib
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -1007,4 +1007,109 @@ def stream_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upd.groupBy("event_type", "day").agg(
         F.max("uniq_up_to").cast("long").alias("uniq_up_to"),
         F.max("saturated").cast("long").alias("saturated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 47b. stream_registry_decode — the 31-type registry decode, LIVE
+# --------------------------------------------------------------------------
+def _registry_stream_oracle() -> str:
+    from zigchain_indexer_clickhouse_spark.sources.tx_decode import (
+        _REGISTRY_ORACLE_SQL,
+    )
+
+    return _REGISTRY_ORACLE_SQL
+
+
+def _registry_decode_struct() -> Column:
+    """Per-row registry decode as ONE bound expression tree — the
+    streaming path has no persist barriers, so instead of the batch
+    operator's four memoized stages, each walker fold's output is
+    LAMBDA-BOUND (a one-element ``transform``) before the next fold or
+    the dispatch consumes it: blob → Any scan → field-map scan each
+    evaluate exactly once per row, and the 31-type dispatch reads them
+    as map lookups. Synthesis and dispatch come verbatim from the
+    batch operator's helpers (sources/tx_decode.py _registry_blob_hex /
+    _registry_decoded_cols), so the stream can never drift from the
+    batch semantics."""
+    from zigchain_indexer_clickhouse_spark.sources.tx_decode import (
+        _registry_blob_hex,
+        _registry_decoded_cols,
+    )
+    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
+        proto_scan_hex,
+    )
+
+    z = F.lit(0).cast("long")
+
+    def with_scan(u, s):
+        cols = _registry_decoded_cols(u, s)
+        decode_ok = (cols["shape_ok"]
+                     & (~cols["needs_amt"] | cols["amt"].isNotNull()))
+        return F.struct(
+            u.alias("type_url"),
+            F.when(decode_ok, F.lit("ok"))
+            .otherwise(F.lit("Unknown message type")).alias("status"),
+            F.coalesce(cols["amt"], z).alias("amt"),
+            F.coalesce(cols["pid"], z).alias("pid"),
+            F.coalesce(cols["yes"], z).alias("yes"),
+            F.coalesce(cols["timeout"], z).alias("timeout"),
+        )
+
+    def with_any(a):
+        u = F.decode(F.unhex(a["ld"][1]), "UTF-8")
+        return F.element_at(
+            F.transform(F.array(proto_scan_hex(a["ld"][2], 8)),
+                        lambda s: with_scan(u, s)),
+            1,
+        )
+
+    return F.element_at(
+        F.transform(F.array(proto_scan_hex(_registry_blob_hex(), 2)),
+                    with_any),
+        1,
+    )
+
+
+@register(
+    "stream_registry_decode",
+    # the batch twin's own oracle: the drained complete-mode aggregate
+    # is deterministic, so the stream carries a REAL value-hash oracle
+    # instead of a rows-only check
+    oracle=_registry_stream_oracle(),
+)
+def stream_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of #187: the full 31-type cosmjs registry decode
+    running LIVE over the event stream — the reference decodes every
+    message as blocks arrive (src/utils/decoder.js:12 inside the
+    worker loop), not in nightly rescans, so the registry dispatch
+    must work as a per-row streaming expression. Each micro-batch
+    synthesizes the wire blob, unwraps the Any, walks the field maps,
+    and dispatches — all stateless per-row column work — then a
+    complete-mode aggregate maintains the (type_url, status) rollup
+    with the same five proofs as the batch twin (Coin amounts through
+    two-deep Any unwraps, varint proposal ids, vote enums, timeout
+    varints).
+
+    Scale shape: the decode adds ZERO streaming state (stateless
+    projection); the only state is the ≤32-group aggregate. The oracle
+    is the batch operator's own oracle, registered under this name
+    too, and equivalence with the batch twin is test-asserted."""
+    s = _read_event_stream(spark, sf_dir)
+    d = _registry_decode_struct()
+    out = (
+        s.select(d.alias("d"))
+        .select("d.type_url", "d.status", "d.amt", "d.pid", "d.yes",
+                "d.timeout")
+        .groupBy("type_url", "status")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum("amt").alias("total_amt"),
+            F.sum("pid").alias("sum_pid"),
+            F.sum("yes").alias("n_yes"),
+            F.sum("timeout").alias("sum_timeout"),
+        )
+    )
+    return _run_append_to_memory(
+        out, "stream_registry_decode", mode="complete"
     )
