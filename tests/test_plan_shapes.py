@@ -80,6 +80,19 @@ def test_blob_decode_at_rest_proves_both_prunings(spark, sf_dir):
     assert "ReadSchema: struct<blob_hex:string>" in scan
 
 
+def test_registry_at_rest_proves_both_prunings(spark, sf_dir):
+    """#23c: the full-registry at-rest decode reaches storage with the
+    same two prunings as #23b — PartitionFilters resolve the whole
+    height predicate, ReadSchema is the blob column alone."""
+    df = _QUERIES["registry_decode_at_rest"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters: [isnotnull(height_bucket" in scan
+    assert "DataFilters: []" in scan
+    assert "ReadSchema: struct<blob_hex:string>" in scan
+
+
 def test_range_split_matches_reference_formula(spark, sf_dir):
     """splitRange parity (orchestrator.js:78-92): parts are contiguous,
     cover [s,e] exactly, and sizes differ by at most 1 with remainder

@@ -781,6 +781,45 @@ def _registry_decoded_cols(u: Column, s: Column) -> dict:
             "shape_ok": s["ok"] & shape_ok, "needs_amt": needs_amt}
 
 
+def registry_decoded_struct(blob_hex: Column) -> Column:
+    """Per-row registry decode of an Any-wrapped wire blob (hex) as ONE
+    bound expression tree — for execution shapes with no persist
+    barriers (streaming, at-rest range reads): each walker fold's
+    output is LAMBDA-BOUND (a one-element ``transform``) before the
+    next fold or the dispatch consumes it, so blob scan → Any scan →
+    field-map scan each evaluate exactly once per row and the 31-type
+    dispatch reads them as map lookups. Returns struct(type_url,
+    status, amt, pid, yes, timeout) with the same outcome keying as
+    the staged batch operator (#187)."""
+    z = F.lit(0).cast("long")
+
+    def with_scan(u, s):
+        cols = _registry_decoded_cols(u, s)
+        decode_ok = (cols["shape_ok"]
+                     & (~cols["needs_amt"] | cols["amt"].isNotNull()))
+        return F.struct(
+            u.alias("type_url"),
+            F.when(decode_ok, F.lit("ok"))
+            .otherwise(F.lit("Unknown message type")).alias("status"),
+            F.coalesce(cols["amt"], z).alias("amt"),
+            F.coalesce(cols["pid"], z).alias("pid"),
+            F.coalesce(cols["yes"], z).alias("yes"),
+            F.coalesce(cols["timeout"], z).alias("timeout"),
+        )
+
+    def with_any(a):
+        u = F.decode(F.unhex(a["ld"][1]), "UTF-8")
+        return F.element_at(
+            F.transform(F.array(proto_scan_hex(a["ld"][2], 8)),
+                        lambda s: with_scan(u, s)),
+            1,
+        )
+
+    return F.element_at(
+        F.transform(F.array(proto_scan_hex(blob_hex, 2)), with_any), 1
+    )
+
+
 # --------------------------------------------------------------------------
 # 187. msg_registry_decode — 31-type registry on the constant-size walker
 # --------------------------------------------------------------------------
@@ -1177,5 +1216,78 @@ def blob_decode_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_msgs"),
             F.sum("amt").alias("total_amt"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 23c. registry_decode_at_rest — the full 31-type registry over
+#      height-pruned blobs at rest
+# --------------------------------------------------------------------------
+@register(
+    "registry_decode_at_rest",
+    oracle=_REGISTRY_ORACLE_SQL.replace(
+        "FROM events)",
+        "FROM events WHERE event_id >= 200 AND event_id < 500)",
+    ),
+)
+def registry_decode_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round's two decode themes composed: the FULL 31-type cosmjs
+    registry dispatch (#187) running over blobs AT REST with
+    storage-side pruning (#23b) — the reference's production read
+    path: raw messages persisted height-partitioned (models.js:118),
+    decoded on read for the asked-for range only (decoder.js:12).
+    Writes one height-bucket-partitioned dataset of the registry's
+    Any blobs beside decoy columns, reads back buckets [2,5) with
+    ``PartitionFilters`` resolving the whole predicate and
+    ``ReadSchema`` pruned to the blob column, then decodes via the
+    shared bound-expression walker (registry_decoded_struct — no
+    persist barriers over an at-rest read; each fold evaluates once
+    per row) and aggregates the same five proofs as #187. The oracle
+    is the batch registry oracle restricted to the same height range,
+    so pruning AND all 31 decode paths are hash-checked together.
+
+    Scale shape: scan bytes ∝ asked-for height range × one column;
+    decode is stateless per-row expression work; one ≤32-group
+    combinable aggregate."""
+    from zigchain_indexer_clickhouse_spark.sources.scratch import scratch_dir
+
+    path = scratch_dir(spark, "registry_at_rest", sf_dir)
+    if not os.path.isdir(path):  # write once per (application, sf_dir)
+        e = load(spark, sf_dir, "events")
+        at_rest = e.select(
+            F.col("event_id").alias("height"),
+            _registry_blob_hex().alias("blob_hex"),
+            # decoy columns: the read side must prune ALL of these
+            "user_id", "event_type", "value", "ts",
+        ).withColumn(
+            "height_bucket",
+            F.floor(F.col("height") / _AT_REST_BUCKET).cast("long"),
+        )
+        (
+            at_rest.repartitionByRange("height_bucket")
+            .write.mode("overwrite")
+            .partitionBy("height_bucket")
+            .parquet(path)
+        )
+
+    lo, hi = 200 // _AT_REST_BUCKET, 500 // _AT_REST_BUCKET
+    back = (
+        spark.read.parquet(path)
+        .filter((F.col("height_bucket") >= lo) & (F.col("height_bucket") < hi))
+        .select("blob_hex")
+    )
+    d = registry_decoded_struct(F.col("blob_hex"))
+    return (
+        back.select(d.alias("d"))
+        .select("d.type_url", "d.status", "d.amt", "d.pid", "d.yes",
+                "d.timeout")
+        .groupBy("type_url", "status")
+        .agg(
+            F.count("*").alias("n_msgs"),
+            F.sum("amt").alias("total_amt"),
+            F.sum("pid").alias("sum_pid"),
+            F.sum("yes").alias("n_yes"),
+            F.sum("timeout").alias("sum_timeout"),
         )
     )

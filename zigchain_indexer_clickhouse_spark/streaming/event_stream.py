@@ -1022,53 +1022,17 @@ def _registry_stream_oracle() -> str:
 
 
 def _registry_decode_struct() -> Column:
-    """Per-row registry decode as ONE bound expression tree — the
-    streaming path has no persist barriers, so instead of the batch
-    operator's four memoized stages, each walker fold's output is
-    LAMBDA-BOUND (a one-element ``transform``) before the next fold or
-    the dispatch consumes it: blob → Any scan → field-map scan each
-    evaluate exactly once per row, and the 31-type dispatch reads them
-    as map lookups. Synthesis and dispatch come verbatim from the
-    batch operator's helpers (sources/tx_decode.py _registry_blob_hex /
-    _registry_decoded_cols), so the stream can never drift from the
-    batch semantics."""
+    """Per-row registry decode over the synthesized blob — delegates to
+    the shared bound-expression decoder (sources/tx_decode.py
+    registry_decoded_struct) over the shared synthesis
+    (_registry_blob_hex), so the stream can never drift from the batch
+    semantics."""
     from zigchain_indexer_clickhouse_spark.sources.tx_decode import (
         _registry_blob_hex,
-        _registry_decoded_cols,
-    )
-    from zigchain_indexer_clickhouse_spark.functions.protobuf import (
-        proto_scan_hex,
+        registry_decoded_struct,
     )
 
-    z = F.lit(0).cast("long")
-
-    def with_scan(u, s):
-        cols = _registry_decoded_cols(u, s)
-        decode_ok = (cols["shape_ok"]
-                     & (~cols["needs_amt"] | cols["amt"].isNotNull()))
-        return F.struct(
-            u.alias("type_url"),
-            F.when(decode_ok, F.lit("ok"))
-            .otherwise(F.lit("Unknown message type")).alias("status"),
-            F.coalesce(cols["amt"], z).alias("amt"),
-            F.coalesce(cols["pid"], z).alias("pid"),
-            F.coalesce(cols["yes"], z).alias("yes"),
-            F.coalesce(cols["timeout"], z).alias("timeout"),
-        )
-
-    def with_any(a):
-        u = F.decode(F.unhex(a["ld"][1]), "UTF-8")
-        return F.element_at(
-            F.transform(F.array(proto_scan_hex(a["ld"][2], 8)),
-                        lambda s: with_scan(u, s)),
-            1,
-        )
-
-    return F.element_at(
-        F.transform(F.array(proto_scan_hex(_registry_blob_hex(), 2)),
-                    with_any),
-        1,
-    )
+    return registry_decoded_struct(_registry_blob_hex())
 
 
 @register(
