@@ -309,3 +309,66 @@ def test_tostartof_family(spark, ch_views):
         "AS m, count(*) AS n FROM ch_q GROUP BY 1, 2"
     )
     assert _rowset(got) == _rowset(exp)
+
+
+def test_tostartofweek_is_sunday_start(spark):
+    """ClickHouse toStartOfWeek defaults to mode 0 = weeks STARTING ON
+    SUNDAY; Spark's date_trunc('WEEK') is Monday-start, so the naive
+    rewrite shifted every Sunday-spanning bucket by a day (r8 ADVICE).
+    Probe one timestamp per weekday across a Sunday boundary."""
+    from datetime import datetime, date
+
+    spark.createDataFrame(
+        [(datetime(2021, 6, d, 12, 0),) for d in range(4, 11)],
+        "ts timestamp",  # Fri 6/4 .. Thu 6/10; 6/6 is a Sunday
+    ).createOrReplaceTempView("ch_week")
+    try:
+        got = {
+            r["ts"].day: r["w"]
+            for r in _run(
+                spark,
+                "SELECT ts, toStartOfWeek(ts) AS w FROM ch_week",
+            ).collect()
+        }
+        # Fri 4th / Sat 5th belong to the week begun Sunday May 30;
+        # Sun 6th STARTS a new week; Mon..Thu ride that Sunday.
+        assert got[4] == date(2021, 5, 30)
+        assert got[5] == date(2021, 5, 30)
+        for d in range(6, 11):
+            assert got[d] == date(2021, 6, 6), d
+    finally:
+        spark.catalog.dropTempView("ch_week")
+
+
+def test_sumif_empty_group_is_zero(spark, ch_views):
+    """sumIf over a group with NO matching row is the type default (0)
+    in ClickHouse, not NULL — the shim's coalesce restores it, while
+    avgIf keeps NULL (documented dialect difference)."""
+    got = {
+        r["status"]: (r["s"], r["a"])
+        for r in _run(
+            spark,
+            "SELECT status, sumIf(v, priority = 2) AS s, "
+            "avgIf(v, priority = 2) AS a FROM ch_q GROUP BY status",
+        ).collect()
+    }
+    assert got["done"] == (20.0, 20.0)
+    assert got["failed"][0] == 0 and got["failed"][1] is None
+    assert got["pending"][0] == 0 and got["pending"][1] is None
+
+
+def test_with_totals_ignores_subquery_group_by(spark, ch_views):
+    """A GROUP BY inside a subquery must NOT anchor the WITH TOTALS
+    rewrite — the r8 regex's lazy .*? matched the FIRST GROUP BY in
+    the string and folded the intervening SQL into the grouping-sets
+    key list."""
+    got = _run(
+        spark,
+        "SELECT status, sum(n) AS sn FROM ("
+        "  SELECT status, priority, count() AS n FROM ch_q"
+        "  GROUP BY status, priority) "
+        "GROUP BY status WITH TOTALS",
+    ).collect()
+    assert len(got) == 4  # 3 statuses + the grand-total row
+    totals = [r for r in got if r["status"] is None]
+    assert len(totals) == 1 and totals[0]["sn"] == 5

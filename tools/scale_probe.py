@@ -228,40 +228,43 @@ def main() -> None:
     # judge queries whose OUTPUT grew linearly on wall-clock alone;
     # output-superlinear queries (planted near-dup growth) are judged
     # on time-per-output-row instead
-    linear = {
-        n: q for n, q in report["queries"].items()
-        if q.get("output_growth", 1.0) <= replicas
-    }
-    worst = max(q["scale_factor"] for q in linear.values())
-    report["worst_scale_factor_linear_output"] = worst
-    superlin = {
-        n: round(q["scale_factor"] / q["output_growth"], 3)
-        for n, q in report["queries"].items()
-        if q.get("output_growth", 1.0) > replicas
-    }
-    report["time_per_output_row_factor_superlinear_output"] = superlin
-    report["verdict"] = (
-        "sublinear-or-linear"
-        if worst <= replicas * 1.2 and all(v <= 1.2 for v in superlin.values())
-        else "SUPERLINEAR"
-    )
+    def _summarize(queries: dict) -> dict:
+        """The tier verdict over a query map — shared by the fresh-run
+        and --merge-tier paths so a merged tier keeps a verdict and a
+        recomputed superlinear map (the r8 merge dropped both), and an
+        all-superlinear query set can't blow up an unguarded max()."""
+        lin = {n: q for n, q in queries.items()
+               if q.get("output_growth", 1.0) <= replicas}
+        worst = max((q["scale_factor"] for q in lin.values()), default=0.0)
+        superlin = {
+            n: round(q["scale_factor"] / q["output_growth"], 3)
+            for n, q in queries.items()
+            if q.get("output_growth", 1.0) > replicas
+        }
+        return {
+            "worst_scale_factor_linear_output": worst,
+            "time_per_output_row_factor_superlinear_output": superlin,
+            "verdict": (
+                "sublinear-or-linear"
+                if worst <= replicas * 1.2
+                and all(v <= 1.2 for v in superlin.values())
+                else "SUPERLINEAR"
+            ),
+        }
+
+    report.update(_summarize(report["queries"]))
+    worst = report["worst_scale_factor_linear_output"]
     if merge_tier and os.path.exists(out):
         # append this tier to the existing report instead of replacing
         # the canonical 10x sweep; re-probes of a subset deep-merge
-        # into the tier's query map
+        # into the tier's query map and the tier summary (worst /
+        # superlinear / verdict) is recomputed over the MERGED set
         base = json.load(open(out))
         key = f"tier_{replicas}x"
         if key in base:
             merged = base[key]
             merged["queries"].update(report["queries"])
-            for k in ("worst_scale_factor_linear_output",
-                      "time_per_output_row_factor_superlinear_output",
-                      "verdict"):
-                merged.pop(k, None)
-            linear = {n: q for n, q in merged["queries"].items()
-                      if q.get("output_growth", 1.0) <= replicas}
-            merged["worst_scale_factor_linear_output"] = max(
-                q["scale_factor"] for q in linear.values())
+            merged.update(_summarize(merged["queries"]))
         else:
             base[key] = report
         report = base

@@ -476,8 +476,17 @@ class IndexerAPI:
                       r"approx_count_distinct(\1)", out)
         out = _re.sub(r"\btoStartOfDay\(([^()]+)\)",
                       r"date_trunc('DAY', \1)", out)
+        # toStartOfWeek defaults to mode 0 = SUNDAY-start weeks in
+        # ClickHouse, while Spark's date_trunc('WEEK', x) is Monday-
+        # start — shift by a day on both sides so the bucket boundary
+        # lands on Sunday (and the result is a DATE, as in CH).
         out = _re.sub(
-            r"\btoStartOf(Minute|Hour|Week|Month)\(([^()]+)\)",
+            r"\btoStartOfWeek\(([^()]+)\)",
+            r"date_sub(date_trunc('WEEK', date_add(\1, 1)), 1)",
+            out,
+        )
+        out = _re.sub(
+            r"\btoStartOf(Minute|Hour|Month)\(([^()]+)\)",
             lambda m: f"date_trunc('{m.group(1).upper()}', {m.group(2)})",
             out,
         )
@@ -485,8 +494,12 @@ class IndexerAPI:
         # GROUP BY modifiers: WITH TOTALS is the one Spark lacks as a
         # postfix — the equivalent is the explicit grouping-sets pair
         # (all keys, grand total); WITH ROLLUP / WITH CUBE parse as-is.
+        # the tempered dot — (?!GROUP\s+BY). — forbids a nested GROUP
+        # BY inside the captured key list, so the rewrite anchors on
+        # the LAST GROUP BY before WITH TOTALS and a subquery's own
+        # grouping can never be folded into the grouping-sets keys
         out = _re.sub(
-            r"GROUP\s+BY\s+(.*?)\s+WITH\s+TOTALS",
+            r"GROUP\s+BY\s+((?:(?!GROUP\s+BY).)*?)\s+WITH\s+TOTALS",
             r"GROUP BY GROUPING SETS ((\1), ())",
             out, flags=_re.IGNORECASE | _re.S,
         )
@@ -522,9 +535,20 @@ class IndexerAPI:
             out,
         )
         # -If combinator family (countIf handled above: Spark has a
-        # native count_if; the rest become agg over a NULL-masked arg)
+        # native count_if; the rest become agg over a NULL-masked arg).
+        # sumIf over a group where NO row satisfies the condition is 0
+        # in ClickHouse (the type default) but sum(NULL...) = NULL in
+        # Spark — coalesce restores the CH default. avgIf/minIf/maxIf
+        # keep the NULL (CH would return nan/0/0 there; like the WITH
+        # TOTALS caveat above, that empty-set corner is documented as
+        # a dialect difference rather than faked with a sentinel that
+        # would corrupt real aggregates).
         out = _re.sub(
-            r"\b(sum|avg|min|max)If\(" + _arg + r",\s*" + _arg + r"\)",
+            r"\bsumIf\(" + _arg + r",\s*" + _arg + r"\)",
+            r"coalesce(sum(IF(\2, \1, NULL)), 0)", out,
+        )
+        out = _re.sub(
+            r"\b(avg|min|max)If\(" + _arg + r",\s*" + _arg + r"\)",
             r"\1(IF(\3, \2, NULL))", out,
         )
         # parameterized aggregates: quantileExact BEFORE quantile (the

@@ -1117,6 +1117,41 @@ def contract_call_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _AT_REST_BUCKET = 100  # heights per partition (reference: intDiv 100k)
 
+_AT_REST_WRITE_LOCK = __import__("threading").Lock()
+
+
+def _write_once_at_rest(df: DataFrame, path: str) -> None:
+    """Materialize ``df`` height-bucket-partitioned at ``path`` exactly
+    once per (application, sf_dir), ATOMICALLY: a bare ``isdir`` gate
+    would treat the debris of a failed/interrupted earlier write as a
+    complete dataset and silently return wrong aggregates. Instead the
+    dataset is written to a temp sibling and committed with one
+    ``os.rename`` — readers ever see either nothing or a directory
+    whose ``_SUCCESS`` marker Spark wrote after the last file (the
+    manifest-pointer discipline of sources/scratch.py, collapsed to
+    the single-table case). A same-application concurrent caller is
+    serialized by the lock; whichever writer commits first wins and
+    the loser's temp dir is discarded."""
+    import shutil
+    import uuid
+
+    if os.path.isfile(os.path.join(path, "_SUCCESS")):
+        return
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    (
+        df.repartitionByRange("height_bucket")
+        .write.mode("overwrite")
+        .partitionBy("height_bucket")
+        .parquet(tmp)
+    )
+    with _AT_REST_WRITE_LOCK:
+        if os.path.isfile(os.path.join(path, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)  # a racer committed
+            return
+        if os.path.isdir(path):  # failed-write debris: never readable
+            shutil.rmtree(path)
+        os.rename(tmp, path)
+
 
 @register(
     "blob_decode_at_rest",
@@ -1159,7 +1194,7 @@ def blob_decode_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zigchain_indexer_clickhouse_spark.sources.scratch import scratch_dir
 
     path = scratch_dir(spark, "blob_at_rest", sf_dir)
-    if not os.path.isdir(path):  # write once per (application, sf_dir)
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         e = load(spark, sf_dir, "events")
         coin = proto_encode_hex(
             pf_str(1, F.lit("uzig")),
@@ -1185,12 +1220,7 @@ def blob_decode_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "height_bucket",
             F.floor(F.col("height") / _AT_REST_BUCKET).cast("long"),
         )
-        (
-            at_rest.repartitionByRange("height_bucket")
-            .write.mode("overwrite")
-            .partitionBy("height_bucket")
-            .parquet(path)
-        )
+        _write_once_at_rest(at_rest, path)
 
     lo, hi = 200 // _AT_REST_BUCKET, 500 // _AT_REST_BUCKET
     back = (
@@ -1253,7 +1283,7 @@ def registry_decode_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zigchain_indexer_clickhouse_spark.sources.scratch import scratch_dir
 
     path = scratch_dir(spark, "registry_at_rest", sf_dir)
-    if not os.path.isdir(path):  # write once per (application, sf_dir)
+    if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         e = load(spark, sf_dir, "events")
         at_rest = e.select(
             F.col("event_id").alias("height"),
@@ -1264,12 +1294,7 @@ def registry_decode_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "height_bucket",
             F.floor(F.col("height") / _AT_REST_BUCKET).cast("long"),
         )
-        (
-            at_rest.repartitionByRange("height_bucket")
-            .write.mode("overwrite")
-            .partitionBy("height_bucket")
-            .parquet(path)
-        )
+        _write_once_at_rest(at_rest, path)
 
     lo, hi = 200 // _AT_REST_BUCKET, 500 // _AT_REST_BUCKET
     back = (
