@@ -56,15 +56,7 @@ HEADLINE = (
 )
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
-    qs = registry.queries()
-
-    # warm the JVM + parquet footers with a trivial action
-    qs["max_height"](spark, sf_dir).collect()
-
+def _run_headline(spark, qs, sf_dir) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # best-of-2: the steady-state cost (second run reuses JVM-warm
@@ -78,6 +70,32 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+    return timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = registry.queries()
+
+    # warm the JVM + parquet footers with a trivial action
+    qs["max_height"](spark, sf_dir).collect()
+
+    # BENCH_r08 postmortem (VERDICT r8 "What's wrong" #1): a snapshot
+    # taken under machine contention misreported the engine by ~40%.
+    # Record the host load so a contaminated run is self-labeling, and
+    # re-run once when the 1-minute load at start says the box was
+    # already busy before we added our own 32 threads.
+    load_before = os.getloadavg()
+    timings = _run_headline(spark, qs, sf_dir)
+    retried = False
+    if load_before[0] > 4.0:  # someone else's work was running
+        print(f"# load {load_before[0]:.1f} at start — re-running once",
+              file=sys.stderr)
+        retried = True
+        second = _run_headline(spark, qs, sf_dir)
+        timings = {k: min(timings[k], second[k]) for k in timings}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -88,6 +106,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "loadavg_at_start": [round(x, 2) for x in load_before],
+                "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
+                "contention_retry": retried,
             }
         )
     )

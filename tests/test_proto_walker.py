@@ -5,6 +5,13 @@ bytes (independent of the encoder), and exercises every fail-closed
 branch: the reference falls back to ``{error: 'Unknown message type',
 raw}`` on any decode miss (src/utils/decoder.js:20-24), so the walker
 must fail LOUD-AND-WHOLE (``ok=false``), never misread shifted bytes.
+
+Round 9 widened the walker to real-chain wire shapes (VERDICT r8
+missing #1/#2): REPEATED length-delimited fields (``ld`` is now
+field_no → array<payload>, wire order), varints of 1-9 bytes (full
+non-negative int64 — 10⁹ heights, 10¹⁸ nanosecond timeouts), fixed32/
+fixed64 capture, and proto3 last-wins merge for repeated scalars. The
+tests below pin each of those against hand-built bytes.
 """
 
 from __future__ import annotations
@@ -38,8 +45,8 @@ def _encode_one(spark, *parts):
 
 
 def test_roundtrip_mixed_fields_and_varint_boundaries(spark):
-    """encode → scan recovers every field, including the 1→2 byte
-    varint boundary (127/128) and the walker's upper bound 16383."""
+    """encode → scan recovers every field across the 1→2→3...→9 byte
+    varint group boundaries (127/128, 16383/16384, 2^35, int64 max)."""
     h = _encode_one(
         spark,
         pf_str(1, F.lit("abc")),
@@ -47,14 +54,20 @@ def test_roundtrip_mixed_fields_and_varint_boundaries(spark):
         pf_varint(3, F.lit(128)),
         pf_varint(4, F.lit(16383)),
         pf_ld(5, F.lit("DEADBEEF")),
+        pf_varint(6, F.lit(16384)),
+        pf_varint(7, F.lit(2 ** 35)),
+        pf_varint(8, F.lit(2 ** 63 - 1)),
     )
     s = _scan_one(spark, h)
     assert s["ok"] is True
-    assert bytes.fromhex(s["ld"][1]).decode() == "abc"
+    assert bytes.fromhex(s["ld"][1][0]).decode() == "abc"
     assert s["vi"][2] == 127
     assert s["vi"][3] == 128
     assert s["vi"][4] == 16383
-    assert s["ld"][5] == "DEADBEEF"
+    assert s["ld"][5] == ["DEADBEEF"]
+    assert s["vi"][6] == 16384
+    assert s["vi"][7] == 2 ** 35
+    assert s["vi"][8] == 2 ** 63 - 1
 
 
 def test_scan_hand_built_wire_bytes(spark):
@@ -68,9 +81,67 @@ def test_scan_hand_built_wire_bytes(spark):
     )
     s = _scan_one(spark, wire.hex().upper())
     assert s["ok"] is True
-    assert bytes.fromhex(s["ld"][1]) == b"abc"
+    assert bytes.fromhex(s["ld"][1][0]) == b"abc"
     assert s["vi"][2] == 300
-    assert s["ld"][3] == "FFEE"
+    assert s["ld"][3] == ["FFEE"]
+
+
+def test_scan_repeated_fields_keep_wire_order(spark):
+    """cosmjs shapes that failed closed through round 8: a repeated
+    length-delimited field (multi-coin amount / MsgMultiSend outputs)
+    collects EVERY occurrence, in wire order."""
+    wire = (
+        bytes([0x0A, 5]) + b"alice"
+        + bytes([0x1A, 5]) + b"coinA"
+        + bytes([0x1A, 5]) + b"coinB"
+        + bytes([0x1A, 5]) + b"coinC"
+    )
+    s = _scan_one(spark, wire.hex().upper())
+    assert s["ok"] is True
+    assert [bytes.fromhex(x).decode() for x in s["ld"][3]] == [
+        "coinA", "coinB", "coinC"
+    ]
+    assert [bytes.fromhex(x).decode() for x in s["ld"][1]] == ["alice"]
+
+
+def test_scan_repeated_scalar_is_last_wins(spark):
+    """proto3 merge semantics for a singular scalar seen twice: the
+    LAST occurrence wins (never a fail-closed, never the first)."""
+    wire = bytes([0x08, 5]) + bytes([0x08, 9])
+    s = _scan_one(spark, wire.hex().upper())
+    assert s["ok"] is True
+    assert s["vi"][1] == 9
+
+
+def test_scan_wide_varints_hand_built(spark):
+    """5- and 9-byte varints against hand-computed groups: 3e9 (a
+    real-chain height/sequence magnitude) and 1.6e18 (a nanosecond
+    IBC timeout)."""
+
+    def enc(n):
+        out = b""
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out += bytes([b | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    wire = bytes([0x08]) + enc(3_000_000_000) \
+        + bytes([0x10]) + enc(1_600_000_000_000_000_000)
+    s = _scan_one(spark, wire.hex().upper())
+    assert s["ok"] is True
+    assert s["vi"][1] == 3_000_000_000
+    assert s["vi"][2] == 1_600_000_000_000_000_000
+
+
+def test_scan_fixed32_and_fixed64_little_endian(spark):
+    wire = bytes([0x0D]) + (0xDEADBEEF).to_bytes(4, "little") \
+        + bytes([0x11]) + (1234567890123456789).to_bytes(8, "little")
+    s = _scan_one(spark, wire.hex().upper())
+    assert s["ok"] is True
+    assert s["vi"][1] == 0xDEADBEEF
+    assert s["vi"][2] == 1234567890123456789
 
 
 def test_encoder_reproduces_hand_built_bytes(spark):
@@ -86,9 +157,9 @@ def test_nested_message_roundtrip(spark):
     outer = _encode_one(spark, pf_str(1, F.lit("zig1u7")), pf_ld(3, F.lit(inner)))
     so = _scan_one(spark, outer)
     assert so["ok"] is True
-    si = _scan_one(spark, so["ld"][3])
+    si = _scan_one(spark, so["ld"][3][0])
     assert si["ok"] is True
-    assert bytes.fromhex(si["ld"][2]).decode() == "42"
+    assert bytes.fromhex(si["ld"][2][0]).decode() == "42"
 
 
 def test_empty_message_is_valid(spark):
@@ -100,14 +171,16 @@ def test_empty_message_is_valid(spark):
 @pytest.mark.parametrize(
     "hex_str",
     [
-        "0D00000000",    # wire type 5 (fixed32)
-        "0900000000000000F0",  # wire type 1 (fixed64)
+        "0D000000",      # fixed32 truncated to 3 bytes
+        "1100000000000000F0",  # fixed64 with the top bit set: > int64
+        "110000000000000000" [:-2],  # fixed64 truncated to 7 bytes
         "0A056162",      # declared length 5, 2 payload bytes (truncated)
         "8001",          # multi-byte tag (field 16) — out of walker range
-        "0A0161" "0A0162",  # duplicate field number
-        "08808001",      # 3-byte varint (16384) — beyond the 2-byte bound
+        "0B",            # wire type 3 (group) — unsupported
+        "0880808080808080808001",  # 10-byte varint (uint64 bit 63 set)
         "0A",            # tag with no varint byte
         "0A0361626364",  # payload longer than declared: cursor misses end
+        "08808080",      # varint with continuation bit running off the end
     ],
 )
 def test_scan_fails_closed(spark, hex_str):
@@ -117,11 +190,14 @@ def test_scan_fails_closed(spark, hex_str):
 
 def test_scan_fails_closed_when_fields_exceed_max(spark):
     """More fields than max_fields: the cursor can't reach the end —
-    fail closed, never a silent truncation."""
+    fail closed, never a silent truncation. Repeats count as fields."""
     parts = [pf_varint(i, F.lit(i)) for i in range(1, 5)]
     h = _encode_one(spark, *parts)
     assert _scan_one(spark, h, max_fields=3)["ok"] is False
     assert _scan_one(spark, h, max_fields=4)["ok"] is True
+    rep = bytes([0x1A, 1, 0x61]) * 3  # field 3 repeated thrice
+    assert _scan_one(spark, rep.hex().upper(), max_fields=2)["ok"] is False
+    assert _scan_one(spark, rep.hex().upper(), max_fields=3)["ok"] is True
 
 
 def test_encoder_raises_on_field_number_above_15(spark):
@@ -131,9 +207,37 @@ def test_encoder_raises_on_field_number_above_15(spark):
         _encode_one(spark, pf_varint(16, F.lit(1)))
 
 
-def test_encoder_raises_on_varint_overflow(spark):
-    with pytest.raises(Exception, match="2-byte varint"):
-        _encode_one(spark, pf_varint(1, F.lit(16384)))
+def test_encoder_raises_on_negative_varint(spark):
+    """Negative int64 needs the 10-byte two's-complement form this
+    writer does not produce: loud failure, never truncated bytes."""
+    with pytest.raises(Exception, match="negative"):
+        _encode_one(spark, pf_varint(1, F.lit(-1)))
+
+
+def test_encoder_matches_python_reference_across_magnitudes(spark):
+    """The widened varint writer against an independent pure-Python
+    protobuf varint encoder at every group boundary."""
+
+    def py_varint(n):
+        out = b""
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out += bytes([b | (0x80 if n else 0)])
+            if not n:
+                return out.hex().upper()
+
+    vals = [0, 1, 127, 128, 16383, 16384, 2097151, 2097152,
+            2 ** 28 - 1, 2 ** 28, 3_000_000_000, 2 ** 35 - 1, 2 ** 35,
+            10 ** 15, 1_600_000_000_000_000_000, 2 ** 62, 2 ** 63 - 1]
+    hs = spark.createDataFrame(
+        [(v,) for v in vals], "n bigint"
+    ).select(
+        "n",
+        proto_encode_hex(pf_varint(1, F.col("n"))).alias("h"),
+    ).collect()
+    for r in hs:
+        assert r["h"] == "08" + py_varint(r["n"]), r["n"]
 
 
 # ---------------------------------------------------------------------------
@@ -147,7 +251,7 @@ def test_encoder_raises_on_varint_overflow(spark):
 def _walk_fields(spark, body_hex):
     s = _scan_one(spark, body_hex, 8)
     assert s["ok"] is True
-    ld = {k: bytes.fromhex(v).decode() for k, v in s["ld"].items()}
+    ld = {k: bytes.fromhex(v[0]).decode() for k, v in s["ld"].items()}
     return ld, dict(s["vi"])
 
 
@@ -167,11 +271,11 @@ def test_walker_agrees_with_msg_send_scanner(spark):
     ).collect()[0]
     pos = row["d"].asDict()
     ld, _vi = _walk_fields(spark, row["h"])
-    coin = _scan_one(spark, _scan_one(spark, row["h"], 8)["ld"][3], 2)
+    coin = _scan_one(spark, _scan_one(spark, row["h"], 8)["ld"][3][0], 2)
     assert ld[1] == pos["from_address"]
     assert ld[2] == pos["to_address"]
-    assert bytes.fromhex(coin["ld"][1]).decode() == pos["denom"]
-    assert bytes.fromhex(coin["ld"][2]).decode() == pos["amount"]
+    assert bytes.fromhex(coin["ld"][1][0]).decode() == pos["denom"]
+    assert bytes.fromhex(coin["ld"][2][0]).decode() == pos["amount"]
 
 
 def test_walker_agrees_with_msg_vote_scanner(spark):
@@ -211,13 +315,13 @@ def test_walker_agrees_with_msg_transfer_scanner(spark):
     pos = row["d"].asDict()
     s = _scan_one(spark, row["h"], 8)
     assert s["ok"] is True
-    assert bytes.fromhex(s["ld"][1]).decode() == pos["source_port"]
-    assert bytes.fromhex(s["ld"][2]).decode() == pos["source_channel"]
-    assert bytes.fromhex(s["ld"][4]).decode() == pos["sender"]
-    assert bytes.fromhex(s["ld"][5]).decode() == pos["receiver"]
+    assert bytes.fromhex(s["ld"][1][0]).decode() == pos["source_port"]
+    assert bytes.fromhex(s["ld"][2][0]).decode() == pos["source_channel"]
+    assert bytes.fromhex(s["ld"][4][0]).decode() == pos["sender"]
+    assert bytes.fromhex(s["ld"][5][0]).decode() == pos["receiver"]
     assert s["vi"][7] == pos["timeout_timestamp"] == 12345
-    coin = _scan_one(spark, s["ld"][3], 2)
-    assert bytes.fromhex(coin["ld"][2]).decode() == pos["amount"]
+    coin = _scan_one(spark, s["ld"][3][0], 2)
+    assert bytes.fromhex(coin["ld"][2][0]).decode() == pos["amount"]
 
 
 def test_walker_agrees_with_msg_redelegate_scanner(spark):
@@ -238,49 +342,57 @@ def test_walker_agrees_with_msg_redelegate_scanner(spark):
     pos = row["d"].asDict()
     s = _scan_one(spark, row["h"], 8)
     assert s["ok"] is True
-    assert bytes.fromhex(s["ld"][1]).decode() == pos["delegator_address"]
-    assert bytes.fromhex(s["ld"][2]).decode() == pos["validator_src_address"]
-    assert bytes.fromhex(s["ld"][3]).decode() == pos["validator_dst_address"]
-    coin = _scan_one(spark, s["ld"][4], 2)
-    assert bytes.fromhex(coin["ld"][2]).decode() == pos["amount"]
+    assert bytes.fromhex(s["ld"][1][0]).decode() == pos["delegator_address"]
+    assert bytes.fromhex(s["ld"][2][0]).decode() == pos["validator_src_address"]
+    assert bytes.fromhex(s["ld"][3][0]).decode() == pos["validator_dst_address"]
+    coin = _scan_one(spark, s["ld"][4][0], 2)
+    assert bytes.fromhex(coin["ld"][2][0]).decode() == pos["amount"]
 
 
 # ---------------------------------------------------------------------------
 # Property: encode→scan is the identity over random field sets inside
-# the walker's documented range (fields ≤ 15, varints < 16384, any
-# payload bytes) — hypothesis drives the shapes, Spark does the work.
+# the walker's widened range (fields ≤ 15, varints 0..int64 max, any
+# payload bytes, REPEATED length-delimited fields) — hypothesis drives
+# the shapes, Spark does the work. Every wire field costs a step, so
+# max_fields is sized to the total occurrence count.
 # ---------------------------------------------------------------------------
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 _field = st.one_of(
-    st.tuples(st.just("vi"), st.integers(min_value=0, max_value=16383)),
+    st.tuples(st.just("vi"),
+              st.integers(min_value=0, max_value=2 ** 63 - 1)),
     st.tuples(st.just("str"), st.text(
         alphabet=st.characters(codec="ascii", min_codepoint=32,
                                max_codepoint=126),
         max_size=40,
     )),
-    st.tuples(st.just("ld"), st.binary(max_size=40)),
+    st.tuples(st.just("ld"), st.lists(st.binary(max_size=40),
+                                      min_size=1, max_size=3)),
 )
 
 
 @settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.dictionaries(st.integers(min_value=1, max_value=15), _field,
-                       min_size=0, max_size=8))
+                       min_size=0, max_size=6))
 def test_property_roundtrip_random_field_sets(spark, fields):
-    parts = []
+    parts, n_wire_fields = [], 0
     for fno in sorted(fields):
         kind, v = fields[fno]
         if kind == "vi":
             parts.append(pf_varint(fno, F.lit(v)))
+            n_wire_fields += 1
         elif kind == "str":
             parts.append(pf_str(fno, F.lit(v)))
+            n_wire_fields += 1
         else:
-            parts.append(pf_ld(fno, F.lit(v.hex().upper())))
+            for payload in v:  # repeated occurrences, wire order
+                parts.append(pf_ld(fno, F.lit(payload.hex().upper())))
+                n_wire_fields += 1
     h = _encode_one(spark, *parts) if parts else ""
-    s = _scan_one(spark, h)
+    s = _scan_one(spark, h, max_fields=max(n_wire_fields, 1))
     assert s["ok"] is True
     got_vi = dict(s["vi"])
     got_ld = dict(s["ld"])
@@ -289,7 +401,7 @@ def test_property_roundtrip_random_field_sets(spark, fields):
         if kind == "vi":
             assert got_vi[fno] == v
         elif kind == "str":
-            assert bytes.fromhex(got_ld[fno]).decode() == v
+            assert bytes.fromhex(got_ld[fno][0]).decode() == v
         else:
-            assert got_ld[fno] == v.hex().upper()
+            assert got_ld[fno] == [x.hex().upper() for x in v]
     assert len(got_vi) + len(got_ld) == len(fields)

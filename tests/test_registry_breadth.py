@@ -125,22 +125,25 @@ def test_vote_and_delegate_fail_closed_not_shifted(spark):
 
 
 def test_registry_decode_populations_and_outcome_dispatch(spark):
-    """msg_registry_decode at sf0.001: thirty-two (type_url, status)
-    rows (thirty-one registered types + fallback); only the unregistered
+    """msg_registry_decode at sf0.001: thirty-seven (type_url, status)
+    rows (thirty-six registered types + fallback); only the unregistered
     custom type takes the fallback; decoded aggregates are all
-    non-trivial (amounts from eight embedded-Coin paths — including
-    the TWO-deep Any unwraps inside authz MsgExec and feegrant
-    MsgGrantAllowance and MsgCreateValidator's field-7 self-delegation
-    — plus the wasm JSON amount; varint proposal ids from vote AND
-    deposit; enum yes-votes; IBC timeout + vesting end_time varints;
-    the coin-less bodies decode ok with zero amount by design)."""
+    non-trivial (amounts from repeated-Coin sums — 2-coin MsgSend,
+    2-output MsgMultiSend, gov v1 deposits, the repeated-Any messages
+    of gov v1 MsgSubmitProposal — the TWO-deep Any unwraps inside
+    authz MsgExec and feegrant MsgGrantAllowance,
+    MsgCreateValidator's field-7 self-delegation, plus the wasm JSON
+    amount; varint proposal ids from four vote/deposit types; enum
+    yes-votes; 5- and 9-byte wide-varint timeouts from IBC transfer,
+    recv/ack/timeout packets and vesting; the coin-less bodies decode
+    ok with zero amount by design)."""
     from zigchain_indexer_clickhouse_spark.plans import registry
 
     rows = {
         r["type_url"]: r
         for r in registry.queries()["msg_registry_decode"](spark, SF).collect()
     }
-    assert len(rows) == 32
+    assert len(rows) == 37
     assert rows["/zigchain.custom.v1.MsgCustom"]["status"] == (
         "Unknown message type"
     )
@@ -163,6 +166,8 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         "/cosmos.vesting.v1beta1.MsgCreatePermanentLockedAccount",
         "/cosmos.vesting.v1beta1.MsgCreatePeriodicVestingAccount",
         "/cosmwasm.wasm.v1.MsgInstantiateContract",
+        "/cosmos.gov.v1.MsgDeposit",
+        "/cosmos.gov.v1.MsgSubmitProposal",
     )
     for url in amt_urls:
         assert rows[url]["status"] == "ok"
@@ -180,6 +185,9 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         "/ibc.core.client.v1.MsgUpdateClient",
         "/ibc.core.channel.v1.MsgRecvPacket",
         "/cosmos.crisis.v1beta1.MsgVerifyInvariant",
+        "/cosmos.gov.v1.MsgVote",
+        "/ibc.core.channel.v1.MsgAcknowledgement",
+        "/ibc.core.channel.v1.MsgTimeout",
     )
     for url in coinless:
         assert rows[url]["status"] == "ok"
@@ -201,3 +209,9 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
     assert rp["sum_timeout"] > 0  # timeout recovered from NESTED Packet
     pv = rows["/cosmos.vesting.v1beta1.MsgCreatePeriodicVestingAccount"]
     assert pv["sum_timeout"] > 0  # start_time varints
+    v1v = rows["/cosmos.gov.v1.MsgVote"]
+    assert v1v["sum_pid"] > 0 and 0 < v1v["n_yes"] < v1v["n_msgs"]
+    assert rows["/cosmos.gov.v1.MsgDeposit"]["sum_pid"] > 0
+    for u in ("/ibc.core.channel.v1.MsgAcknowledgement",
+              "/ibc.core.channel.v1.MsgTimeout"):
+        assert rows[u]["sum_timeout"] > 0  # 9-byte packet timeouts

@@ -263,7 +263,7 @@ def test_stream_uniq_up_to_matches_batch_twin(spark, sf_dir):
 
 
 def test_stream_registry_decode_matches_batch_twin(spark, sf_dir):
-    """The live 31-type registry rollup equals the batch operator's —
+    """The live 36-type registry rollup equals the batch operator's —
     same synthesis, same dispatch (shared helpers), different
     execution shape (per-row bound expressions + complete-mode agg vs
     four memoized stages)."""
@@ -280,4 +280,4 @@ def test_stream_registry_decode_matches_batch_twin(spark, sf_dir):
         tuple(r[c] for c in cols)
         for r in qs["msg_registry_decode"](spark, sf_dir).collect()
     }
-    assert stream == batch and len(batch) == 32
+    assert stream == batch and len(batch) == 37
