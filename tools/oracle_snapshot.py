@@ -12,6 +12,16 @@ local correctness gate on exactly the changed/added operators — so an
 oracle-semantics change cannot reach a commit without a same-session
 green gate line for that operator.
 
+The snapshot is also the single home of RE-VERIFICATION POLICY
+(VERDICT r8 item 8 — this superseded the registry's hardcoded
+`_REVERIFY_R04/_R06` frozensets): each entry records
+``reverify_after`` — the highest driver round whose CORRECTNESS rows
+describe the OLD semantics. A driver row only counts as verification
+for ordering purposes when its round is greater, so a query whose
+oracle just changed drops back into the never-verified-first tier
+until the driver re-draws it, even though ``--update`` already
+re-gated it locally.
+
 Usage:
     python tools/oracle_snapshot.py                # report drift
     python tools/oracle_snapshot.py --update [sf_dir]   # gate + rewrite
@@ -46,16 +56,37 @@ def current_hashes() -> dict[str, str]:
     return out
 
 
-def load_snapshot() -> dict[str, str]:
+def load_snapshot() -> dict[str, dict]:
+    """Snapshot entries: {name: {"hash": str, "reverify_after": int}}.
+    Legacy flat-string entries (pre-r9) migrate in memory with
+    reverify_after 0."""
     if not os.path.exists(SNAPSHOT):
         return {}
     with open(SNAPSHOT) as f:
-        return json.load(f)
+        raw = json.load(f)
+    return {
+        n: (v if isinstance(v, dict) else {"hash": v, "reverify_after": 0})
+        for n, v in raw.items()
+    }
 
 
-def drift(cur: dict[str, str], snap: dict[str, str]) -> list[str]:
+def drift(cur: dict[str, str], snap: dict[str, dict]) -> list[str]:
     """Names whose oracle text changed or that are new since snapshot."""
-    return [n for n, h in cur.items() if snap.get(n) != h]
+    return [n for n, h in cur.items()
+            if snap.get(n, {}).get("hash") != h]
+
+
+def max_artifact_round() -> int:
+    """Highest round number among the repo's CORRECTNESS_r*.json —
+    rows at or below it predate any oracle change made this session."""
+    import glob
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [int(m.group(1))
+              for f in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+              if (m := re.search(r"r(\d+)", os.path.basename(f)))]
+    return max(rounds, default=0)
 
 
 def main() -> int:
@@ -91,11 +122,23 @@ def main() -> int:
         if proc.returncode != 0:
             print("GATE FAILED — snapshot NOT updated")
             return proc.returncode
+    # Changed names get reverify_after = the current max artifact
+    # round: every existing driver row predates the new semantics, so
+    # only a LATER round's green row re-verifies them for ordering.
+    cutoff = max_artifact_round()
+    out = {
+        n: {
+            "hash": h,
+            "reverify_after": (cutoff if n in changed
+                               else snap[n]["reverify_after"]),
+        }
+        for n, h in cur.items()
+    }
     with open(SNAPSHOT, "w") as f:
-        json.dump(cur, f, indent=0, sort_keys=True)
+        json.dump(out, f, indent=0, sort_keys=True)
         f.write("\n")
-    print(f"snapshot updated: {len(cur)} oracles "
-          f"({len(changed)} re-gated green)")
+    print(f"snapshot updated: {len(out)} oracles "
+          f"({len(changed)} re-gated green, reverify_after={cutoff})")
     return 0
 
 

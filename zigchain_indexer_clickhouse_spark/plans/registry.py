@@ -65,32 +65,6 @@ _MODULES = (
 
 _loaded = False
 
-# Names that already hold a green row in CORRECTNESS_r01.json (baked-in
-# fallback; _verified_names() below extends it from every
-# CORRECTNESS_r*.json found in the repo root). The driver's per-round
-# gate stopped after the first 50 registration-order entries in round
-# 1, leaving the rest formally unverified; queries() therefore yields
-# never-verified names FIRST so a capped gate spends its budget where
-# no hard signal exists yet (VERDICT.md round 1, item "Next round #1").
-_VERIFIED_R01 = frozenset({
-    "ann_cosine_topk", "ann_lsh_bucketed", "attr_flatten", "attrs_kv",
-    "attrs_map", "db_stats", "dedup_clusters", "dedup_exact",
-    "dedup_exact_substring", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_simhash", "doc_fingerprint", "duplicate_ranges",
-    "embedding_centroids", "embedding_near_dup", "event_explode",
-    "failed_block_backoff", "gap_detection", "height_partition",
-    "index_state_latest", "ingest_blocks", "lang_id", "looping_ranges",
-    "max_height", "maybe_b64_decode", "message_actions",
-    "monitor_health_report", "overlapping_ranges", "pending_work_topn",
-    "q1_pricing_summary", "q3_top_unshipped", "q5_local_volume",
-    "quality_score", "queue_status_counts", "range_split",
-    "recent_activity", "replacing_dedup", "semdedup", "sessionize",
-    "stale_detection", "tfidf_top_terms", "time_bucket_rollup",
-    "token_count", "top_users_by_value", "tx_decode", "tx_hash",
-    "tx_hash_lookup", "type_route_message", "type_route_wasm",
-})
-
-
 # Queries measured ≥2s at sf0.01 (gate profile, round 2): table writes,
 # streaming drains, iterative clustering. Deferred within their tier so
 # a time-capped gate verifies the most entries per second.
@@ -123,31 +97,26 @@ _EXPENSIVE = frozenset({
 _verified_cache: frozenset[str] | None = None
 
 
-# Queries whose SEMANTICS or verification tier changed in round 4
-# (semdedup cluster capping wired into the engine path, ANN
-# multi-probe, the streaming source's micros-generation fix, and every
-# streaming query upgraded from rows-only to oracle-backed) — rows
-# from rounds BEFORE 4 describe the old behavior or the weaker check,
-# so only a round-4-or-later green row re-verifies them.
-_REVERIFY_R04 = frozenset({
-    "semdedup",
-    "ann_lsh_bucketed",
-    "ann_ivf_coarse",
-    "stream_sessionize",
-    "stream_mv_daily",
-    "stream_user_state",
-    "stream_agg_states",
-    "stream_event_counts",
-    "stream_dedup",
-    "stream_type_route",
-    "stream_static_enrich",
-    "stream_block_ingest",
-})
+def _reverify_after() -> dict[str, int]:
+    """Per-query re-verification cutoffs from the oracle snapshot —
+    the single source of truth for semantics-change policy (this
+    replaced the r1-r6 hardcoded frozensets, VERDICT r8 item 8).
+    ``oracle_snapshot.py --update`` stamps a changed oracle with the
+    round whose artifacts predate it; a driver row only counts as
+    verification when its round is GREATER."""
+    import json
+    from pathlib import Path
 
-# Semantics changed in round 6: approx_sketch_stats went from rows-only
-# to oracle-backed (exact columns + in-query bound flags), so only a
-# round-6-or-later green row re-verifies it.
-_REVERIFY_R06 = frozenset({"approx_sketch_stats"})
+    snap = (Path(__file__).resolve().parents[2]
+            / "tools" / "oracle_snapshot.json")
+    try:
+        raw = json.loads(snap.read_text())
+    except (OSError, ValueError):
+        return {}
+    return {
+        n: (v.get("reverify_after", 0) if isinstance(v, dict) else 0)
+        for n, v in raw.items()
+    }
 
 
 def _row_is_green(v: dict) -> bool:
@@ -163,9 +132,10 @@ def _verified_names() -> frozenset[str]:
     (per-query latest: each query's most recent round wins — a
     hash-failed row keeps the query in the never-verified tier until a
     LATER round records it green, even if that round's capped sample
-    skipped it). The baked-in round-1 set seeds queries whose artifacts
-    aren't shipped with the source tree; _REVERIFY_R04 names need a
-    round >= 4 green row because their semantics changed in round 4."""
+    skipped it) AND whose round is past the oracle snapshot's
+    ``reverify_after`` cutoff — a query whose oracle semantics changed
+    since its last driver row drops back into the never-verified-first
+    tier until the driver re-draws it."""
     global _verified_cache
     if _verified_cache is not None:
         return _verified_cache
@@ -191,17 +161,11 @@ def _verified_names() -> frozenset[str]:
             prev = latest_row.get(k)
             if prev is None or rnd >= prev[0]:
                 latest_row[k] = (rnd, _row_is_green(v))
+    cutoff = _reverify_after()
     names = {
         k for k, (rnd, green) in latest_row.items()
-        if green
-        and (k not in _REVERIFY_R04 or rnd >= 4)
-        and (k not in _REVERIFY_R06 or rnd >= 6)
+        if green and rnd > cutoff.get(k, 0)
     }
-    # baked-in round-1 fallback: only for queries with NO artifact row
-    names.update(
-        k for k in _VERIFIED_R01
-        if k not in latest_row and k not in _REVERIFY_R04
-    )
     _verified_cache = frozenset(names)
     return _verified_cache
 
