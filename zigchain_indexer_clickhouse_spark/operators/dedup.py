@@ -30,6 +30,26 @@ from zigchain_indexer_clickhouse_spark.functions.hashing import (
 )
 from zigchain_indexer_clickhouse_spark.plans.registry import register
 
+
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut an iterative DataFrame's lineage. Default: localCheckpoint
+    (executor-resident — fastest, but blocks die with their executor
+    and truncated lineage cannot recompute). With
+    SPARK_GRAFT_CHECKPOINT_DIR set, a RELIABLE checkpoint to that
+    directory instead (HDFS/object store on a real cluster): executor
+    loss mid-iteration replays from storage. Output is identical either
+    way — RESILIENCE.json's reliable_checkpoint entry proves it on the
+    same query."""
+    import os
+
+    ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckdir:
+        sc = df.sparkSession.sparkContext
+        if not sc.getCheckpointDir():
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
 MINHASH_K = 8  # signature length
 LSH_BANDS = 4  # bands of 2 rows each
 
@@ -767,10 +787,13 @@ def propagate_components(
             # checkpoint the logical plan grows exponentially and the
             # driver OOMs analyzing it by round ~8 (the standard
             # iterative-DataFrame failure mode; GraphFrames does the
-            # same). localCheckpoint keeps the data on executors; a
-            # real cluster job would point this at a reliable
-            # checkpoint dir instead.
-            .localCheckpoint(eager=True)
+            # same). Default localCheckpoint keeps the data on
+            # executors (fast, but an executor loss mid-iteration is
+            # unrecoverable — the truncated lineage can't recompute);
+            # set SPARK_GRAFT_CHECKPOINT_DIR for the cluster-grade
+            # reliable checkpoint (same results, RESILIENCE.json
+            # reliable_checkpoint entry).
+            .transform(_truncate_lineage)
         )
         # convergence checksum — one count + one hash-sum in a single
         # job over the checkpointed rows
