@@ -69,14 +69,38 @@ def _byte_at(h: Column, pos) -> Column:
 
 
 def _varint_hex(n: Column) -> Column:
+    """Protobuf varint of ``n`` as hex — 1 byte below 128, 2 bytes
+    (little-endian 7-bit groups, continuation bit on the first) up to
+    16383. This is the POSITIONAL-ENCODER writer: those encoders copy
+    every subtree into 2^fields positions of the expression tree, so
+    it must stay tiny (the r9 wide writer inlined here took one
+    round-trip test from seconds to 510 s and OOM'd the suite's JVM).
+    Their synthesis domain never exceeds 2 bytes; beyond it, fail LOUD
+    (never silently truncated bytes). The full-range writer is
+    :func:`_varint_hex_wide`, used where parts are lambda-bound."""
+    lo = F.lpad(F.hex(F.pmod(n, 128) + 128), 2, "0")
+    hi = F.lpad(F.hex(F.floor(n / 128).cast("int")), 2, "0")
+    return (
+        F.when(n < 128, F.lpad(F.hex(n), 2, "0"))
+        .when(n < 16384, F.concat(lo, hi))
+        # LOUD failure, not a NULL that concat would swallow into a
+        # silently-dropped row
+        .otherwise(F.raise_error(F.lit("protobuf length exceeds 2-byte varint")))
+    )
+
+
+def _varint_hex_wide(n: Column) -> Column:
     """Protobuf varint of ``n`` as hex — little-endian 7-bit groups,
     continuation bit on every group but the last, 1..9 bytes covering
     the full non-negative int64 range (real-chain heights, sequence
-    numbers and nanosecond timeouts need 5-9 bytes; the 2-byte cap this
-    had through round 8 was the #2 fidelity gap in VERDICT r8).
-    Negative values would need the 10-byte two's-complement form this
-    writer does not produce — fail LOUD, never silently truncated
-    bytes a decoder would misparse."""
+    numbers and nanosecond timeouts need 5-9 bytes; the 2-byte cap
+    through round 8 was the #2 fidelity gap in VERDICT r8). ~40 nodes,
+    so callers must reference it through a lambda binding (the
+    proto_encode_hex fold does — its parts are lambda variables), NOT
+    from the positional encoders whose trees copy subtrees 2^fields
+    times. Negative values would need the 10-byte two's-complement
+    form this writer does not produce — fail LOUD, never silently
+    truncated bytes a decoder would misparse."""
     nn = n.cast("bigint")
     parts = []
     for i in range(9):
@@ -1022,9 +1046,10 @@ def proto_encode_hex(*parts: Column) -> Column:
                     F.lit("protobuf field number exceeds single-byte tag")
                 )
             ),
-            F.when(p["wt"] == 0, _varint_hex(p["vi"])).otherwise(
+            F.when(p["wt"] == 0, _varint_hex_wide(p["vi"])).otherwise(
                 F.concat(
-                    _varint_hex((F.length(p["ld"]) / 2).cast("int")), p["ld"]
+                    _varint_hex_wide((F.length(p["ld"]) / 2).cast("int")),
+                    p["ld"],
                 )
             ),
         ),

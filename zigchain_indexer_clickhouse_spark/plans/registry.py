@@ -86,7 +86,9 @@ _EXPENSIVE = frozenset({
     "winnowing_fingerprint",  # gram hashing + fp pair join
     "source_overlap_matrix",  # per-source shingle vocabulary join
     "curation_funnel",  # doc-keyed 2-gram agg dominates
-    "msg_registry_decode",  # five encoder branches to compile + persist
+    "msg_registry_decode",  # 40-branch synthesis + walker stages
+    "stream_registry_decode",  # streaming drain + registry synthesis
+    "registry_decode_at_rest",  # one-time partitioned dataset write
     "pagerank_dupgraph",  # five chained iterations over the pair graph
     "compaction_binpack",  # two table writes + read-back audit
     "dedup_incremental",  # two shingle stages + band join + verify
