@@ -61,7 +61,7 @@ _tagged = st.lists(
     bytes([min(f << 3 | w, 255)])
     + (_pyvarint(v) if w == 0
        else _pyvarint(len(p)) + p if w == 2
-       else v.to_bytes(4, "little") if w == 5
+       else (v % (1 << 32)).to_bytes(4, "little") if w == 5
        else (v % (1 << 64)).to_bytes(8, "little") if w == 1
        else p)
     for f, w, p, v in fs
