@@ -135,6 +135,36 @@ def test_scan_wide_varints_hand_built(spark):
     assert s["vi"][2] == 1_600_000_000_000_000_000
 
 
+def test_scan_two_byte_tags_hand_built(spark):
+    """Fields 16..2047 carry a 2-byte tag varint — hand-build one of
+    each shape (varint, length-delimited, fixed32) and a field-2047
+    boundary case; the encoder stays single-byte (synthesis never
+    emits them), so these bytes come from the test's own tag math."""
+
+    def enc_varint(n):
+        out = b""
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            out += bytes([b | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def tag(f, w):
+        return enc_varint(f << 3 | w)
+
+    wire = (
+        tag(16, 0) + enc_varint(300)
+        + tag(100, 2) + bytes([3]) + b"abc"
+        + tag(2047, 5) + (0xCAFEBABE).to_bytes(4, "little")
+    )
+    s = _scan_one(spark, wire.hex().upper())
+    assert s["ok"] is True
+    assert s["vi"][16] == 300
+    assert [bytes.fromhex(x) for x in s["ld"][100]] == [b"abc"]
+    assert s["vi"][2047] == 0xCAFEBABE
+
+
 def test_scan_fixed32_and_fixed64_little_endian(spark):
     wire = bytes([0x0D]) + (0xDEADBEEF).to_bytes(4, "little") \
         + bytes([0x11]) + (1234567890123456789).to_bytes(8, "little")
@@ -175,7 +205,9 @@ def test_empty_message_is_valid(spark):
         "1100000000000000F0",  # fixed64 with the top bit set: > int64
         "110000000000000000" [:-2],  # fixed64 truncated to 7 bytes
         "0A056162",      # declared length 5, 2 payload bytes (truncated)
-        "8001",          # multi-byte tag (field 16) — out of walker range
+        "8001",          # 2-byte tag (field 16) with no field bytes after
+        "808001" + "05",  # 3-byte tag (field > 2047) — out of range
+        "0005",          # field 0 — not legal wire
         "0B",            # wire type 3 (group) — unsupported
         "0880808080808080808001",  # 10-byte varint (uint64 bit 63 set)
         "0A",            # tag with no varint byte
@@ -351,7 +383,7 @@ def test_walker_agrees_with_msg_redelegate_scanner(spark):
 
 # ---------------------------------------------------------------------------
 # Property: encode→scan is the identity over random field sets inside
-# the walker's widened range (fields ≤ 15, varints 0..int64 max, any
+# the walker's widened range (fields ≤ 15 via the encoder path, varints 0..int64 max, any
 # payload bytes, REPEATED length-delimited fields) — hypothesis drives
 # the shapes, Spark does the work. Every wire field costs a step, so
 # max_fields is sized to the total occurrence count.

@@ -47,18 +47,20 @@ def _spark_scan(spark, data: bytes, max_fields: int):
 
 
 # biased byte soup: valid-looking tags mixed with garbage so the
-# generator actually reaches deep parse states, not just instant fails
+# generator actually reaches deep parse states, not just instant fails;
+# fields range past 2047 so 1-byte, 2-byte AND out-of-range 3-byte tag
+# varints all occur
 _wire = st.binary(max_size=60)
 _tagged = st.lists(
     st.tuples(
-        st.integers(min_value=1, max_value=18),   # field (16+ = bad tag)
+        st.integers(min_value=0, max_value=2300),  # 0 and >2047 = bad
         st.sampled_from([0, 1, 2, 3, 5]),          # wire type (3 = bad)
         st.binary(max_size=12),
         st.integers(min_value=0, max_value=2 ** 64 - 1),
     ),
     max_size=5,
 ).map(lambda fs: b"".join(
-    bytes([min(f << 3 | w, 255)])
+    _pyvarint(f << 3 | w)
     + (_pyvarint(v) if w == 0
        else _pyvarint(len(p)) + p if w == 2
        else (v % (1 << 32)).to_bytes(4, "little") if w == 5

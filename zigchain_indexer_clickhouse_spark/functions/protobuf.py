@@ -782,7 +782,8 @@ def proto_scan_hex(h: Column, max_fields: int = 8) -> Column:
     occurrence takes the LAST value (proto3 merge semantics for
     singular scalars). ``ok`` is true only for a clean walk:
 
-    - every tag a single byte (field ≤ 15) — wider tags fail closed;
+    - tags of 1-2 bytes (fields 1..2047 — every field number a Cosmos
+      message uses); 3-byte tags and field 0 fail closed;
     - wire types 0 (varint, 1-9 bytes ≤ int64 max — a 10-byte varint,
       i.e. a uint64 with bit 63 set, fails closed), 2 (len-delimited,
       any length that fits the blob), 5 (fixed32 → ``vi``, little-
@@ -847,22 +848,31 @@ def _proto_scan_hex_bound(h: Column, max_fields: int) -> Column:
     def step(acc: Column, _elem: Column) -> Column:
         pos = acc["pos"]
         done = pos > n
-        tag = _byte_at(h, pos)
-        fno = F.floor(tag / 8).cast("int")
-        wt = tag % 8
+        # 1- or 2-byte TAG varint (fields ≤ 2047 — covers every proto
+        # field number a Cosmos message uses; 3-byte tags fail closed
+        # below via tv >= 16384, which is exactly "t1 carries a
+        # continuation bit"). t0/t1 NULL (reads past the blob) poison
+        # tv to NULL, which the coalesced bad-check turns into a fail.
+        t0 = _byte_at(h, pos)
+        t1 = _byte_at(h, pos + 2)
+        tv_expr = F.when(t0 < 128, t0).otherwise((t0 - 128) + t1 * 128)
+        tl_expr = F.when(t0 < 128, F.lit(2)).otherwise(F.lit(4))
         # Expressions are TREES, not DAGs: every Python-level reference
         # below would copy its subtree into the plan, and the body
         # references the bytes ~30×, nb ~15× and v ~6× — unbound, that
         # multiplies to a >250 MiB task binary once the registry nests
         # 14 of these scans (measured OOM, and a second driver OOM at
         # ~3× r8 tree size from the stream's one-tree plan). Bind the
-        # nine post-tag bytes as ONE struct, then nb, then v, each as
-        # a lambda variable (the proto_scan_hex one-element-transform
-        # discipline) so the step stays a few hundred nodes regardless
-        # of reference count.
-        bytes_struct = F.struct(*[
-            _byte_at(h, pos + 2 + 2 * i).alias(f"b{i}") for i in range(9)
-        ])
+        # tag value/length and the nine post-tag bytes as ONE struct,
+        # then nb, then v, each as a lambda variable (the
+        # proto_scan_hex one-element-transform discipline) so the step
+        # stays a few hundred nodes regardless of reference count.
+        bytes_struct = F.struct(
+            tv_expr.alias("tv"),
+            tl_expr.alias("tl"),
+            *[_byte_at(h, pos + tl_expr + 2 * i).alias(f"b{i}")
+              for i in range(9)],
+        )
 
         def with_bytes(bs: Column) -> Column:
             vb = [bs[f"b{i}"] for i in range(9)]
@@ -893,8 +903,12 @@ def _proto_scan_hex_bound(h: Column, max_fields: int) -> Column:
                     F.shiftleft((vb[i] % 128).cast("bigint"), 7 * i),
                 ).otherwise(F.lit(0).cast("bigint"))
 
+            tl = bs["tl"]
+            fno = F.floor(bs["tv"] / 8).cast("int")
+            wt = bs["tv"] % 8
+
             def with_v(v: Column) -> Column:
-                hdr = 2 + nb * 2        # tag + varint, hex chars
+                hdr = tl + nb * 2       # tag + varint, hex chars
                 end0 = pos + hdr        # first hex pos AFTER a wt=0 field
                 end2 = pos + hdr + v * 2  # ... AFTER a wt=2 field
                 payload = F.substr(h, pos + hdr, v * 2)
@@ -914,14 +928,15 @@ def _proto_scan_hex_bound(h: Column, max_fields: int) -> Column:
                 # NULL-safe: any unreadable byte makes a comparison
                 # NULL, and a NULL `bad` must mean bad
                 bad = F.coalesce(
-                    (pos + 3 > n)              # tag + at least one byte
-                    | (tag >= 128)             # multi-byte tag (field > 15)
+                    (pos + tl + 1 > n)         # tag + at least one byte
+                    | (bs["tv"] >= 16384)      # 3-byte tag (field > 2047)
+                    | (fno < 1)                # field 0 is not legal wire
                     | ~wt.isin(0, 1, 2, 5)     # unsupported wire type
                     | (wt.isin(0, 2)
-                       & (nb.isNull() | (pos + 1 + 2 * nb > n)))
+                       & (nb.isNull() | (pos + tl - 1 + 2 * nb > n)))
                     | ((wt == 2) & (end2 - 1 > n))  # payload overrun
-                    | ((wt == 5) & (pos + 9 > n))
-                    | ((wt == 1) & ((pos + 17 > n) | (vb[7] >= 128))),
+                    | ((wt == 5) & (pos + tl + 7 > n))
+                    | ((wt == 1) & ((pos + tl + 15 > n) | (vb[7] >= 128))),
                     F.lit(True),
                 )
                 appended = F.concat(
@@ -948,8 +963,8 @@ def _proto_scan_hex_bound(h: Column, max_fields: int) -> Column:
                 new_pos = (
                     F.when(wt == 0, end0)
                     .when(wt == 2, end2)
-                    .when(wt == 5, pos + 10)
-                    .otherwise(pos + 18)
+                    .when(wt == 5, pos + tl + 8)
+                    .otherwise(pos + tl + 16)
                     .cast("int")
                 )
                 return F.when(

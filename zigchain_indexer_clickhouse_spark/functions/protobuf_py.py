@@ -39,26 +39,40 @@ def walk(data: bytes, max_fields: int = 8):
     occurrence wins; fixed32/fixed64 little-endian land here too).
     ``ok`` is False — and the maps are whatever was parsed before the
     failure, exactly like the expression walker's fail-closed struct —
-    on: a multi-byte tag (field > 15), wire types 3/4, a varint past 9
-    bytes or overrunning the blob, a fixed64 with the top bit set, a
-    declared length outside the blob, more fields than ``max_fields``,
-    or a cursor that misses the exact end."""
+    on: a 3-byte tag (field > 2047) or field 0, wire types 3/4, a
+    varint past 9 bytes or overrunning the blob, a fixed64 with the
+    top bit set, a declared length outside the blob, more fields than
+    ``max_fields``, or a cursor that misses the exact end."""
     ld: dict[int, list[bytes]] = {}
     vi: dict[int, int] = {}
     pos, n = 0, len(data)
     steps = 0
     while pos < n:
         steps += 1
-        if steps > max_fields or pos + 2 > n:
+        if steps > max_fields:
             return False, ld, vi
-        tag = data[pos]
-        if tag >= 128:
+        # 1- or 2-byte tag varint (fields 1..2047)
+        t0 = data[pos]
+        if t0 < 128:
+            tag = t0
+            pos += 1
+        else:
+            if pos + 2 > n:
+                return False, ld, vi
+            t1 = data[pos + 1]
+            if t1 >= 128:  # 3-byte tag: field > 2047
+                return False, ld, vi
+            tag = (t0 & 0x7F) | (t1 << 7)
+            pos += 2
+        if pos >= n:  # tag with no field bytes
             return False, ld, vi
         fno, wt = tag >> 3, tag & 7
+        if fno < 1:
+            return False, ld, vi
         if wt in (0, 2):
-            v, shift, i = 0, 0, pos + 1
+            v, shift, i = 0, 0, pos
             while True:
-                if i >= n or i - pos > 9:
+                if i >= n or i - pos >= 9:
                     return False, ld, vi
                 b = data[i]
                 v |= (b & 0x7F) << shift
@@ -77,15 +91,15 @@ def walk(data: bytes, max_fields: int = 8):
                 ld.setdefault(fno, []).append(data[i:i + v])
                 pos = i + v
         elif wt == 5:
-            if pos + 5 > n:
+            if pos + 4 > n:
                 return False, ld, vi
-            vi[fno] = int.from_bytes(data[pos + 1:pos + 5], "little")
-            pos += 5
+            vi[fno] = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
         elif wt == 1:
-            if pos + 9 > n or data[pos + 8] >= 128:
+            if pos + 8 > n or data[pos + 7] >= 128:
                 return False, ld, vi
-            vi[fno] = int.from_bytes(data[pos + 1:pos + 9], "little")
-            pos += 9
+            vi[fno] = int.from_bytes(data[pos:pos + 8], "little")
+            pos += 8
         else:
             return False, ld, vi
     return pos == n, ld, vi

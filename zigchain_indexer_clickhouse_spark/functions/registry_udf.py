@@ -26,3 +26,21 @@ def make_registry_udf(urls: dict, struct_type: str):
         return pd.DataFrame(rows, columns=_COLS)
 
     return _decode
+
+
+def make_registry_map_fn(urls: dict):
+    """mapInPandas twin of :func:`make_registry_udf` — a PLAN NODE
+    rather than a UDF expression. The streaming micro-batch planner
+    failed to extract the scalar-UDF expression when its input was the
+    full 40-branch synthesis tree (measured INTERNAL_ERROR "Cannot
+    evaluate expression: _decode(...)" — the UDF reached a task
+    unextracted); mapInPandas has no extraction step to fail. Consumes
+    a ``blob_hex`` column, yields the decoded columns."""
+
+    def _fn(batches):
+        for pdf in batches:
+            rows = [registry_decode_py(bytes.fromhex(h), urls)
+                    for h in pdf["blob_hex"]]
+            yield pd.DataFrame(rows, columns=_COLS)
+
+    return _fn

@@ -465,7 +465,15 @@ def _registry_blob_hex() -> Column:
     (2-coin MsgSend, 2-output MsgMultiSend, gov v1 deposits and the
     repeated-Any messages of gov v1 MsgSubmitProposal) and wide
     varints (5-byte transfer timeouts, 9-byte nanosecond packet
-    timeouts, 5-byte next_sequence_recv)."""
+    timeouts, 5-byte next_sequence_recv).
+
+    The shared sub-messages are LAMBDA-BOUND in two layers (coins /
+    Description, then MsgSend body / Packet / Height) before the
+    40-branch CASE references them: coin alone rides in ~20 bodies
+    and the 2-coin send body in three (authz MsgExec and twice in
+    gov v1 submit), so unbound they multiply the plan the same way
+    the walker step did — the r9 vanilla-session (1 GiB) stream run
+    died on exactly that headroom."""
     kind = (F.col("event_id") % _REGISTRY_MOD).cast("int")
     uid = F.col("user_id").cast("string")
     user = F.concat(F.lit("zig1u"), uid)
@@ -483,243 +491,273 @@ def _registry_blob_hex() -> Column:
     tout = (F.col("event_id") % 10000).cast("bigint")
     xfer_tout = F.lit(_XFER_TOUT_BASE).cast("bigint") + tout
     pkt_tout = F.lit(_PKT_TOUT_BASE).cast("bigint") + tout
-    coin = proto_encode_hex(pf_str(1, F.lit("uzig")), pf_str(2, amt_s))
-    coin2 = proto_encode_hex(pf_str(1, F.lit("uatom")), pf_str(2, amt1_s))
-    desc = proto_encode_hex(pf_str(1, F.concat(
-        F.lit("val-"), (F.col("user_id") % 50).cast("string"))))
 
-    # TWO-coin amount: the repeated field number 3 appears twice —
-    # exactly the multi-coin MsgSend cosmjs produces and the r8 walker
-    # failed closed on
-    send_body = proto_encode_hex(
-        pf_str(1, user), pf_str(2, recipient),
-        pf_ld(3, coin), pf_ld(3, coin2))
-    exec_body = proto_encode_hex(
-        pf_str(1, user),
-        pf_str(2, F.concat(F.lit("zig1w"),
-                           (F.col("event_id") % 7).cast("string"))),
-        pf_str(3, F.concat(F.lit('{"transfer":{"amount":"'),
-                           amt_s, F.lit('"}}'))),
+    shared1 = F.struct(
+        proto_encode_hex(pf_str(1, F.lit("uzig")),
+                         pf_str(2, amt_s)).alias("coin"),
+        proto_encode_hex(pf_str(1, F.lit("uatom")),
+                         pf_str(2, amt1_s)).alias("coin2"),
+        proto_encode_hex(pf_str(1, F.concat(
+            F.lit("val-"),
+            (F.col("user_id") % 50).cast("string")))).alias("desc"),
     )
-    delegate_body = proto_encode_hex(
-        pf_str(1, user), pf_str(2, val_a), pf_ld(3, coin))
-    vote_body = proto_encode_hex(
-        pf_varint(1, pid), pf_str(2, user),
-        pf_varint(3, F.col("user_id") % 4 + 1))
-    transfer_body = proto_encode_hex(
-        pf_str(1, F.lit("transfer")),
-        pf_str(2, F.concat(F.lit("channel-"),
-                           (F.col("event_id") % 11).cast("string"))),
-        pf_ld(3, coin), pf_str(4, user),
-        pf_str(5, F.concat(F.lit("cosmos1r"), uid)),
-        pf_varint(7, xfer_tout),   # 5-byte wire varint
-    )
-    withdraw_body = proto_encode_hex(pf_str(1, user), pf_str(2, val_a))
-    redelegate_body = proto_encode_hex(
-        pf_str(1, user), pf_str(2, val_a), pf_str(3, val_b),
-        pf_ld(4, coin))
-    setwithdraw_body = proto_encode_hex(
-        pf_str(1, user),
-        pf_str(2, F.concat(F.lit("zig1w"),
-                           (F.col("user_id") % 97).cast("string"))))
-    deposit_body = proto_encode_hex(
-        pf_varint(1, pid), pf_str(2, user), pf_ld(3, coin))
-    # authz Grant{authorization: Any(StakeAuthorization)} — nested
-    # message inside an Any inside the MsgGrant body
-    auth_any = proto_encode_hex(
-        pf_str(1, F.lit(_STAKE_AUTH_URL)),
-        pf_ld(2, proto_encode_hex(pf_varint(4, F.lit(1)))))
-    grant_body = proto_encode_hex(
-        pf_str(1, user), pf_str(2, grantee),
-        pf_ld(3, proto_encode_hex(pf_ld(1, auth_any))))
-    # authz MsgExec carries a REGISTERED message as its payload —
-    # the inner Any is a full MsgSend the decode side must unwrap
-    send_any = proto_encode_hex(
-        pf_str(1, F.lit(_MSG_SEND_URL)), pf_ld(2, send_body))
-    authz_exec_body = proto_encode_hex(
-        pf_str(1, grantee), pf_ld(2, send_any))
-    revoke_body = proto_encode_hex(
-        pf_str(1, user), pf_str(2, grantee),
-        pf_str(3, F.lit(_MSG_SEND_URL)))
-    allow_any = proto_encode_hex(
-        pf_str(1, F.lit(_BASIC_ALLOWANCE_URL)),
-        pf_ld(2, proto_encode_hex(pf_ld(1, coin))))
-    grant_allow_body = proto_encode_hex(
-        pf_str(1, user), pf_str(2, grantee), pf_ld(3, allow_any))
-    revoke_allow_body = proto_encode_hex(
-        pf_str(1, user), pf_str(2, grantee))
-    unjail_body = proto_encode_hex(pf_str(1, val_a))
-    create_val_body = proto_encode_hex(
-        pf_ld(1, desc), pf_str(3, F.lit("1")), pf_str(4, user),
-        pf_str(5, val_a), pf_ld(7, coin))
-    edit_val_body = proto_encode_hex(
-        pf_ld(1, desc), pf_str(2, val_a),
-        pf_str(3, F.lit("0.100000000000000000")), pf_str(4, F.lit("1")))
-    vesting_body = proto_encode_hex(
-        pf_str(1, user), pf_str(2, recipient), pf_ld(3, coin),
-        pf_varint(4, tout))
-    # MsgMultiSend with one 2-coin Input and TWO Outputs — the real
-    # repeated-field shape (inputs sum equals outputs sum, as the bank
-    # module requires: amt + (amt+1) each side)
-    multisend_body = proto_encode_hex(
-        pf_ld(1, proto_encode_hex(pf_str(1, user), pf_ld(2, coin),
-                                  pf_ld(2, coin2))),
-        pf_ld(2, proto_encode_hex(pf_str(1, recipient), pf_ld(2, coin))),
-        pf_ld(2, proto_encode_hex(pf_str(1, F.concat(F.lit("zig1d"), uid)),
-                                  pf_ld(2, coin2))),
-    )
-    cancel_unbond_body = proto_encode_hex(
-        pf_str(1, user), pf_str(2, val_a), pf_ld(3, coin),
-        pf_varint(4, tout))   # creation_height
-    fund_pool_body = proto_encode_hex(
-        pf_ld(1, coin), pf_str(2, user))
-    withdraw_comm_body = proto_encode_hex(pf_str(1, val_a))
-    vote_weighted_body = proto_encode_hex(
-        pf_varint(1, pid), pf_str(2, user),
-        pf_ld(3, proto_encode_hex(
-            pf_varint(1, F.col("user_id") % 4 + 1),
-            pf_str(2, F.lit("1.000000000000000000")))),
-    )
-    text_prop_any = proto_encode_hex(
-        pf_str(1, F.lit(_TEXT_PROPOSAL_URL)),
-        pf_ld(2, proto_encode_hex(
-            pf_str(1, F.concat(F.lit("prop-"),
-                               (F.col("event_id") % 100)
-                               .cast("string"))),
-            pf_str(2, F.lit("synthetic text proposal")))),
-    )
-    submit_prop_body = proto_encode_hex(
-        pf_ld(1, text_prop_any), pf_ld(2, coin), pf_str(3, user))
-    # IBC client update: header rides as a nested Any
-    update_client_body = proto_encode_hex(
-        pf_str(1, F.concat(F.lit("07-tendermint-"),
-                           (F.col("user_id") % 5).cast("string"))),
-        pf_ld(2, proto_encode_hex(
-            pf_str(1, F.lit(_TM_HEADER_URL)),
-            pf_ld(2, proto_encode_hex(pf_varint(1, tout))))),
-    )
-    # IBC packet receive: a 7-field nested Packet (sequence, route
-    # strings, opaque data, trailing timeout varint) + proof bytes
-    # + a Height pair + the relayer signer
-    packet = proto_encode_hex(
-        pf_varint(1, F.col("event_id") % 1000),
-        pf_str(2, F.lit("transfer")),
-        pf_str(3, F.concat(F.lit("channel-"),
-                           (F.col("event_id") % 11).cast("string"))),
-        pf_str(4, F.lit("transfer")),
-        pf_str(5, F.concat(F.lit("channel-"),
-                           (F.col("event_id") % 7).cast("string"))),
-        pf_ld(6, F.hex(F.concat(F.lit("pkt:"), uid).cast("binary"))),
-        pf_varint(8, pkt_tout),   # nanosecond timeout: 9-byte varint
-    )
-    recv_packet_body = proto_encode_hex(
-        pf_ld(1, packet),
-        pf_ld(2, F.hex(F.lit("proof").cast("binary"))),
-        pf_ld(3, proto_encode_hex(pf_varint(1, F.lit(1)),
-                                  pf_varint(2, tout))),
-        pf_str(4, user),
-    )
-    perm_locked_body = proto_encode_hex(
-        pf_str(1, user), pf_str(2, recipient), pf_ld(3, coin))
-    # periodic vesting: start_time varint + ONE Period{length, coin}
-    periodic_vest_body = proto_encode_hex(
-        pf_str(1, user), pf_str(2, recipient), pf_varint(3, tout),
-        pf_ld(4, proto_encode_hex(pf_varint(1, F.lit(86)),
-                                  pf_ld(2, coin))),
-    )
-    instantiate_body = proto_encode_hex(
-        pf_str(1, user),
-        pf_str(2, F.concat(F.lit("zig1adm"),
-                           (F.col("user_id") % 9).cast("string"))),
-        pf_varint(3, F.col("event_id") % 500),
-        pf_str(4, F.concat(F.lit("contract-"),
-                           (F.col("event_id") % 7).cast("string"))),
-        pf_str(5, F.concat(F.lit('{"count":"'), amt_s, F.lit('"}'))),
-        pf_ld(6, coin),
-    )
-    verify_invariant_body = proto_encode_hex(
-        pf_str(1, user), pf_str(2, F.lit("bank")),
-        pf_str(3, F.lit("nonnegative-outstanding")))
-    # gov v1 (vs v1beta1): vote carries metadata; deposit's amount is
-    # genuinely multi-coin; submit_proposal embeds REPEATED Any
-    # messages (two full 2-coin MsgSends) instead of a content Any
-    gov_v1_vote_body = proto_encode_hex(
-        pf_varint(1, pid), pf_str(2, user),
-        pf_varint(3, F.col("user_id") % 4 + 1),
-        pf_str(4, F.lit("v1-vote-metadata")))
-    gov_v1_deposit_body = proto_encode_hex(
-        pf_varint(1, pid), pf_str(2, user),
-        pf_ld(3, coin), pf_ld(3, coin2))
-    # send_any is defined above (authz MsgExec's inner message)
-    gov_v1_submit_body = proto_encode_hex(
-        pf_ld(1, send_any), pf_ld(1, send_any),
-        pf_ld(2, coin2), pf_str(3, user))
-    height = proto_encode_hex(pf_varint(1, F.lit(1)), pf_varint(2, tout))
-    ack_body = proto_encode_hex(
-        pf_ld(1, packet),
-        pf_ld(2, F.hex(F.lit("ack-ok").cast("binary"))),
-        pf_ld(3, F.hex(F.lit("proofA").cast("binary"))),
-        pf_ld(4, height),
-        pf_str(5, user))
-    timeout_body = proto_encode_hex(
-        pf_ld(1, packet),
-        pf_ld(2, F.hex(F.lit("proofU").cast("binary"))),
-        pf_ld(3, height),
-        pf_varint(4, xfer_tout + 1),   # next_sequence_recv: 5-byte
-        pf_str(5, user))
-    custom_body = F.hex(
-        F.concat(F.lit("custom:"), F.col("event_id").cast("string"))
-        .cast("binary"))
 
-    body = (
-        F.when(kind == 0, send_body)
-        .when(kind == 1, exec_body)
-        .when(kind == 2, delegate_body)
-        .when(kind == 3, vote_body)
-        .when(kind == 4, transfer_body)
-        .when(kind == 5, delegate_body)      # undelegate: same wire
-        .when(kind == 6, withdraw_body)      # shape, distinct typeUrl
-        .when(kind == 7, redelegate_body)
-        .when(kind == 8, setwithdraw_body)
-        .when(kind == 9, deposit_body)
-        .when(kind == 10, grant_body)
-        .when(kind == 11, authz_exec_body)
-        .when(kind == 12, revoke_body)
-        .when(kind == 13, grant_allow_body)
-        .when(kind == 14, revoke_allow_body)
-        .when(kind == 15, unjail_body)
-        .when(kind == 16, create_val_body)
-        .when(kind == 17, edit_val_body)
-        .when(kind == 18, vesting_body)
-        .when(kind == 19, multisend_body)
-        .when(kind == 20, cancel_unbond_body)
-        .when(kind == 21, fund_pool_body)
-        .when(kind == 22, withdraw_comm_body)
-        .when(kind == 23, vote_weighted_body)
-        .when(kind == 24, submit_prop_body)
-        .when(kind == 25, update_client_body)
-        .when(kind == 26, recv_packet_body)
-        .when(kind == 27, perm_locked_body)
-        .when(kind == 28, periodic_vest_body)
-        .when(kind == 29, instantiate_body)
-        .when(kind == 30, verify_invariant_body)
-        .when(kind == 31, gov_v1_vote_body)
-        .when(kind == 32, gov_v1_deposit_body)
-        .when(kind == 33, gov_v1_submit_body)
-        .when(kind == 34, ack_body)
-        .when(kind == 35, timeout_body)
-        .otherwise(custom_body)
-    )
-    # the url array is padded with the unknown url up to the modulus so
-    # element_at never goes out of range (ANSI would throw)
-    url = F.element_at(
-        F.array(*[F.lit(x) for x in _REGISTRY_URLS],
-                *[F.lit(_UNKNOWN_URL)
-                  for _ in range(_REGISTRY_MOD - len(_REGISTRY_URLS))]),
-        kind + 1,
-    )
-    any_hex = proto_encode_hex(pf_str(1, url), pf_ld(2, body))
-    return any_hex
+    def with_shared1(c1: Column) -> Column:
+        coin, coin2, desc = c1["coin"], c1["coin2"], c1["desc"]
+        # TWO-coin amount: the repeated field number 3 appears twice —
+        # exactly the multi-coin MsgSend cosmjs produces and the r8
+        # walker failed closed on
+        shared2 = F.struct(
+            proto_encode_hex(
+                pf_str(1, user), pf_str(2, recipient),
+                pf_ld(3, coin), pf_ld(3, coin2)).alias("send_body"),
+            # IBC Packet: a 7-field nested message (sequence, route
+            # strings, opaque data, trailing nanosecond timeout — a
+            # 9-byte wire varint) shared by recv/ack/timeout
+            proto_encode_hex(
+                pf_varint(1, F.col("event_id") % 1000),
+                pf_str(2, F.lit("transfer")),
+                pf_str(3, F.concat(F.lit("channel-"),
+                                   (F.col("event_id") % 11)
+                                   .cast("string"))),
+                pf_str(4, F.lit("transfer")),
+                pf_str(5, F.concat(F.lit("channel-"),
+                                   (F.col("event_id") % 7)
+                                   .cast("string"))),
+                pf_ld(6, F.hex(F.concat(F.lit("pkt:"), uid)
+                               .cast("binary"))),
+                pf_varint(8, pkt_tout),
+            ).alias("packet"),
+            proto_encode_hex(pf_varint(1, F.lit(1)),
+                             pf_varint(2, tout)).alias("height"),
+        )
+
+        def with_shared2(c2: Column) -> Column:
+            send_body = c2["send_body"]
+            packet = c2["packet"]
+            height = c2["height"]
+            exec_body = proto_encode_hex(
+                pf_str(1, user),
+                pf_str(2, F.concat(F.lit("zig1w"),
+                                   (F.col("event_id") % 7).cast("string"))),
+                pf_str(3, F.concat(F.lit('{"transfer":{"amount":"'),
+                                   amt_s, F.lit('"}}'))),
+            )
+            delegate_body = proto_encode_hex(
+                pf_str(1, user), pf_str(2, val_a), pf_ld(3, coin))
+            vote_body = proto_encode_hex(
+                pf_varint(1, pid), pf_str(2, user),
+                pf_varint(3, F.col("user_id") % 4 + 1))
+            transfer_body = proto_encode_hex(
+                pf_str(1, F.lit("transfer")),
+                pf_str(2, F.concat(F.lit("channel-"),
+                                   (F.col("event_id") % 11).cast("string"))),
+                pf_ld(3, coin), pf_str(4, user),
+                pf_str(5, F.concat(F.lit("cosmos1r"), uid)),
+                pf_varint(7, xfer_tout),   # 5-byte wire varint
+            )
+            withdraw_body = proto_encode_hex(
+                pf_str(1, user), pf_str(2, val_a))
+            redelegate_body = proto_encode_hex(
+                pf_str(1, user), pf_str(2, val_a), pf_str(3, val_b),
+                pf_ld(4, coin))
+            setwithdraw_body = proto_encode_hex(
+                pf_str(1, user),
+                pf_str(2, F.concat(F.lit("zig1w"),
+                                   (F.col("user_id") % 97).cast("string"))))
+            deposit_body = proto_encode_hex(
+                pf_varint(1, pid), pf_str(2, user), pf_ld(3, coin))
+            # authz Grant{authorization: Any(StakeAuthorization)} —
+            # nested message inside an Any inside the MsgGrant body
+            auth_any = proto_encode_hex(
+                pf_str(1, F.lit(_STAKE_AUTH_URL)),
+                pf_ld(2, proto_encode_hex(pf_varint(4, F.lit(1)))))
+            grant_body = proto_encode_hex(
+                pf_str(1, user), pf_str(2, grantee),
+                pf_ld(3, proto_encode_hex(pf_ld(1, auth_any))))
+            # authz MsgExec carries a REGISTERED message as its payload
+            # — the inner Any is a full MsgSend the decode side must
+            # unwrap; gov v1 submit embeds it TWICE as repeated Any
+            send_any = proto_encode_hex(
+                pf_str(1, F.lit(_MSG_SEND_URL)), pf_ld(2, send_body))
+            authz_exec_body = proto_encode_hex(
+                pf_str(1, grantee), pf_ld(2, send_any))
+            revoke_body = proto_encode_hex(
+                pf_str(1, user), pf_str(2, grantee),
+                pf_str(3, F.lit(_MSG_SEND_URL)))
+            allow_any = proto_encode_hex(
+                pf_str(1, F.lit(_BASIC_ALLOWANCE_URL)),
+                pf_ld(2, proto_encode_hex(pf_ld(1, coin))))
+            grant_allow_body = proto_encode_hex(
+                pf_str(1, user), pf_str(2, grantee), pf_ld(3, allow_any))
+            revoke_allow_body = proto_encode_hex(
+                pf_str(1, user), pf_str(2, grantee))
+            unjail_body = proto_encode_hex(pf_str(1, val_a))
+            create_val_body = proto_encode_hex(
+                pf_ld(1, desc), pf_str(3, F.lit("1")), pf_str(4, user),
+                pf_str(5, val_a), pf_ld(7, coin))
+            edit_val_body = proto_encode_hex(
+                pf_ld(1, desc), pf_str(2, val_a),
+                pf_str(3, F.lit("0.100000000000000000")),
+                pf_str(4, F.lit("1")))
+            vesting_body = proto_encode_hex(
+                pf_str(1, user), pf_str(2, recipient), pf_ld(3, coin),
+                pf_varint(4, tout))
+            # MsgMultiSend with one 2-coin Input and TWO Outputs — the
+            # real repeated-field shape (inputs sum equals outputs sum,
+            # as the bank module requires: amt + (amt+1) each side)
+            multisend_body = proto_encode_hex(
+                pf_ld(1, proto_encode_hex(pf_str(1, user), pf_ld(2, coin),
+                                          pf_ld(2, coin2))),
+                pf_ld(2, proto_encode_hex(pf_str(1, recipient),
+                                          pf_ld(2, coin))),
+                pf_ld(2, proto_encode_hex(
+                    pf_str(1, F.concat(F.lit("zig1d"), uid)),
+                    pf_ld(2, coin2))),
+            )
+            cancel_unbond_body = proto_encode_hex(
+                pf_str(1, user), pf_str(2, val_a), pf_ld(3, coin),
+                pf_varint(4, tout))   # creation_height
+            fund_pool_body = proto_encode_hex(
+                pf_ld(1, coin), pf_str(2, user))
+            withdraw_comm_body = proto_encode_hex(pf_str(1, val_a))
+            vote_weighted_body = proto_encode_hex(
+                pf_varint(1, pid), pf_str(2, user),
+                pf_ld(3, proto_encode_hex(
+                    pf_varint(1, F.col("user_id") % 4 + 1),
+                    pf_str(2, F.lit("1.000000000000000000")))),
+            )
+            text_prop_any = proto_encode_hex(
+                pf_str(1, F.lit(_TEXT_PROPOSAL_URL)),
+                pf_ld(2, proto_encode_hex(
+                    pf_str(1, F.concat(F.lit("prop-"),
+                                       (F.col("event_id") % 100)
+                                       .cast("string"))),
+                    pf_str(2, F.lit("synthetic text proposal")))),
+            )
+            submit_prop_body = proto_encode_hex(
+                pf_ld(1, text_prop_any), pf_ld(2, coin), pf_str(3, user))
+            # IBC client update: header rides as a nested Any
+            update_client_body = proto_encode_hex(
+                pf_str(1, F.concat(F.lit("07-tendermint-"),
+                                   (F.col("user_id") % 5).cast("string"))),
+                pf_ld(2, proto_encode_hex(
+                    pf_str(1, F.lit(_TM_HEADER_URL)),
+                    pf_ld(2, proto_encode_hex(pf_varint(1, tout))))),
+            )
+            recv_packet_body = proto_encode_hex(
+                pf_ld(1, packet),
+                pf_ld(2, F.hex(F.lit("proof").cast("binary"))),
+                pf_ld(3, height),
+                pf_str(4, user),
+            )
+            perm_locked_body = proto_encode_hex(
+                pf_str(1, user), pf_str(2, recipient), pf_ld(3, coin))
+            # periodic vesting: start_time varint + ONE Period
+            periodic_vest_body = proto_encode_hex(
+                pf_str(1, user), pf_str(2, recipient), pf_varint(3, tout),
+                pf_ld(4, proto_encode_hex(pf_varint(1, F.lit(86)),
+                                          pf_ld(2, coin))),
+            )
+            instantiate_body = proto_encode_hex(
+                pf_str(1, user),
+                pf_str(2, F.concat(F.lit("zig1adm"),
+                                   (F.col("user_id") % 9).cast("string"))),
+                pf_varint(3, F.col("event_id") % 500),
+                pf_str(4, F.concat(F.lit("contract-"),
+                                   (F.col("event_id") % 7).cast("string"))),
+                pf_str(5, F.concat(F.lit('{"count":"'), amt_s,
+                                   F.lit('"}'))),
+                pf_ld(6, coin),
+            )
+            verify_invariant_body = proto_encode_hex(
+                pf_str(1, user), pf_str(2, F.lit("bank")),
+                pf_str(3, F.lit("nonnegative-outstanding")))
+            # gov v1 (vs v1beta1): vote carries metadata; deposit's
+            # amount is genuinely multi-coin; submit_proposal embeds
+            # REPEATED Any messages (two full 2-coin MsgSends) instead
+            # of a content Any
+            gov_v1_vote_body = proto_encode_hex(
+                pf_varint(1, pid), pf_str(2, user),
+                pf_varint(3, F.col("user_id") % 4 + 1),
+                pf_str(4, F.lit("v1-vote-metadata")))
+            gov_v1_deposit_body = proto_encode_hex(
+                pf_varint(1, pid), pf_str(2, user),
+                pf_ld(3, coin), pf_ld(3, coin2))
+            gov_v1_submit_body = proto_encode_hex(
+                pf_ld(1, send_any), pf_ld(1, send_any),
+                pf_ld(2, coin2), pf_str(3, user))
+            ack_body = proto_encode_hex(
+                pf_ld(1, packet),
+                pf_ld(2, F.hex(F.lit("ack-ok").cast("binary"))),
+                pf_ld(3, F.hex(F.lit("proofA").cast("binary"))),
+                pf_ld(4, height),
+                pf_str(5, user))
+            timeout_body = proto_encode_hex(
+                pf_ld(1, packet),
+                pf_ld(2, F.hex(F.lit("proofU").cast("binary"))),
+                pf_ld(3, height),
+                pf_varint(4, xfer_tout + 1),   # next_sequence_recv
+                pf_str(5, user))
+            custom_body = F.hex(
+                F.concat(F.lit("custom:"), F.col("event_id").cast("string"))
+                .cast("binary"))
+
+            body = (
+                F.when(kind == 0, send_body)
+                .when(kind == 1, exec_body)
+                .when(kind == 2, delegate_body)
+                .when(kind == 3, vote_body)
+                .when(kind == 4, transfer_body)
+                .when(kind == 5, delegate_body)   # undelegate: same
+                .when(kind == 6, withdraw_body)   # wire, distinct url
+                .when(kind == 7, redelegate_body)
+                .when(kind == 8, setwithdraw_body)
+                .when(kind == 9, deposit_body)
+                .when(kind == 10, grant_body)
+                .when(kind == 11, authz_exec_body)
+                .when(kind == 12, revoke_body)
+                .when(kind == 13, grant_allow_body)
+                .when(kind == 14, revoke_allow_body)
+                .when(kind == 15, unjail_body)
+                .when(kind == 16, create_val_body)
+                .when(kind == 17, edit_val_body)
+                .when(kind == 18, vesting_body)
+                .when(kind == 19, multisend_body)
+                .when(kind == 20, cancel_unbond_body)
+                .when(kind == 21, fund_pool_body)
+                .when(kind == 22, withdraw_comm_body)
+                .when(kind == 23, vote_weighted_body)
+                .when(kind == 24, submit_prop_body)
+                .when(kind == 25, update_client_body)
+                .when(kind == 26, recv_packet_body)
+                .when(kind == 27, perm_locked_body)
+                .when(kind == 28, periodic_vest_body)
+                .when(kind == 29, instantiate_body)
+                .when(kind == 30, verify_invariant_body)
+                .when(kind == 31, gov_v1_vote_body)
+                .when(kind == 32, gov_v1_deposit_body)
+                .when(kind == 33, gov_v1_submit_body)
+                .when(kind == 34, ack_body)
+                .when(kind == 35, timeout_body)
+                .otherwise(custom_body)
+            )
+            # the url array is padded with the unknown url up to the
+            # modulus so element_at never goes out of range (ANSI
+            # would throw)
+            url = F.element_at(
+                F.array(*[F.lit(x) for x in _REGISTRY_URLS],
+                        *[F.lit(_UNKNOWN_URL)
+                          for _ in range(_REGISTRY_MOD
+                                         - len(_REGISTRY_URLS))]),
+                kind + 1,
+            )
+            return proto_encode_hex(pf_str(1, url), pf_ld(2, body))
+
+        return F.element_at(
+            F.transform(F.array(shared2), with_shared2), 1)
+
+    return F.element_at(F.transform(F.array(shared1), with_shared1), 1)
 
 
 def _registry_decoded_cols(u: Column, s: Column) -> dict:
@@ -1036,6 +1074,21 @@ def registry_decoded_struct_py(blob_hex: Column) -> Column:
 
     return make_registry_udf(dict(_REGISTRY_URL_KEYS),
                              _REGISTRY_STRUCT_TYPE)(blob_hex)
+
+
+def registry_decoded_df_py(df: DataFrame) -> DataFrame:
+    """DataFrame-level volume decode: ``df`` carries a ``blob_hex``
+    column; returns the decoded (type_url, status, amt, pid, yes,
+    timeout) rows via ``mapInPandas`` — the execution shape for
+    STREAMING plans, where the scalar-UDF expression form failed
+    micro-batch extraction over the full synthesis tree (see
+    registry_udf.make_registry_map_fn)."""
+    from zigchain_indexer_clickhouse_spark.functions.registry_udf import (
+        make_registry_map_fn,
+    )
+
+    return df.mapInPandas(make_registry_map_fn(dict(_REGISTRY_URL_KEYS)),
+                          schema=_REGISTRY_STRUCT_TYPE)
 
 
 def registry_decoded_struct_for(blob_hex: Column) -> Column:

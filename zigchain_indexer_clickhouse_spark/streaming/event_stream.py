@@ -1021,25 +1021,6 @@ def _registry_stream_oracle() -> str:
     return _REGISTRY_ORACLE_SQL
 
 
-def _registry_decode_struct() -> Column:
-    """Per-row registry decode over the synthesized blob — delegates to
-    the shared decode dispatch (sources/tx_decode.py
-    registry_decoded_struct_for) over the shared synthesis
-    (_registry_blob_hex), so the stream can never drift from the batch
-    semantics. Default execution shape is the Arrow-batched Python
-    walker (registry_udf.py): the expression walker's one-tree stream
-    plan is interpreted per row AND drove a measured driver OOM at the
-    r9 tree size — a stateless pandas projection is the streaming
-    volume path (the brief's 'drop to Pandas UDF where built-ins
-    genuinely can't express it efficiently' case)."""
-    from zigchain_indexer_clickhouse_spark.sources.tx_decode import (
-        _registry_blob_hex,
-        registry_decoded_struct_for,
-    )
-
-    return registry_decoded_struct_for(_registry_blob_hex())
-
-
 @register(
     "stream_registry_decode",
     # the batch twin's own oracle: the drained complete-mode aggregate
@@ -1065,16 +1046,31 @@ def stream_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤37-group aggregate. The oracle is the batch operator's own
     oracle, registered under this name too, and equivalence with the
     batch twin is test-asserted."""
+    import os
+
     from zigchain_indexer_clickhouse_spark.sources.tx_decode import (
         _TOUT_PRIME,
+        _registry_blob_hex,
+        registry_decoded_df_py,
+        registry_decoded_struct,
     )
 
     s = _read_event_stream(spark, sf_dir)
-    d = _registry_decode_struct()
+    if os.environ.get("SPARK_GRAFT_REGISTRY_DECODE", "python") == "walker":
+        decoded = (
+            s.select(registry_decoded_struct(_registry_blob_hex())
+                     .alias("d"))
+            .select("d.type_url", "d.status", "d.amt", "d.pid", "d.yes",
+                    "d.timeout")
+        )
+    else:
+        # mapInPandas, not a scalar-UDF expression: the micro-batch
+        # planner failed to extract the UDF over the full synthesis
+        # tree (registry_udf.make_registry_map_fn has the postmortem)
+        decoded = registry_decoded_df_py(
+            s.select(_registry_blob_hex().alias("blob_hex")))
     out = (
-        s.select(d.alias("d"))
-        .select("d.type_url", "d.status", "d.amt", "d.pid", "d.yes",
-                "d.timeout")
+        decoded
         .groupBy("type_url", "status")
         .agg(
             F.count("*").alias("n_msgs"),
