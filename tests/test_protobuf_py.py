@@ -92,6 +92,86 @@ def test_python_walker_agrees_with_expression_walker(spark, data, mf):
         assert py[2] == sp[2]
 
 
+# --- 1b. adversarial regressions: both walkers fail closed, identically ----
+
+def test_huge_declared_length_fails_closed_both_walkers(spark):
+    """wt=2 length declared as a 9-byte varint (2^62 bytes): the
+    expression walker must return ok=false, NOT throw
+    ARITHMETIC_OVERFLOW from the unguarded v*2 under ANSI (ADVICE r9
+    high), and must agree with the Python twin, which fails closed on
+    the same bytes."""
+    for declared in (1 << 62, (1 << 63) - 1, 1 << 40, 100):
+        blob = b"\x12" + _pyvarint(declared)  # field 2, wt=2, no payload
+        py = walk(blob, 4)
+        sp = _spark_scan(spark, blob, 4)
+        assert py[0] is False
+        assert sp[0] is False
+
+
+def test_coin_amt_noncanonical_parity():
+    """Amount strings int(str) would accept but the canonical-digit
+    gate must reject — plus int64 overflow — all None (ADVICE r9 low);
+    the expression-path parity is covered by the registry grid test
+    and the malformed-amount Spark test below."""
+    from zigchain_indexer_clickhouse_spark.functions.protobuf_py import (
+        _coin_amt,
+    )
+
+    def coin(amount: bytes) -> bytes:
+        return _enc_msg(_enc_field(1, 2, b"uzig"), _enc_field(2, 2, amount))
+
+    assert _coin_amt(coin(b"42")) == 42
+    assert _coin_amt(coin(b"-7")) == -7
+    for bad in (b"1_0", b"+5", b" 5", b"5 ", b"", b"0x10",
+                b"9223372036854775808",     # int64 max + 1
+                b"99999999999999999999999", b"\xff\xfe"):
+        assert _coin_amt(coin(bad)) is None, bad
+    assert _coin_amt(coin(b"9223372036854775807")) == (1 << 63) - 1
+    assert _coin_amt(coin(b"-9223372036854775808")) == -(1 << 63)
+
+
+def test_coin_amt_noncanonical_parity_expression(spark):
+    """The SAME malformed amounts through the expression path: the
+    try_cast + rlike gate must NULL them (never CAST_INVALID_INPUT
+    under ANSI), byte-identical with the Python verdicts above."""
+    from zigchain_indexer_clickhouse_spark.sources.tx_decode import (
+        registry_decoded_struct,
+    )
+
+    def send_any(amount: bytes) -> bytes:
+        coin = _enc_msg(_enc_field(1, 2, b"uzig"),
+                        _enc_field(2, 2, amount))
+        body = _enc_msg(
+            _enc_field(1, 2, b"zig1sender"), _enc_field(2, 2, b"zig1rcpt"),
+            _enc_field(3, 2, coin),
+        )
+        return _enc_msg(_enc_field(1, 2, b"/cosmos.bank.v1beta1.MsgSend"),
+                        _enc_field(2, 2, body))
+
+    amounts = [b"42", b"1_0", b"+5", b" 5", b"", b"9223372036854775808",
+               b"9223372036854775807"]
+    df = spark.createDataFrame(
+        [(i, send_any(a).hex().upper()) for i, a in enumerate(amounts)],
+        "i int, blob_hex string",
+    )
+    rows = (df.select("i", registry_decoded_struct(F.col("blob_hex"))
+                      .alias("d"))
+            .select("i", "d.status", "d.amt").collect())
+    got = {r["i"]: (r["status"], r["amt"]) for r in rows}
+    # the struct contract coalesces amt to 0 and keys failure on
+    # status — a malformed amount must land in the unknown bucket,
+    # never throw, never misparse to a number
+    bad = ("Unknown message type", 0)
+    expected = {0: ("ok", 42), 1: bad, 2: bad, 3: bad, 4: bad, 5: bad,
+                6: ("ok", (1 << 63) - 1)}
+    assert got == expected
+
+    # and the Python path agrees on every one
+    for i, a in enumerate(amounts):
+        py = registry_decode_py(send_any(a), _urls())
+        assert (py[1], py[2]) == expected[i], (a, py)
+
+
 # --- 2. full-grid equality of the two registry decode paths ----------------
 
 def test_registry_pandas_path_equals_expression_path(spark):

@@ -910,8 +910,20 @@ def _proto_scan_hex_bound(h: Column, max_fields: int) -> Column:
             def with_v(v: Column) -> Column:
                 hdr = tl + nb * 2       # tag + varint, hex chars
                 end0 = pos + hdr        # first hex pos AFTER a wt=0 field
-                end2 = pos + hdr + v * 2  # ... AFTER a wt=2 field
-                payload = F.substr(h, pos + hdr, v * 2)
+                # Clamp the declared wt=2 length BEFORE any arithmetic
+                # touches it: a 9-byte varint can declare up to 2^63-1
+                # bytes, and v*2 overflows bigint — under ANSI (this
+                # session's default) that throws and kills the whole
+                # query instead of failing the scan closed; with ANSI
+                # off it wraps and a crafted blob could land the
+                # wrapped cursor exactly on the end (ok=true misparse).
+                # A length > n/2 already overruns the blob, so
+                # least(v, n+1) preserves the overrun verdict (the
+                # explicit v > n term below makes it unconditional)
+                # while keeping end2/payload arithmetic in range.
+                vc = F.least(v, (n + 1).cast("bigint"))
+                end2 = pos + hdr + vc * 2  # ... AFTER a wt=2 field
+                payload = F.substr(h, pos + hdr, vc * 2)
                 # fixed-width fields reuse the bound post-tag bytes
                 # (little-endian); f64 top bit exceeds signed int64 —
                 # fail closed below
@@ -934,6 +946,7 @@ def _proto_scan_hex_bound(h: Column, max_fields: int) -> Column:
                     | ~wt.isin(0, 1, 2, 5)     # unsupported wire type
                     | (wt.isin(0, 2)
                        & (nb.isNull() | (pos + tl - 1 + 2 * nb > n)))
+                    | ((wt == 2) & (v > n))        # length can't fit even pre-clamp
                     | ((wt == 2) & (end2 - 1 > n))  # payload overrun
                     | ((wt == 5) & (pos + tl + 7 > n))
                     | ((wt == 1) & ((pos + tl + 15 > n) | (vb[7] >= 128))),

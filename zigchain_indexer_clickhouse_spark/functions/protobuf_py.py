@@ -28,6 +28,7 @@ registry.decode with the unknown-type fallback at decoder.js:20-24.
 from __future__ import annotations
 
 import json
+import re
 
 _INT64_MAX = (1 << 63) - 1
 
@@ -107,15 +108,28 @@ def walk(data: bytes, max_fields: int = 8):
 
 # --- registry dispatch (the Python mirror of _registry_decoded_cols) ------
 
+_AMT_RE = re.compile(r"-?[0-9]+")
+
+
 def _coin_amt(payload: bytes):
-    """Coin{denom=1, amount=2} → int(amount), None on any miss."""
+    """Coin{denom=1, amount=2} → int(amount), None on any miss.
+
+    The parse is gated on canonical digits (bare ``int(str)`` accepts
+    underscores, '+', and surrounding whitespace) and on the int64
+    range, mirroring the expression twin's ``rlike('^-?[0-9]+$')`` +
+    ``try_cast('long')`` exactly — both paths NULL out every
+    non-canonical or overflowing amount identically."""
     ok, ld, _vi = walk(payload, 2)
     if not ok or 2 not in ld:
         return None
     try:
-        return int(ld[2][0].decode())
-    except (UnicodeDecodeError, ValueError):
+        s = ld[2][0].decode()
+    except UnicodeDecodeError:
         return None
+    if not _AMT_RE.fullmatch(s):
+        return None
+    v = int(s)
+    return v if -(1 << 63) <= v < (1 << 63) else None
 
 
 def _coin_amt_sum(payloads):

@@ -791,9 +791,19 @@ def _registry_decoded_cols(u: Column, s: Column) -> dict:
 
     def _coin_amt(coin_hex):
         cs = proto_scan_hex(coin_hex, 2)
+        amt_str = F.decode(F.unhex(ld1(cs["ld"], 2)), "UTF-8")
+        # Canonical-digits gate + try_cast, NOT a bare cast: under the
+        # session's ANSI default a malformed amount payload would throw
+        # CAST_INVALID_INPUT and kill the query, while the Python twin
+        # (functions/protobuf_py.py _coin_amt) soft-fails to None — the
+        # two "bit-identical" registry paths would diverge. The regex
+        # also rejects what a looser parse would accept (whitespace,
+        # '+', '_' separators), and try_cast NULLs out > int64 values;
+        # the Python twin applies the identical rule.
         return F.when(
-            cs["ok"] & F.map_contains_key(cs["ld"], F.lit(2)),
-            F.decode(F.unhex(ld1(cs["ld"], 2)), "UTF-8").cast("long"),
+            cs["ok"] & F.map_contains_key(cs["ld"], F.lit(2))
+            & amt_str.rlike("^-?[0-9]+$"),
+            amt_str.try_cast("long"),
         )
 
     def _coin_amt_sum(coins):
@@ -1417,9 +1427,14 @@ def _write_once_at_rest(df: DataFrame, path: str) -> None:
     ``os.rename`` — readers ever see either nothing or a directory
     whose ``_SUCCESS`` marker Spark wrote after the last file (the
     manifest-pointer discipline of sources/scratch.py, collapsed to
-    the single-table case). A same-application concurrent caller is
-    serialized by the lock; whichever writer commits first wins and
-    the loser's temp dir is discarded."""
+    the single-table case). A same-APPLICATION concurrent caller is
+    serialized by the in-process lock; whichever writer commits first
+    wins and the loser's temp dir is discarded. A concurrent writer
+    in a SEPARATE application (which the lock cannot see) is handled
+    by treating a failed rename as a lost race: re-check ``_SUCCESS``
+    and, if the other writer committed a complete dataset, discard
+    our temp dir and return — never rmtree a directory that carries
+    another process's ``_SUCCESS``."""
     import shutil
     import uuid
 
@@ -1436,9 +1451,20 @@ def _write_once_at_rest(df: DataFrame, path: str) -> None:
         if os.path.isfile(os.path.join(path, "_SUCCESS")):
             shutil.rmtree(tmp, ignore_errors=True)  # a racer committed
             return
-        if os.path.isdir(path):  # failed-write debris: never readable
+        if os.path.isdir(path) and not os.path.isfile(
+                os.path.join(path, "_SUCCESS")):
+            # failed-write debris (no _SUCCESS): never readable, rebuild
             shutil.rmtree(path)
-        os.rename(tmp, path)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # Lost a cross-process race: another application committed
+            # `path` between our check and the rename (ENOTEMPTY /
+            # EEXIST). If its dataset is complete, ours is redundant.
+            if os.path.isfile(os.path.join(path, "_SUCCESS")):
+                shutil.rmtree(tmp, ignore_errors=True)
+                return
+            raise
 
 
 @register(
