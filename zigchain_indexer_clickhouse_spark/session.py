@@ -23,6 +23,15 @@ def get_spark(app_name: str = "zigchain-indexer-spark", master: str | None = Non
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)
+        # Catalyst's ANTLR parser retains a STATIC prediction cache that
+        # grows ~450 MB the first time the positional registry dispatch
+        # is parsed (measured, PLANS.md r10); the JVM default 1g heap
+        # leaves no headroom for the walker stages after that. Only
+        # effective when this builder creates the JVM — a foreign
+        # session keeps its own heap and the registry ops degrade
+        # gracefully (tx_decode._hybrid_profile).
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"))
         # AQE: runtime shuffle-partition coalescing + skew-join splitting.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
