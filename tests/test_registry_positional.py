@@ -97,6 +97,34 @@ def test_mutated_bytes_claimed_subset_matches_walker(spark, grid_rows):
     assert claimed > 0  # unknown-url rows at least stay claimed
 
 
+def test_length_overrun_claims_fail_closed(spark, grid_rows):
+    """Incrementing ANY single byte of a canonical MsgSend /
+    MsgUpdateClient blob — in particular each declared-length byte,
+    which makes that field overrun its container — must never yield a
+    claimed row that disagrees with the walker (r10 ADVICE: the
+    pre-fix ld_slot / pay_at advanced by the silently-truncated
+    payload's length, landing exactly on the container end and
+    claiming status='ok' where the walker fail-closes to Unknown)."""
+    by_url: dict[str, str] = {}
+    for h in grid_rows:
+        url = registry_decode_py(bytes.fromhex(h), URLS)[0]
+        by_url.setdefault(url, h)
+    cases: list[bytes] = []
+    for key in ("send", "update_client"):
+        b = bytes.fromhex(by_url[URLS[key]])
+        for i in range(len(b)):
+            cases.append(b[:i] + bytes([(b[i] + 1) % 256]) + b[i + 1:])
+    got = _decode_claimed(spark, [c.hex().upper() for c in cases])
+    mismatches = []
+    for r in got:
+        if r["__rp_d"] is None:
+            continue
+        exp = registry_decode_py(bytes.fromhex(r["blob_hex"]), URLS)
+        if _tuple(r["__rp_d"]) != exp:
+            mismatches.append((r["blob_hex"], _tuple(r["__rp_d"]), exp))
+    assert not mismatches, mismatches[:5]
+
+
 def _ld(fno: int, payload: bytes) -> bytes:
     assert len(payload) < 128
     return bytes([(fno << 3) | 2, len(payload)]) + payload

@@ -111,9 +111,15 @@ class Cur:
     def ld_slot(self, fno: int, slot: str) -> "Cur":
         """Advance over an ld field whose payload was bound earlier as
         column ``slot`` (built by the same extraction on the same
-        bytes, so its length IS the declared length) — this is what
-        keeps deep types' trees shallow.  NULL slot poisons."""
+        bytes) — this is what keeps deep types' trees shallow.  NULL
+        slot poisons.  The declared length byte must EQUAL
+        LENGTH(slot): SUBSTRING silently truncates a payload whose
+        declared length overruns the container, and advancing by the
+        truncated length would land the cursor exactly on the
+        container end — claiming a blob the walker fail-closes on
+        (r10 ADVICE: fail-open overrun)."""
         ok = (f"(CASE WHEN {slot} IS NOT NULL "
+              f"AND {_hb(self.h, f'({self.pos}+1)')} = LENGTH({slot}) "
               f"THEN ({self.ok} AND {self._tag(fno, 2)}) END)")
         return self._with(f"({self.pos}+2+LENGTH({slot}))", ok)
 
@@ -399,9 +405,17 @@ def add_positional_decode(df: DataFrame, blob: str, urls: dict,
              "__rp_eh", "__rp_ep"]
 
     def pay_at(h: str, p: str) -> str:
+        # NULL (claim-fail) when the declared length overruns the
+        # container: SUBSTRING would silently truncate and the
+        # after1/after2 advances (LENGTH of the truncated payload)
+        # could land exactly on the container end, claiming a blob
+        # the walker fail-closes on (r10 ADVICE: fail-open overrun).
+        # ``p`` is always a bound column here, so referencing ``ln``
+        # twice stays cheap.
         ln = f"NULLIF(LEAST({_hb(h, f'({p}+1)')}, 128), 128)"
-        return (f"SUBSTRING({h}, CAST(({p}+2) AS INT), "
-                f"CAST({ln} AS INT))")
+        return (f"(CASE WHEN ({p}+1+{ln}) <= LENGTH({h}) "
+                f"THEN SUBSTRING({h}, CAST(({p}+2) AS INT), "
+                f"CAST({ln} AS INT)) END)")
 
     df = df.selectExpr(
         *carry, *base, *gcols,
