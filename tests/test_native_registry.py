@@ -116,6 +116,81 @@ def test_native_operator_matches_arrow_operator(spark):
     assert len(native) == 37
 
 
+def test_so_cache_is_user_private_and_rejects_tampering():
+    """The compiled kernel must live under a 0o700 uid-keyed dir and
+    never be CDLL'd with group/other write bits (r10 ADVICE: a
+    predictable world-writable path lets another account pre-plant a
+    library at the computable name)."""
+    import os
+
+    from zigchain_indexer_clickhouse_spark.functions import (
+        native_registry as nr,
+    )
+
+    d = nr._cache_dir()
+    st = os.lstat(d)
+    assert st.st_uid == os.getuid()
+    assert not (st.st_mode & 0o077), oct(st.st_mode)
+    assert f"-{os.getuid()}" in os.path.basename(d)
+
+    # the loaded .so passes the trust gate
+    sos = [f for f in os.listdir(d) if f.endswith(".so")]
+    assert sos, "kernel not cached in the private dir"
+    so = os.path.join(d, sos[0])
+    assert nr._safe_to_load(so)
+
+    # tampered perms (the closest simulation of a foreign plant that a
+    # single-uid test can stage): loader must refuse + rebuild
+    os.chmod(so, 0o777)
+    assert not nr._safe_to_load(so)
+    nr._LIB = None
+    nr._LIB_TRIED = False
+    try:
+        assert nr._load() is not None
+        assert nr._safe_to_load(so)  # rebuilt with safe bits
+    finally:
+        nr._LIB = None
+        nr._LIB_TRIED = False
+
+
+def test_fallback_batch_explicit_schema():
+    """Degenerate fallback batches (all-None type_url, empty) must
+    carry the declared Arrow schema, not inferred null types (r10
+    ADVICE: from_pandas inference fails at the mapInArrow boundary)."""
+    import pyarrow as pa
+
+    from zigchain_indexer_clickhouse_spark.functions.native_registry import (
+        _ARROW_SCHEMA,
+        make_native_arrow_fn,
+    )
+
+    fn = make_native_arrow_fn(URLS)
+    # slice → offset != 0 forces the fallback branch; b"" decodes to a
+    # None type_url, the worst case for dtype inference
+    arr = pa.array([b"\x00", b"", b""], type=pa.large_binary())
+    batch = pa.RecordBatch.from_arrays([arr.slice(1)], ["blob_bin"])
+    (out,) = list(fn([batch]))
+    assert out.schema == _ARROW_SCHEMA
+    assert out.column(0).to_pylist() == [None, None]
+
+    empty = pa.RecordBatch.from_arrays([arr.slice(3)], ["blob_bin"])
+    (out,) = list(fn([empty]))
+    assert out.schema == _ARROW_SCHEMA and out.num_rows == 0
+
+
+def test_malformed_hex_raises_clear_error(spark):
+    """registry_decoded_df_native on non-hex input must raise the
+    clear per-row error, not an obscure whole-batch TypeError from a
+    NULL reaching the Arrow fallback (r10 ADVICE)."""
+    from zigchain_indexer_clickhouse_spark.sources.tx_decode import (
+        registry_decoded_df_native,
+    )
+
+    df = spark.createDataFrame([("ZZ-not-hex",)], "blob_hex string")
+    with pytest.raises(Exception, match="non-hexadecimal blob_hex"):
+        registry_decoded_df_native(df).collect()
+
+
 @pytest.fixture(scope="module")
 def grid_hexes(spark):
     from pyspark.sql import functions as F

@@ -64,9 +64,46 @@ _LIB = None
 _LIB_TRIED = False
 
 
+def _cache_dir() -> str:
+    """A USER-PRIVATE directory for the compiled kernel.  Never the
+    shared world-writable tempdir root: the .so path is computable
+    from the source hash, so on a multi-user host another account
+    could pre-plant a library at the predictable name and the
+    existing-file fast path would ctypes.CDLL it — code execution in
+    the Spark worker (r10 ADVICE).  0o700 + uid-keyed name, and the
+    caller re-stats both dir and file before loading."""
+    home_cache = (os.environ.get("XDG_CACHE_HOME")
+                  or os.path.join(os.path.expanduser("~"), ".cache"))
+    uid = os.getuid()
+    for root in (home_cache, tempfile.gettempdir()):
+        d = os.path.join(root, f"spark_graft_native-{uid}")
+        try:
+            os.makedirs(d, mode=0o700, exist_ok=True)
+            st = os.lstat(d)
+            if (st.st_uid == uid and os.path.isdir(d)
+                    and not (st.st_mode & 0o022)):
+                return d
+        except OSError:
+            continue
+    raise OSError("no private cache dir available for the native kernel")
+
+
+def _safe_to_load(path: str) -> bool:
+    """True iff ``path`` is a regular file owned by us with no
+    group/other write bits — the gate between the cache and CDLL."""
+    try:
+        st = os.lstat(path)
+    except OSError:
+        return False
+    import stat as _stat
+
+    return (st.st_uid == os.getuid() and _stat.S_ISREG(st.st_mode)
+            and not (st.st_mode & 0o022))
+
+
 def _load() -> ctypes.CDLL | None:
-    """Compile (once, cached by source hash) and load the kernel;
-    None when no toolchain is available."""
+    """Compile (once, cached by source hash under a user-private dir)
+    and load the kernel; None when no toolchain is available."""
     global _LIB, _LIB_TRIED
     if _LIB_TRIED:
         return _LIB
@@ -74,14 +111,18 @@ def _load() -> ctypes.CDLL | None:
     try:
         src = open(_SRC, "rb").read()
         tag = hashlib.md5(src).hexdigest()[:12]
-        so = os.path.join(tempfile.gettempdir(),
-                          f"spark_graft_native_{tag}.so")
+        so = os.path.join(_cache_dir(), f"native_{tag}.so")
+        if os.path.lexists(so) and not _safe_to_load(so):
+            os.remove(so)  # tampered / foreign-owned: rebuild
         if not os.path.isfile(so):
             tmp = f"{so}.build-{os.getpid()}"
             subprocess.run(
                 ["gcc", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
                 check=True, capture_output=True)
+            os.chmod(tmp, 0o500)
             os.replace(tmp, so)  # atomic; racers converge on one file
+        if not _safe_to_load(so):
+            raise OSError(f"refusing to load untrusted {so}")
         lib = ctypes.CDLL(so)
         lib.registry_decode_batch.restype = None
         _LIB = lib
@@ -102,6 +143,17 @@ def _url_table(urls: dict) -> tuple[np.ndarray, np.ndarray]:
 
 
 _COLS = ["type_url", "status", "amt", "pid", "yes", "timeout"]
+
+# explicit Arrow schema for fallback batches — dtype INFERENCE breaks
+# on degenerate batches (all-None type_url infers null type; an empty
+# batch infers null for every string column), failing at the
+# mapInArrow boundary (r10 ADVICE).  Mirrors tx_decode's
+# _REGISTRY_STRUCT_TYPE.
+_ARROW_SCHEMA = pa.schema([
+    ("type_url", pa.string()), ("status", pa.string()),
+    ("amt", pa.int64()), ("pid", pa.int64()),
+    ("yes", pa.int64()), ("timeout", pa.int64()),
+])
 
 
 def _run_kernel(data: np.ndarray, offsets: np.ndarray, n: int,
@@ -245,10 +297,19 @@ def make_native_arrow_fn(urls: dict):
             if arr.type != pa.large_binary():
                 arr = arr.cast(pa.large_binary())
             if arr.null_count or arr.offset != 0 or _load() is None:
-                rows = [registry_decode_py(v.as_py(), urls) for v in arr]
-                import pandas as _pd
-                yield pa.RecordBatch.from_pandas(
-                    _pd.DataFrame(rows, columns=_COLS))
+                rows = []
+                for v in arr:
+                    b = v.as_py()
+                    if b is None:
+                        raise ValueError(
+                            "registry decode: NULL blob row — upstream "
+                            "must raise on malformed hex, not pass NULL")
+                    rows.append(registry_decode_py(b, urls))
+                cols = list(zip(*rows)) if rows else [[]] * len(_COLS)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(list(c), type=f.type)
+                     for c, f in zip(cols, _ARROW_SCHEMA)],
+                    schema=_ARROW_SCHEMA)
                 continue
             data, offsets, n = _arrow_buffers(arr)
             (type_id, ok, amt, pid, yes, tout, needs_py, url_off,

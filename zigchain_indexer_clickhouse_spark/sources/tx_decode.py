@@ -1135,8 +1135,17 @@ def registry_decoded_df_native(df: DataFrame) -> DataFrame:
 
     # hex→binary JVM-side: halves the Arrow transfer, and mapInArrow
     # skips the pandas materialization (3M python string objects cost
-    # more than the decode itself — measured)
-    return df.select(F.unhex(F.col("blob_hex")).alias("blob_bin")) \
+    # more than the decode itself — measured).  UNHEX returns NULL on
+    # malformed hex, which would otherwise surface as an obscure
+    # whole-batch TypeError in the Arrow fallback — raise the clear
+    # per-row error here instead, matching the bytes.fromhex
+    # ValueError the Python path produces (r10 ADVICE).
+    blob_bin = F.when(
+        F.col("blob_hex").isNotNull() & F.unhex("blob_hex").isNull(),
+        F.raise_error(F.concat(
+            F.lit("non-hexadecimal blob_hex: "), F.col("blob_hex"))),
+    ).otherwise(F.unhex("blob_hex"))
+    return df.select(blob_bin.alias("blob_bin")) \
         .mapInArrow(make_native_arrow_fn(dict(_REGISTRY_URL_KEYS)),
                     schema=_REGISTRY_STRUCT_TYPE)
 
