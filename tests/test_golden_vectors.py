@@ -120,6 +120,43 @@ SEND2_ANY_B64 = (
     "bDNkcDR0NmM5dDlyazk5Y2Q4OGx5dWZsGgoKBXVhdG9tEgExGgoKBXVvc21vEgEy"
 )
 
+# --------------------------------------------------------------------------
+# Vector 4 (r11 closure): an Any-wrapped cosmos.group.v1.MsgVote.
+# Any   = 0A 18 "/cosmos.group.v1.MsgVote"   (24 B url)
+#         12 49 <MsgVote: 73 B>
+# MsgVote (group.proto) =
+#         08 AC 02      field 1 proposal_id = LEB128(300) = 0xAC 0x02
+#         12 2D <45 B>  field 2 voter (bech32 address)
+#         18 01         field 3 option = VOTE_OPTION_YES (1)
+#         22 11 "golden group vote"   field 4 metadata (17 B)
+#         28 01         field 5 exec = EXEC_TRY (1)
+# --------------------------------------------------------------------------
+GROUP_VOTE_ANY_B64 = (
+    "ChgvY29zbW9zLmdyb3VwLnYxLk1zZ1ZvdGUSSQisAhItY29zbW9zMWh1eWRlZXZwejM3"
+    "c2Q5c25rZ3VsNjA3MG1zdHVwdWt3MDB4a3c5GAEiEWdvbGRlbiBncm91cCB2b3RlKAE="
+)
+
+# --------------------------------------------------------------------------
+# Vector 5 (r11 closure): an Any-wrapped
+# cosmos.evidence.v1beta1.MsgSubmitEvidence carrying an Equivocation.
+# Any   = 0A 2A "/cosmos.evidence.v1beta1.MsgSubmitEvidence"  (42 B)
+#         12 99 01 <MsgSubmitEvidence: 153 B>
+# MsgSubmitEvidence =
+#         0A 2D <45 B>  field 1 submitter
+#         12 68 <Any: 104 B> field 2 evidence =
+#           0A 25 "/cosmos.evidence.v1beta1.Equivocation"   (37 B)
+#           12 3F <Equivocation: 63 B> =
+#             08 E4 89 D8 03   field 1 height = LEB128(7734500)
+#             18 89 06         field 3 power  = LEB128(777)
+#             22 35 <53 B>     field 4 consensus_address
+# --------------------------------------------------------------------------
+EVIDENCE_ANY_B64 = (
+    "CiovY29zbW9zLmV2aWRlbmNlLnYxYmV0YTEuTXNnU3VibWl0RXZpZGVuY2USmQEKLWNv"
+    "c21vczFodXlkZWV2cHozN3NkOXNua2d1bDYwNzBtc3R1cHVrdzAweGt3ORJoCiUvY29z"
+    "bW9zLmV2aWRlbmNlLnYxYmV0YTEuRXF1aXZvY2F0aW9uEj8I5InYAxiJBiI1Y29zbW9z"
+    "dmFsY29uczFodXlkZWV2cHozN3NkOXNua2d1bDYwNzBtc3R1cHVrdzBhYWJiY2M="
+)
+
 
 def test_txraw_golden_python_walker():
     """The Python walker recovers every envelope layer of the frozen
@@ -167,6 +204,14 @@ def test_golden_any_vectors_python_walker():
         XFER_TIMEOUT_NS)
     assert registry_decode_py(base64.b64decode(SEND2_ANY_B64), URLS) == (
         "/cosmos.bank.v1beta1.MsgSend", "ok", 3, 0, 0, 0)
+    # r11 closure vectors: group-module vote and evidence Equivocation
+    assert registry_decode_py(
+        base64.b64decode(GROUP_VOTE_ANY_B64), URLS) == (
+        "/cosmos.group.v1.MsgVote", "ok", 0, 300, 1, 0)
+    assert registry_decode_py(
+        base64.b64decode(EVIDENCE_ANY_B64), URLS) == (
+        "/cosmos.evidence.v1beta1.MsgSubmitEvidence", "ok", 777, 0, 0,
+        7734500)
 
 
 def test_txraw_golden_expression_walkers(spark):
@@ -211,6 +256,8 @@ def test_golden_vectors_positional_hybrid(spark):
         b_ld[1][0].hex().upper(),
         base64.b64decode(XFER_ANY_B64).hex().upper(),
         base64.b64decode(SEND2_ANY_B64).hex().upper(),
+        base64.b64decode(GROUP_VOTE_ANY_B64).hex().upper(),
+        base64.b64decode(EVIDENCE_ANY_B64).hex().upper(),
     ]
     df = spark.createDataFrame([(v,) for v in vectors],
                                "blob_hex string")

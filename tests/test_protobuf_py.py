@@ -4,7 +4,7 @@ wire semantics, cross-checked three ways:
 
 1. a hypothesis property drives BOTH walkers over random (often
    malformed) wire bytes and asserts identical (ok, ld, vi);
-2. the full registry grid (every kind of the 40-slot synthesis) must
+2. the full registry grid (every kind of the 56-slot synthesis) must
    decode to IDENTICAL rows via the expression path and the pandas
    path;
 3. a GOLDEN VECTOR: a realistic cosmjs-shaped tx hand-encoded by an
@@ -184,7 +184,7 @@ def test_registry_pandas_path_equals_expression_path(spark):
 
     blobs = (
         load(spark, SF, "events")
-        .limit(400)  # 10 full passes over the 40-kind grid
+        .limit(400)  # 7 full passes over the 56-kind grid
         .select(F.col("event_id"), _registry_blob_hex().alias("blob_hex"))
         .persist()
     )
@@ -200,8 +200,11 @@ def test_registry_pandas_path_equals_expression_path(spark):
                          .alias("d"))
             .select(*cols).collect())
     assert sorted(map(tuple, expr)) == sorted(map(tuple, pand))
-    kinds = {r["event_id"] % 40 for r in expr}
-    assert kinds == set(range(40))  # every dispatch arm exercised
+    from zigchain_indexer_clickhouse_spark.sources.tx_decode import (
+        _REGISTRY_MOD,
+    )
+    kinds = {r["event_id"] % _REGISTRY_MOD for r in expr}
+    assert kinds == set(range(_REGISTRY_MOD))  # every arm exercised
     blobs.unpersist()
 
 

@@ -125,8 +125,8 @@ def test_vote_and_delegate_fail_closed_not_shifted(spark):
 
 
 def test_registry_decode_populations_and_outcome_dispatch(spark):
-    """msg_registry_decode at sf0.001: thirty-seven (type_url, status)
-    rows (thirty-six registered types + fallback); only the unregistered
+    """msg_registry_decode at sf0.001: fifty-three (type_url, status)
+    rows (fifty-two registered types + fallback); only the unregistered
     custom type takes the fallback; decoded aggregates are all
     non-trivial (amounts from repeated-Coin sums — 2-coin MsgSend,
     2-output MsgMultiSend, gov v1 deposits, the repeated-Any messages
@@ -143,7 +143,7 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         r["type_url"]: r
         for r in registry.queries()["msg_registry_decode"](spark, SF).collect()
     }
-    assert len(rows) == 37
+    assert len(rows) == 53
     assert rows["/zigchain.custom.v1.MsgCustom"]["status"] == (
         "Unknown message type"
     )
@@ -168,6 +168,8 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         "/cosmwasm.wasm.v1.MsgInstantiateContract",
         "/cosmos.gov.v1.MsgDeposit",
         "/cosmos.gov.v1.MsgSubmitProposal",
+        "/cosmos.evidence.v1beta1.MsgSubmitEvidence",
+        "/cosmos.group.v1.MsgSubmitProposal",
     )
     for url in amt_urls:
         assert rows[url]["status"] == "ok"
@@ -188,6 +190,20 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         "/cosmos.gov.v1.MsgVote",
         "/ibc.core.channel.v1.MsgAcknowledgement",
         "/ibc.core.channel.v1.MsgTimeout",
+        "/cosmos.gov.v1.MsgExecLegacyContent",
+        "/cosmos.group.v1.MsgCreateGroup",
+        "/cosmos.group.v1.MsgUpdateGroupMembers",
+        "/cosmos.group.v1.MsgUpdateGroupAdmin",
+        "/cosmos.group.v1.MsgUpdateGroupMetadata",
+        "/cosmos.group.v1.MsgCreateGroupPolicy",
+        "/cosmos.group.v1.MsgCreateGroupWithPolicy",
+        "/cosmos.group.v1.MsgUpdateGroupPolicyAdmin",
+        "/cosmos.group.v1.MsgUpdateGroupPolicyDecisionPolicy",
+        "/cosmos.group.v1.MsgUpdateGroupPolicyMetadata",
+        "/cosmos.group.v1.MsgWithdrawProposal",
+        "/cosmos.group.v1.MsgVote",
+        "/cosmos.group.v1.MsgExec",
+        "/cosmos.group.v1.MsgLeaveGroup",
     )
     for url in coinless:
         assert rows[url]["status"] == "ok"
@@ -215,3 +231,18 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
     for u in ("/ibc.core.channel.v1.MsgAcknowledgement",
               "/ibc.core.channel.v1.MsgTimeout"):
         assert rows[u]["sum_timeout"] > 0  # 9-byte packet timeouts
+    # r11 closure: evidence height/power, group ids and votes decoded
+    ev = rows["/cosmos.evidence.v1beta1.MsgSubmitEvidence"]
+    assert ev["total_amt"] > 0 and ev["sum_timeout"] > 0
+    gv = rows["/cosmos.group.v1.MsgVote"]
+    assert gv["sum_pid"] > 0 and 0 < gv["n_yes"] < gv["n_msgs"]
+    gs = rows["/cosmos.group.v1.MsgSubmitProposal"]
+    assert gs["total_amt"] > 0  # embedded 2-coin MsgSend unwrapped
+    for u in ("/cosmos.group.v1.MsgUpdateGroupAdmin",
+              "/cosmos.group.v1.MsgCreateGroupPolicy",
+              "/cosmos.group.v1.MsgWithdrawProposal",
+              "/cosmos.group.v1.MsgExec",
+              "/cosmos.group.v1.MsgLeaveGroup"):
+        assert rows[u]["sum_pid"] > 0  # group/proposal id varints
+    gcwp = rows["/cosmos.group.v1.MsgCreateGroupWithPolicy"]
+    assert gcwp["n_yes"] == gcwp["n_msgs"]  # as-admin flag always set

@@ -280,4 +280,4 @@ def test_stream_registry_decode_matches_batch_twin(spark, sf_dir):
         tuple(r[c] for c in cols)
         for r in qs["msg_registry_decode"](spark, sf_dir).collect()
     }
-    assert stream == batch and len(batch) == 37
+    assert stream == batch and len(batch) == 53

@@ -57,7 +57,16 @@ NATIVE_KEYS = (
     "update_client", "recv_packet", "perm_locked", "periodic_vest",
     "instantiate", "verify_invariant", "gov_v1_vote", "gov_v1_deposit",
     "gov_v1_submit", "ack", "timeout",
+    # r11 closure: evidence, gov v1 legacy-content, group module
+    "submit_evidence", "exec_legacy", "group_create",
+    "group_upd_members", "group_upd_admin", "group_upd_metadata",
+    "group_create_policy", "group_create_with_policy",
+    "group_policy_admin", "group_policy_decision",
+    "group_policy_metadata", "group_submit", "group_withdraw",
+    "group_vote", "group_exec", "group_leave",
+    # nested-only urls
     "basic_allowance", "stake_auth", "text_proposal", "tm_header",
+    "equivocation", "threshold_policy",
 )
 
 _LIB = None

@@ -308,7 +308,16 @@ enum {
     T_UPDATE_CLIENT, T_RECV_PACKET, T_PERM_LOCKED, T_PERIODIC_VEST,
     T_INSTANTIATE, T_VERIFY_INVARIANT, T_GOV_V1_VOTE, T_GOV_V1_DEPOSIT,
     T_GOV_V1_SUBMIT, T_ACK, T_TIMEOUT,
+    /* r11 closure: evidence, gov v1 legacy-content, group module */
+    T_SUBMIT_EVIDENCE, T_EXEC_LEGACY, T_GROUP_CREATE,
+    T_GROUP_UPD_MEMBERS, T_GROUP_UPD_ADMIN, T_GROUP_UPD_METADATA,
+    T_GROUP_CREATE_POLICY, T_GROUP_CREATE_WITH_POLICY,
+    T_GROUP_POLICY_ADMIN, T_GROUP_POLICY_DECISION,
+    T_GROUP_POLICY_METADATA, T_GROUP_SUBMIT, T_GROUP_WITHDRAW,
+    T_GROUP_VOTE, T_GROUP_EXEC, T_GROUP_LEAVE,
+    /* nested-only urls (never `ok` as top-level messages) */
     T_BASIC_ALLOWANCE, T_STAKE_AUTH, T_TEXT_PROPOSAL, T_TM_HEADER,
+    T_EQUIVOCATION, T_THRESHOLD_POLICY,
     T_COUNT
 };
 
@@ -601,19 +610,90 @@ static int decode_one(const uint8_t *h, int64_t off, int64_t hexlen,
                 amt_set = 1;
             }
         }
+    } else if (u == T_SUBMIT_EVIDENCE) {
+        /* Equivocation.power varint inside the evidence Any */
+        walk_t a2;
+        if (!walk_or_ff(h, l_nth(&b, 2, 0), 2, &a2))
+            return 0;
+        if (a2.ok &&
+            url_is(h, l_nth(&a2, 1, 0), urls, uoff, T_EQUIVOCATION)) {
+            walk_t ev;
+            if (!walk_or_ff(h, l_nth(&a2, 2, 0), 4, &ev))
+                return 0;
+            if (l_nth(&a2, 2, 0).len < 0) {
+                ev.n = 0;
+                ev.ok = 1; /* python walks b"" -> ok-empty */
+            }
+            uint64_t pw;
+            if (ev.ok && vi_get(&ev, 3, &pw)) {
+                amt = (int64_t)pw;
+                amt_set = 1;
+            }
+        }
+    } else if (u == T_GROUP_SUBMIT) {
+        /* repeated-Any messages (field 4): the gov v1 submit shape
+         * without the initial-deposit coins */
+        int nmsg = ld_count(&b, 4);
+        int64_t total = 0;
+        int poison = (nmsg == 0);
+        for (int k = 0; k < nmsg && !poison; k++) {
+            walk_t m;
+            if (!walk(h, l_nth(&b, 4, k).off, l_nth(&b, 4, k).len, 2,
+                      &m))
+                return 0;
+            int64_t part = 0;
+            int pset = 0;
+            if (m.ok && url_is(h, l_nth(&m, 1, 0), urls, uoff, T_SEND)) {
+                walk_t in;
+                if (!walk_or_ff(h, l_nth(&m, 2, 0), 8, &in))
+                    return 0;
+                if (l_nth(&m, 2, 0).len < 0) {
+                    in.n = 0;
+                    in.ok = 1;
+                }
+                if (in.ok) {
+                    r = coin_sum(h, &in, 3, &part);
+                    if (r < 0)
+                        return 0;
+                    pset = (r == 1);
+                }
+            }
+            if (!pset)
+                poison = 1;
+            else if (__builtin_add_overflow(total, part, &total))
+                return 0;
+        }
+        if (!poison) {
+            amt = total;
+            amt_set = 1;
+        }
     }
 
     /* ---- pid / yes ---- */
     uint64_t uv;
     if (u == T_VOTE || u == T_DEPOSIT || u == T_VOTE_WEIGHTED ||
-        u == T_GOV_V1_VOTE || u == T_GOV_V1_DEPOSIT) {
+        u == T_GOV_V1_VOTE || u == T_GOV_V1_DEPOSIT ||
+        u == T_GROUP_WITHDRAW || u == T_GROUP_VOTE ||
+        u == T_GROUP_EXEC) {
         if (vi_get(&b, 1, &uv)) {
             pid = (int64_t)uv;
             pid_set = 1;
         }
+    } else if (u == T_GROUP_UPD_MEMBERS || u == T_GROUP_UPD_ADMIN ||
+               u == T_GROUP_UPD_METADATA || u == T_GROUP_CREATE_POLICY ||
+               u == T_GROUP_LEAVE) {
+        if (vi_get(&b, 2, &uv)) { /* group_id */
+            pid = (int64_t)uv;
+            pid_set = 1;
+        }
     }
-    if (u == T_VOTE || u == T_GOV_V1_VOTE) {
+    if (u == T_VOTE || u == T_GOV_V1_VOTE || u == T_GROUP_VOTE) {
         if (vi_get(&b, 3, &uv)) {
+            yes = (uv == 1) ? 1 : 0;
+            yes_set = 1;
+        }
+    } else if (u == T_GROUP_CREATE_WITH_POLICY) {
+        if (vi_get(&b, 5, &uv)) { /* group_policy_as_admin */
             yes = (uv == 1) ? 1 : 0;
             yes_set = 1;
         }
@@ -651,6 +731,25 @@ static int decode_one(const uint8_t *h, int64_t off, int64_t hexlen,
         if (vi_get(&b, 3, &uv)) {
             tout = (int64_t)uv;
             tout_set = 1;
+        }
+    } else if (u == T_SUBMIT_EVIDENCE) {
+        /* Equivocation.height varint */
+        walk_t a2;
+        if (!walk_or_ff(h, l_nth(&b, 2, 0), 2, &a2))
+            return 0;
+        if (a2.ok &&
+            url_is(h, l_nth(&a2, 1, 0), urls, uoff, T_EQUIVOCATION)) {
+            walk_t ev;
+            if (!walk_or_ff(h, l_nth(&a2, 2, 0), 4, &ev))
+                return 0;
+            if (l_nth(&a2, 2, 0).len < 0) {
+                ev.n = 0;
+                ev.ok = 1;
+            }
+            if (ev.ok && vi_get(&ev, 1, &uv)) {
+                tout = (int64_t)uv;
+                tout_set = 1;
+            }
         }
     }
 
@@ -795,6 +894,90 @@ static int decode_one(const uint8_t *h, int64_t off, int64_t hexlen,
         shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3) &&
                    has_ld(&b, 5) && vi_get(&b, 4, &d) && pkt_ok &&
                    g.ok && vi_get(&pkt, 8, &d);
+    } else if (u == T_SUBMIT_EVIDENCE) {
+        walk_t a2, ev;
+        uint64_t d;
+        if (!walk_or_ff(h, l_nth(&b, 2, 0), 2, &a2))
+            return 0;
+        slice_t evs = a2.ok ? l_nth(&a2, 2, 0) : (slice_t){ 0, -1 };
+        if (a2.ok && evs.len < 0) {
+            ev.n = 0;
+            ev.ok = 1; /* python walks b"" -> ok-empty */
+        } else if (!walk_or_ff(h, evs, 4, &ev)) {
+            return 0;
+        }
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && a2.ok &&
+                   url_is(h, l_nth(&a2, 1, 0), urls, uoff,
+                          T_EQUIVOCATION) &&
+                   ev.ok && vi_get(&ev, 1, &d) && vi_get(&ev, 3, &d);
+    } else if (u == T_EXEC_LEGACY) {
+        walk_t p;
+        if (!walk_or_ff(h, l_nth(&b, 1, 0), 2, &p))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && p.ok &&
+                   url_is(h, l_nth(&p, 1, 0), urls, uoff,
+                          T_TEXT_PROPOSAL);
+    } else if (u == T_GROUP_CREATE) {
+        walk_t m;
+        if (!walk_or_ff(h, l_nth(&b, 2, 0), 4, &m))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3) &&
+                   m.ok && has_ld(&m, 1) && has_ld(&m, 2);
+    } else if (u == T_GROUP_UPD_MEMBERS) {
+        walk_t m;
+        uint64_t d;
+        if (!walk_or_ff(h, l_nth(&b, 3, 0), 4, &m))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 3) && vi_get(&b, 2, &d) &&
+                   m.ok && has_ld(&m, 1);
+    } else if (u == T_GROUP_UPD_ADMIN || u == T_GROUP_UPD_METADATA) {
+        uint64_t d;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 3) && vi_get(&b, 2, &d);
+    } else if (u == T_GROUP_CREATE_POLICY) {
+        walk_t a4;
+        uint64_t d;
+        if (!walk_or_ff(h, l_nth(&b, 4, 0), 2, &a4))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 3) && has_ld(&b, 4) &&
+                   vi_get(&b, 2, &d) && a4.ok &&
+                   url_is(h, l_nth(&a4, 1, 0), urls, uoff,
+                          T_THRESHOLD_POLICY);
+    } else if (u == T_GROUP_CREATE_WITH_POLICY) {
+        walk_t m, a6;
+        uint64_t d;
+        if (!walk_or_ff(h, l_nth(&b, 2, 0), 4, &m))
+            return 0;
+        if (!walk_or_ff(h, l_nth(&b, 6, 0), 2, &a6))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3) &&
+                   has_ld(&b, 4) && has_ld(&b, 6) && vi_get(&b, 5, &d) &&
+                   m.ok && has_ld(&m, 1) && a6.ok &&
+                   url_is(h, l_nth(&a6, 1, 0), urls, uoff,
+                          T_THRESHOLD_POLICY);
+    } else if (u == T_GROUP_POLICY_ADMIN || u == T_GROUP_POLICY_METADATA) {
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3);
+    } else if (u == T_GROUP_POLICY_DECISION) {
+        walk_t a3;
+        if (!walk_or_ff(h, l_nth(&b, 3, 0), 2, &a3))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3) &&
+                   a3.ok &&
+                   url_is(h, l_nth(&a3, 1, 0), urls, uoff,
+                          T_THRESHOLD_POLICY);
+    } else if (u == T_GROUP_SUBMIT) {
+        uint64_t d;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3) &&
+                   has_ld(&b, 4) && vi_get(&b, 5, &d);
+    } else if (u == T_GROUP_WITHDRAW || u == T_GROUP_EXEC) {
+        uint64_t d;
+        shape_ok = vi_get(&b, 1, &d) && has_ld(&b, 2);
+    } else if (u == T_GROUP_VOTE) {
+        uint64_t d;
+        shape_ok = vi_get(&b, 1, &d) && vi_get(&b, 3, &d) &&
+                   vi_get(&b, 5, &d) && has_ld(&b, 2) && has_ld(&b, 4);
+    } else if (u == T_GROUP_LEAVE) {
+        uint64_t d;
+        shape_ok = has_ld(&b, 1) && vi_get(&b, 2, &d);
     }
 
     int needs_amt =
@@ -805,7 +988,8 @@ static int decode_one(const uint8_t *h, int64_t off, int64_t hexlen,
          u == T_FUND_POOL || u == T_SUBMIT_PROPOSAL ||
          u == T_PERM_LOCKED || u == T_PERIODIC_VEST ||
          u == T_INSTANTIATE || u == T_GOV_V1_DEPOSIT ||
-         u == T_GOV_V1_SUBMIT);
+         u == T_GOV_V1_SUBMIT || u == T_SUBMIT_EVIDENCE ||
+         u == T_GROUP_SUBMIT);
     *ok_out = (s_ok && shape_ok && (!needs_amt || amt_set)) ? 1 : 0;
     *amt_o = amt_set ? amt : 0;
     *pid_o = pid_set ? pid : 0;

@@ -250,16 +250,50 @@ def registry_decode_py(blob: bytes, urls: dict) -> tuple:
         dep = _coin_amt_sum(ld.get(2))
         amt = (total + dep) if (total is not None and dep is not None) \
             else None
+    elif u == U["submit_evidence"]:
+        a2_ok, a2_ld, _ = walk(l1(2) or b"\xff", 2)
+        if a2_ok and a2_ld.get(1, [b""])[0].decode(
+                "utf-8", "replace") == U["equivocation"]:
+            e_ok, _e_ld, e_vi = walk(a2_ld.get(2, [b""])[0], 4)
+            if e_ok:
+                amt = e_vi.get(3)   # Equivocation.power
+    elif u == U["group_submit"]:
+        # repeated-Any messages (field 4): the gov v1 submit shape,
+        # without the initial-deposit coins
+        total = 0
+        for m in ld.get(4, []) or [None]:
+            if m is None:
+                total = None
+                break
+            m_ok, m_ld, _ = walk(m, 2)
+            part = None
+            if m_ok and m_ld.get(1, [b""])[0].decode(
+                    "utf-8", "replace") == U["send"]:
+                b_ok, b_ld, _ = walk(m_ld.get(2, [b""])[0], 8)
+                if b_ok:
+                    part = _coin_amt_sum(b_ld.get(3))
+            if part is None:
+                total = None
+                break
+            total += part
+        amt = total if ld.get(4) else None
 
     if u in (U["vote"], U["deposit"], U["vote_weighted"], U["gov_v1_vote"],
-             U["gov_v1_deposit"]):
+             U["gov_v1_deposit"], U["group_withdraw"], U["group_vote"],
+             U["group_exec"]):
         pid = vi.get(1)
-    if u in (U["vote"], U["gov_v1_vote"]):
+    elif u in (U["group_upd_members"], U["group_upd_admin"],
+               U["group_upd_metadata"], U["group_create_policy"],
+               U["group_leave"]):
+        pid = vi.get(2)   # group_id
+    if u in (U["vote"], U["gov_v1_vote"], U["group_vote"]):
         yes = 1 if vi.get(3) == 1 else (0 if 3 in vi else None)
     elif u == U["vote_weighted"]:
         w_ok, _w_ld, w_vi = walk(l1(3) or b"\xff", 2)
         if w_ok:
             yes = 1 if w_vi.get(1) == 1 else (0 if 1 in w_vi else None)
+    elif u == U["group_create_with_policy"]:
+        yes = 1 if vi.get(5) == 1 else (0 if 5 in vi else None)
 
     pkt_ok, pkt_ld, pkt_vi = walk(l1(1) or b"\xff", 8)
     if u == U["transfer"]:
@@ -270,6 +304,13 @@ def registry_decode_py(blob: bytes, urls: dict) -> tuple:
         timeout = pkt_vi.get(8) if pkt_ok else None
     elif u == U["periodic_vest"]:
         timeout = vi.get(3)
+    elif u == U["submit_evidence"]:
+        a2_ok, a2_ld, _ = walk(l1(2) or b"\xff", 2)
+        if a2_ok and a2_ld.get(1, [b""])[0].decode(
+                "utf-8", "replace") == U["equivocation"]:
+            e_ok, _e_ld, e_vi = walk(a2_ld.get(2, [b""])[0], 4)
+            if e_ok:
+                timeout = e_vi.get(1)   # Equivocation.height
 
     # shape checks — one arm per type, mirroring the expression dispatch
     if u in (U["send"], U["delegate"], U["undelegate"], U["exec"]):
@@ -354,6 +395,54 @@ def registry_decode_py(blob: bytes, urls: dict) -> tuple:
         g_ok, _g_ld, _g_vi = walk(l1(3) or b"\xff", 2)
         shape_ok = (has_ld(1, 2, 3, 5) and has_vi(4) and pkt_ok and g_ok
                     and 8 in pkt_vi)
+    elif u == U["submit_evidence"]:
+        a2_ok, a2_ld, _ = walk(l1(2) or b"\xff", 2)
+        e_ok, _e_ld, e_vi = (walk(a2_ld.get(2, [b""])[0], 4)
+                             if a2_ok else (False, {}, {}))
+        shape_ok = (has_ld(1, 2) and a2_ok
+                    and a2_ld.get(1, [b""])[0].decode("utf-8", "replace")
+                    == U["equivocation"]
+                    and e_ok and 1 in e_vi and 3 in e_vi)
+    elif u == U["exec_legacy"]:
+        p_ok, p_ld, _ = walk(l1(1) or b"\xff", 2)
+        shape_ok = (has_ld(1, 2) and p_ok
+                    and p_ld.get(1, [b""])[0].decode("utf-8", "replace")
+                    == U["text_proposal"])
+    elif u == U["group_create"]:
+        m_ok, m_ld, _ = walk(l1(2) or b"\xff", 4)
+        shape_ok = has_ld(1, 2, 3) and m_ok and 1 in m_ld and 2 in m_ld
+    elif u == U["group_upd_members"]:
+        m_ok, m_ld, _ = walk(l1(3) or b"\xff", 4)
+        shape_ok = has_ld(1, 3) and has_vi(2) and m_ok and 1 in m_ld
+    elif u in (U["group_upd_admin"], U["group_upd_metadata"]):
+        shape_ok = has_ld(1, 3) and has_vi(2)
+    elif u == U["group_create_policy"]:
+        a4_ok, a4_ld, _ = walk(l1(4) or b"\xff", 2)
+        shape_ok = (has_ld(1, 3, 4) and has_vi(2) and a4_ok
+                    and a4_ld.get(1, [b""])[0].decode("utf-8", "replace")
+                    == U["threshold_policy"])
+    elif u == U["group_create_with_policy"]:
+        m_ok, m_ld, _ = walk(l1(2) or b"\xff", 4)
+        a6_ok, a6_ld, _ = walk(l1(6) or b"\xff", 2)
+        shape_ok = (has_ld(1, 2, 3, 4, 6) and has_vi(5)
+                    and m_ok and 1 in m_ld and a6_ok
+                    and a6_ld.get(1, [b""])[0].decode("utf-8", "replace")
+                    == U["threshold_policy"])
+    elif u in (U["group_policy_admin"], U["group_policy_metadata"]):
+        shape_ok = has_ld(1, 2, 3)
+    elif u == U["group_policy_decision"]:
+        a3_ok, a3_ld, _ = walk(l1(3) or b"\xff", 2)
+        shape_ok = (has_ld(1, 2, 3) and a3_ok
+                    and a3_ld.get(1, [b""])[0].decode("utf-8", "replace")
+                    == U["threshold_policy"])
+    elif u == U["group_submit"]:
+        shape_ok = has_ld(1, 2, 3, 4) and has_vi(5)
+    elif u in (U["group_withdraw"], U["group_exec"]):
+        shape_ok = has_vi(1) and has_ld(2)
+    elif u == U["group_vote"]:
+        shape_ok = has_vi(1, 3, 5) and has_ld(2, 4)
+    elif u == U["group_leave"]:
+        shape_ok = has_ld(1) and has_vi(2)
 
     needs_amt = u in (
         U["send"], U["exec"], U["delegate"], U["transfer"],
@@ -361,7 +450,8 @@ def registry_decode_py(blob: bytes, urls: dict) -> tuple:
         U["grant_allow"], U["create_val"], U["vesting"], U["multisend"],
         U["cancel_unbond"], U["fund_pool"], U["submit_proposal"],
         U["perm_locked"], U["periodic_vest"], U["instantiate"],
-        U["gov_v1_deposit"], U["gov_v1_submit"],
+        U["gov_v1_deposit"], U["gov_v1_submit"], U["submit_evidence"],
+        U["group_submit"],
     )
     decode_ok = s_ok and shape_ok and (not needs_amt or amt is not None)
     status = "ok" if decode_ok else "Unknown message type"

@@ -212,6 +212,10 @@ HEAD_TYPES = frozenset((
     "verify_invariant", "vote", "deposit", "vesting", "cancel_unbond",
     "fund_pool", "redelegate", "exec", "transfer", "instantiate",
     "gov_v1_vote", "gov_v1_deposit",
+    # r11 group-module slot-free arms (strings + varints only)
+    "group_upd_admin", "group_upd_metadata", "group_policy_admin",
+    "group_policy_metadata", "group_withdraw", "group_exec",
+    "group_vote", "group_leave",
 ))
 
 
@@ -301,6 +305,17 @@ def add_positional_decode(df: DataFrame, blob: str, urls: dict,
         "periodic_vest": _take(_skip(Cur(B), 1, 2).vi(3, 9)[1], 4),
         "gov_v1_submit": _take(Cur(B), 1),
         "multisend": _take(_skip(Cur(B), 1), 2),
+        # r11 closure slots
+        "submit_evidence": _take(_skip(Cur(B), 1), 2),
+        "exec_legacy": _take(Cur(B), 1),
+        "group_create": _take(_skip(Cur(B), 1), 2),
+        "group_create_with_policy": _take(_skip(Cur(B), 1), 2),
+        "group_upd_members":
+            _take(_skip(Cur(B), 1).vi(2, 5, False)[1], 3),
+        "group_create_policy":
+            _take(_skip(_skip(Cur(B), 1).vi(2, 5, False)[1], 3), 4),
+        "group_policy_decision": _take(_skip(Cur(B), 1, 2), 3),
+        "group_submit": _take(_skip(Cur(B), 1, 2, 3), 4),
     })
     slot2 = ucase({
         "recv_packet": _take(_skip(Cur(B), 1, 2), 3),
@@ -308,6 +323,10 @@ def add_positional_decode(df: DataFrame, blob: str, urls: dict,
         "timeout": _take(_skip(Cur(B), 1, 2), 3),
         "multisend": _take(_skip(Cur(B), 1, 2), 2),
         "gov_v1_submit": _take(_skip(Cur(B), 1), 1),
+        # group create-with-policy decision Any (field 6, after the
+        # member slot, two strings and the as-admin varint)
+        "group_create_with_policy":
+            _take(_skip(_skip(Cur(B), 1), 2, 3, 4).vi(5, 1, False)[1], 6),
     })
     two_str_mid = _mid(_skip(Cur(B), 1, 2))
     mid = ucase({
@@ -316,15 +335,23 @@ def add_positional_decode(df: DataFrame, blob: str, urls: dict,
             "set_withdraw", "transfer", "vesting", "cancel_unbond",
             "perm_locked", "revoke", "revoke_allow", "exec",
             "verify_invariant", "instantiate", "grant", "grant_allow",
-            "periodic_vest")},
+            "periodic_vest", "group_policy_admin", "group_policy_metadata",
+            "group_policy_decision", "group_submit")},
         **{k: _mid(vs_mid()) for k in (
             "vote", "deposit", "vote_weighted", "gov_v1_vote",
-            "gov_v1_deposit")},
+            "gov_v1_deposit", "group_vote")},
     }, "BIGINT")
     pid_v = Cur(B).vi(1, 5)[0]
-    pidc = ucase({k: pid_v for k in
-                  ("vote", "deposit", "vote_weighted",
-                   "gov_v1_vote", "gov_v1_deposit")}, "BIGINT")
+    pid2_v = _skip(Cur(B), 1).vi(2, 5)[0]   # group_id after one string
+    pidc = ucase({
+        **{k: pid_v for k in
+           ("vote", "deposit", "vote_weighted", "gov_v1_vote",
+            "gov_v1_deposit", "group_withdraw", "group_vote",
+            "group_exec")},
+        **{k: pid2_v for k in
+           ("group_upd_members", "group_upd_admin", "group_upd_metadata",
+            "group_create_policy", "group_leave")},
+    }, "BIGINT")
     df = df.selectExpr(
         *carry, U, B,
         f"{slot1} AS __rp_s1", f"{slot2} AS __rp_s2",
@@ -339,6 +366,8 @@ def add_positional_decode(df: DataFrame, blob: str, urls: dict,
         *carry, U, B, S1c, S2c, "__rp_mid", "__rp_pid",
         ucase({"authz_exec": any_unwrap(S1c, send_hex),
                "gov_v1_submit": any_unwrap(S1c, send_hex),
+               "group_submit": any_unwrap(S1c, send_hex),
+               "submit_evidence": any_unwrap(S1c, uh["equivocation"]),
                "grant_allow": any_unwrap(S1c, uh["basic_allowance"])})
         + " AS __rp_in1",
         ucase({"gov_v1_submit": any_unwrap(S2c, send_hex)})
@@ -381,6 +410,7 @@ def add_positional_decode(df: DataFrame, blob: str, urls: dict,
         "authz_exec": (IN1, cpos(_skip(Cur(IN1), 1, 2), 3)),
         "grant_allow": (IN1, cpos(Cur(IN1), 1)),
         "gov_v1_submit": (IN1, cpos(_skip(Cur(IN1), 1, 2), 3)),
+        "group_submit": (IN1, cpos(_skip(Cur(IN1), 1, 2), 3)),
     }
     grp2 = {
         "multisend": (S2c, cpos(_skip(Cur(S2c), 1), 2)),
@@ -685,6 +715,70 @@ def add_positional_decode(df: DataFrame, blob: str, urls: dict,
         "gov_v1_submit",
         f"({top_end} AND {G1.end2()} AND {G2.end2()})",
         amt=f"({CS1}+{CS2}+{CS3})")
+
+    # ---- r11 closure: evidence / legacy-content exec / group ---------
+    # submit_evidence — Equivocation Any: height + power varints,
+    # consensus address string
+    se_top = _skip(Cur(B), 1).ld_slot(2, S1c).at_end()
+    ec = Cur(IN1)
+    se_tv, ec1 = ec.vi(1, 5)
+    se_av, ec2 = ec1.vi(3, 5)
+    se_end = _skip(ec2, 4).at_end()
+    arms["submit_evidence"] = out(
+        "submit_evidence", f"({se_top} AND {se_end})",
+        amt=se_av, tout=se_tv)
+
+    # exec_legacy — TextProposal content Any + authority string
+    el_ok = f"({any_unwrap(S1c, uh['text_proposal'])} IS NOT NULL)"
+    arms["exec_legacy"] = out(
+        "exec_legacy",
+        f"({_skip(Cur(B).ld_slot(1, S1c), 2).at_end()} AND {el_ok})")
+
+    # group module. MemberRequest slot = (address, weight, metadata)
+    gm_end = _skip(Cur(S1c), 1, 2, 3).at_end()
+    arms["group_create"] = out(
+        "group_create",
+        f"({_skip(_skip(Cur(B), 1).ld_slot(2, S1c), 3).at_end()} "
+        f"AND {gm_end})")
+    arms["group_upd_members"] = out(
+        "group_upd_members",
+        f"({_skip(Cur(B), 1).vi(2, 5, False)[1].ld_slot(3, S1c).at_end()}"
+        f" AND {gm_end})",
+        pid=PID)
+    for k in ("group_upd_admin", "group_upd_metadata"):
+        arms[k] = out(
+            k, _skip(_skip(Cur(B), 1).vi(2, 5, False)[1], 3).at_end(),
+            pid=PID)
+    thr_ok = f"({any_unwrap(S1c, uh['threshold_policy'])} IS NOT NULL)"
+    gcp_end = (_skip(_skip(Cur(B), 1).vi(2, 5, False)[1], 3)
+               .ld_slot(4, S1c).at_end())
+    arms["group_create_policy"] = out(
+        "group_create_policy", f"({gcp_end} AND {thr_ok})", pid=PID)
+    thr2_ok = f"({any_unwrap(S2c, uh['threshold_policy'])} IS NOT NULL)"
+    gcwp_yv, gcwp_c = (_skip(_skip(Cur(B), 1).ld_slot(2, S1c), 3, 4)
+                       .vi(5, 1))
+    arms["group_create_with_policy"] = out(
+        "group_create_with_policy",
+        f"({gcwp_c.ld_slot(6, S2c).at_end()} AND {gm_end} AND {thr2_ok})",
+        yes=yes01(gcwp_yv))
+    for k in ("group_policy_admin", "group_policy_metadata"):
+        arms[k] = out(k, _skip(m(), 3).at_end())
+    arms["group_policy_decision"] = out(
+        "group_policy_decision",
+        f"({m().ld_slot(3, S1c).at_end()} AND {thr_ok})")
+    gs_end = _skip(m(), 3).ld_slot(4, S1c).vi(5, 1, False)[1].at_end()
+    arms["group_submit"] = out(
+        "group_submit", f"({gs_end} AND {G1.end2()})", amt=CS1)
+    for k in ("group_withdraw", "group_exec"):
+        arms[k] = out(k, _skip(Cur(B).vi(1, 5, False)[1], 2).at_end(),
+                      pid=PID)
+    gv_yv, gv_c = m().vi(3, 1)
+    arms["group_vote"] = out(
+        "group_vote", _skip(gv_c, 4).vi(5, 1, False)[1].at_end(),
+        pid=PID, yes=yes01(gv_yv))
+    arms["group_leave"] = out(
+        "group_leave", _skip(Cur(B), 1).vi(2, 5, False)[1].at_end(),
+        pid=PID)
 
     # unknown: registered-free, UTF-8-valid urls are CLAIMED with the
     # walker's fallthrough tuple (url, 'Unknown message type', zeros)
