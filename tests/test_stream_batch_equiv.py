@@ -281,3 +281,30 @@ def test_stream_registry_decode_matches_batch_twin(spark, sf_dir):
         for r in qs["msg_registry_decode"](spark, sf_dir).collect()
     }
     assert stream == batch and len(batch) == 53
+
+
+def test_stream_registry_decode_native_equals_python_shape(spark, sf_dir):
+    """#47b's r11 default is the native C kernel riding mapInArrow
+    inside the micro-batch plan; forcing the Arrow-Python walker must
+    produce the identical complete-mode rollup (the kernel's
+    flagged-row fallback contract, live)."""
+    import os
+
+    from zigchain_indexer_clickhouse_spark.functions.native_registry import (
+        native_available,
+    )
+    from zigchain_indexer_clickhouse_spark.plans import registry
+
+    if not native_available():
+        import pytest
+        pytest.skip("no C toolchain in this environment")
+    qs = registry.queries()
+    native = sorted(tuple(r) for r in
+                    qs["stream_registry_decode"](spark, sf_dir).collect())
+    os.environ["SPARK_GRAFT_REGISTRY_DECODE"] = "python"
+    try:
+        py = sorted(tuple(r) for r in
+                    qs["stream_registry_decode"](spark, sf_dir).collect())
+    finally:
+        del os.environ["SPARK_GRAFT_REGISTRY_DECODE"]
+    assert native == py and len(native) == 53
