@@ -570,6 +570,107 @@ class IndexerAPI:
         existing query text."""
         return self.query(self.ch_sql(sql))
 
+    # -- PostgreSQL dialect shim (the monitor scripts) ----------------------
+    # the table surface test_connection.js:29-40 probes for
+    _PG_EXPECTED_TABLES = (
+        "blocks", "failed_blocks", "index_state", "transactions_raw",
+        "work_queue",
+    )
+
+    @staticmethod
+    def pg_bind(sql: str, params=None) -> str:
+        """node-pg positional binding: replace ``$1..$N`` with SQL
+        literals the way the monitor's ``targetDB.query(sql, [..])``
+        call sites do (scripts/monitor_indexer.js:104 binds the gap
+        probe's ``Math.min(maxHeight, 10000)``)."""
+        if not params:
+            return sql
+        out = sql
+        for i in range(len(params), 0, -1):  # $10 before $1
+            v = params[i - 1]
+            if v is None:
+                lit = "NULL"
+            elif isinstance(v, bool):
+                lit = "TRUE" if v else "FALSE"
+            elif isinstance(v, (int, float)):
+                lit = repr(v)
+            elif isinstance(v, datetime):
+                lit = f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S')}'"
+            else:
+                lit = "'" + str(v).replace("'", "''") + "'"
+            out = out.replace(f"${i}", lit)
+        return out
+
+    @classmethod
+    def pg_sql(cls, sql: str, params=None) -> str:
+        """Translate the PostgreSQL-dialect strings of the reference's
+        monitor scripts (scripts/monitor_indexer.js:24-230,
+        scripts/test_connection.js:22-58) to Spark SQL. The CH shim
+        already covers the shared constructs (``NOW()``, ``::`` casts,
+        ``generate_series`` → ``explode(sequence())``,
+        ``EXTRACT(EPOCH FROM (a - b))`` → unix_timestamp difference);
+        PG adds positional ``$N`` parameters (bound like node-pg) and
+        the ``information_schema.tables`` catalog probe (served by the
+        view :meth:`pg_query` registers). ``INTERVAL 'n unit'``
+        literals and scalar subqueries parse natively in Spark."""
+        import re as _re
+
+        out = cls.pg_bind(sql, params)
+        out = _re.sub(r"\binformation_schema\.tables\b",
+                      "information_schema_tables", out,
+                      flags=_re.IGNORECASE)
+        return cls.ch_sql(out)
+
+    def pg_query(self, sql: str, params=None) -> DataFrame:
+        """Run one of the monitor scripts' PG-dialect queries VERBATIM
+        — the switch-engines path for the reference's operational
+        tooling, mirroring ``targetDB.query(sql, params)``
+        (scripts/monitor_indexer.js:24, scripts/test_connection.js:22).
+
+        Registers the monitor's full table surface first: the merged
+        queue/state views, raw ``blocks`` / ``transactions_raw``
+        (empty-with-schema before anything is indexed — the scripts'
+        own "indexer may not have started yet" branch), a
+        monitor-compat ``failed_blocks`` projection carrying the
+        reference DDL's column names (init_clickhouse.js:95-111:
+        ``height``/``retry_count``/``max_retries``/``status`` on top
+        of the engine's narrower log schema), and the
+        ``information_schema_tables`` view behind test_connection.js's
+        structure probe."""
+        self.work_queue().createOrReplaceTempView("work_queue")
+        self._final(
+            self._read_log("index_state", _INDEX_STATE_SCHEMA),
+            ["index_name"],
+        ).createOrReplaceTempView("index_state")
+        # monitor-compat projection over the engine's failed-block log:
+        # the DDL's max_retries default is 5 (init_clickhouse.js:102)
+        fb = self.failed_blocks()
+        fb.withColumn("height", F.col("block_height")) \
+            .withColumn("retry_count", F.col("attempts")) \
+            .withColumn("max_retries", F.lit(5)) \
+            .withColumn(
+                "status",
+                F.when(F.col("attempts") >= 5, F.lit("failed"))
+                .otherwise(F.lit("pending"))) \
+            .createOrReplaceTempView("failed_blocks")
+        raw = {
+            "blocks": "height long, created_at timestamp",
+            "transactions_raw":
+                "tx_hash string, height long, created_at timestamp",
+        }
+        for t, schema in raw.items():
+            try:
+                df = self.spark.read.parquet(self._path(t))
+            except Exception:
+                df = self.spark.createDataFrame([], schema)
+            df.createOrReplaceTempView(t)
+        present = [(t, "public") for t in self._PG_EXPECTED_TABLES
+                   if os.path.isdir(self._path(t))]
+        self.spark.createDataFrame(
+            present, "table_name string, table_schema string"
+        ).createOrReplaceTempView("information_schema_tables")
+        return self.spark.sql(self.pg_sql(sql, params))
+
     # -- client-level resilience (src/database/db.js) -----------------------
     # per-class linear backoff seconds (db.js:48-55: connection errors
     # back off 2s*attempt, timeouts 1s*attempt)
