@@ -82,3 +82,74 @@ def test_pointer_flip_is_atomic_replace(tmp_path):
     v2 = new_version_dir(base)
     commit_version(base, v2)
     assert current_version_dir(base) == v2
+
+
+def test_write_once_at_rest_two_process_race(spark, tmp_path, monkeypatch):
+    """Cross-PROCESS rename race on the at-rest dataset (VERDICT r10
+    item 7: the suite exercised only threads): a SECOND python
+    interpreter with its own SparkSession commits the dataset while
+    this process sits between its _SUCCESS check and its rename. The
+    loser's rename fails (ENOTEMPTY), the lost-race branch must
+    discard the loser's temp dir and leave the winner's COMPLETE
+    dataset readable — never rmtree a directory carrying another
+    process's _SUCCESS."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from zigchain_indexer_clickhouse_spark.sources import tx_decode
+
+    path = str(tmp_path / "at_rest_race")
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {repr(os.getcwd())})
+        from pyspark.sql import SparkSession, functions as F
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false")
+                 .appName("at-rest-race-winner").getOrCreate())
+        from zigchain_indexer_clickhouse_spark.sources.tx_decode import (
+            _write_once_at_rest,
+        )
+        df = spark.range(100).select(
+            (F.col("id") % 4).alias("height_bucket"),
+            F.col("id").alias("height"))
+        _write_once_at_rest(df, {repr(path)})
+        print("WINNER-COMMITTED")
+        spark.stop()
+    """)
+
+    # the loser's dataset is DIFFERENT (50 rows) so the final read
+    # proves whose commit survived
+    loser_df = spark.range(50).select(
+        (F.col("id") % 4).alias("height_bucket"),
+        F.col("id").alias("height"))
+
+    state = {"proc": None}
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        if dst == path and state["proc"] is None:
+            # we are past the _SUCCESS check with our temp dir built:
+            # NOW let the other interpreter run to commit first
+            state["proc"] = subprocess.run(
+                [sys.executable, "-c", script],
+                capture_output=True, text=True, timeout=600)
+            assert "WINNER-COMMITTED" in state["proc"].stdout, \
+                state["proc"].stderr[-2000:]
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    try:
+        tx_decode._write_once_at_rest(loser_df, path)  # must NOT raise
+    finally:
+        monkeypatch.undo()
+
+    assert state["proc"] is not None, "race never reached the rename"
+    assert os.path.isfile(os.path.join(path, "_SUCCESS"))
+    got = spark.read.parquet(path)
+    assert got.count() == 100  # the winner's dataset, intact
+    # the loser cleaned up: no temp-sibling debris
+    debris = [d for d in os.listdir(tmp_path)
+              if d.startswith("at_rest_race.tmp-")]
+    assert debris == []
