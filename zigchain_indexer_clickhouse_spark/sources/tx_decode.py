@@ -1546,6 +1546,32 @@ def _registry_blobs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared_stage("registry20_blobs", spark, sf_dir, _build)
 
 
+# The CONFORMANCE variants (#187a positional hybrid, #187b expression
+# walker) gate dispatch correctness, not volume — the volume claims
+# belong to the native default (#187) and the at-rest path (#23c).
+# Bounding their rows to a fixed event window keeps every kind × 100
+# parameter variants in play while making their gate cost
+# SCALE-INDEPENDENT (VERDICT r10 item 8: the trio cost ~45 s of every
+# sf0.01 gate; the hybrid alone cost 332 s at sf1.0 unbounded).
+_CONF_EVENT_BOUND = 5600  # 100 full passes of the 56-kind grid
+_REGISTRY_ORACLE_SQL_CONF = _REGISTRY_ORACLE_SQL.replace(
+    "FROM events)",
+    f"FROM events WHERE event_id < {_CONF_EVENT_BOUND})",
+)
+
+
+def _registry_blobs_conf_stage(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """The bounded synthesis frame the two conformance variants share."""
+
+    def _build() -> DataFrame:
+        e = load(spark, sf_dir, "events").filter(
+            F.col("event_id") < _CONF_EVENT_BOUND)
+        return e.select(_registry_blob_hex().alias("blob_hex"))
+
+    return _shared_stage("registry20_blobs_conf", spark, sf_dir, _build)
+
+
 @register(
     "msg_registry_decode",
     oracle=_REGISTRY_ORACLE_SQL,
@@ -1566,9 +1592,21 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry inventory and the reference anchors."""
     mode = _registry_decode_mode("native")
     if mode == "walker":
-        return _registry_walker_agg(spark, sf_dir)
+        # full-row walker under the env override: the registered
+        # walker CONFORMANCE op is intentionally bounded to the
+        # _CONF_EVENT_BOUND window, but #187's own semantics must stay
+        # full-table whatever the execution shape — use the one-tree
+        # expression form (the same shape the at-rest/stream walker
+        # modes run)
+        decoded = _registry_blobs_stage(spark, sf_dir).select(
+            registry_decoded_struct(F.col("blob_hex")).alias("d")
+        ).select("d.*")
+        return _registry_agg(decoded)
     if mode == "hybrid":
-        return msg_registry_decode_hybrid(spark, sf_dir)
+        decoded = registry_decoded_df_hybrid(
+            spark, sf_dir, "registry20_hybrid_full",
+            lambda: _registry_blobs_stage(spark, sf_dir))
+        return _registry_agg(decoded)
     blobs = _registry_blobs_stage(spark, sf_dir)
     if mode == "native":
         decoded = _shared_stage(
@@ -1589,7 +1627,7 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "msg_registry_decode_hybrid",
-    oracle=_REGISTRY_ORACLE_SQL,
+    oracle=_REGISTRY_ORACLE_SQL_CONF,
 )
 def msg_registry_decode_hybrid(spark: SparkSession, sf_dir: str
                                ) -> DataFrame:
@@ -1608,7 +1646,7 @@ def msg_registry_decode_hybrid(spark: SparkSession, sf_dir: str
     exactly that accumulation)."""
     decoded = registry_decoded_df_hybrid(
         spark, sf_dir, "registry20_hybrid",
-        lambda: _registry_blobs_stage(spark, sf_dir))
+        lambda: _registry_blobs_conf_stage(spark, sf_dir))
     out = _registry_agg(decoded)
     rows = out.collect()
     for k in list(_STAGE_CACHE):
@@ -1622,7 +1660,7 @@ def msg_registry_decode_hybrid(spark: SparkSession, sf_dir: str
 
 @register(
     "msg_registry_decode_walker",
-    oracle=_REGISTRY_ORACLE_SQL,
+    oracle=_REGISTRY_ORACLE_SQL_CONF,
 )
 def msg_registry_decode_walker(spark: SparkSession, sf_dir: str
                                ) -> DataFrame:
@@ -1682,12 +1720,9 @@ def msg_registry_decode_walker(spark: SparkSession, sf_dir: str
     Zero Python row UDFs, zero joins; one map-side-combinable
     (type_url, status) aggregate whose output is ≤ 20 rows."""
 
-    def _build() -> DataFrame:
-        e = load(spark, sf_dir, "events")
-        return e.select(_registry_blob_hex().alias("blob_hex"))
-
     def _any() -> DataFrame:
-        blobs = _shared_stage("registry20_blobs", spark, sf_dir, _build)
+        # conformance bound: dispatch coverage, scale-independent cost
+        blobs = _registry_blobs_conf_stage(spark, sf_dir)
         return blobs.select(
             proto_scan_hex(F.col("blob_hex"), 2).alias("a"))
 
@@ -1743,8 +1778,6 @@ def msg_registry_decode_walker(spark: SparkSession, sf_dir: str
     return spark.createDataFrame(rows, agg.schema)
 
 
-# the internal name the mode switch in msg_registry_decode dispatches to
-_registry_walker_agg = msg_registry_decode_walker
 
 # --------------------------------------------------------------------------
 # 214. token_flow_graph — sender→recipient transfer matrix from decoded sends
