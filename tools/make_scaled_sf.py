@@ -54,10 +54,15 @@ COPY_AS_IS = ("region", "nation")
 def make_scaled(src: str, dst: str, factor: int) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # stride floor 10M: several operators synthesize derived ids at
+    # fixed offsets from real ones (e.g. the near-dup corpus plants
+    # copies at doc_id + 10000), so copy strides must clear every such
+    # offset or replica ids collide with planted ids and the op/oracle
+    # pair sees a corpus the sf0.1 originals never produce
     strides = {
-        dom: con.execute(
+        dom: max(con.execute(
             f"SELECT max({col}) + 1 FROM '{src}/{tbl}.parquet'"
-        ).fetchone()[0]
+        ).fetchone()[0], 10_000_000)
         for dom, (tbl, col) in DOMAIN_DEF.items()
     }
     for t in COPY_AS_IS:

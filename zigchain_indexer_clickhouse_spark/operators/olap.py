@@ -30,13 +30,21 @@ from zigchain_indexer_clickhouse_spark.plans.registry import register
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(SUM(l_quantity) / COUNT(*), 4) AS avg_qty,
-           ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price,
-           ROUND(SUM(l_discount) / COUNT(*), 4) AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                 AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                 AS DOUBLE), 2) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE), 2)
+             AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6)))
+                 AS DOUBLE) / COUNT(*), 4) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
@@ -46,22 +54,38 @@ from zigchain_indexer_clickhouse_spark.plans.registry import register
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pricing summary report: one wide aggregation with derived
     expressions — the canonical ClickHouse-style scan+agg. Single
-    shuffle, partial aggregation map-side, filter pushed to parquet."""
+    shuffle, partial aggregation map-side, filter pushed to parquet.
+
+    Sums accumulate in DECIMAL(38,6), not double: per-row products are
+    identical IEEE doubles on both engines, but double SUMMATION is
+    order-dependent and at 6M rows the engines' different partial-agg
+    orders drifted sum_charge by 0.01 after rounding (caught by the
+    r11 sf1.0 sweep). Exact decimal addition is order-independent, so
+    the aggregate is bit-stable at every scale; the one-time
+    double→decimal quantization of the same input bits rounds
+    identically on both sides."""
     l = load(spark, sf_dir, "lineitem")
+    dec = "decimal(38,6)"
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    sq = F.sum(F.col("l_quantity").cast(dec)).cast("double")
+    sbp = F.sum(F.col("l_extendedprice").cast(dec)).cast("double")
+    sdisc = F.sum(F.col("l_discount").cast(dec)).cast("double")
+    n = F.count("*")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.sum("l_quantity") / F.count("*"), 4).alias("avg_qty"),
-            F.round(F.sum("l_extendedprice") / F.count("*"), 4).alias("avg_price"),
-            F.round(F.sum("l_discount") / F.count("*"), 4).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.round(sq, 2).alias("sum_qty"),
+            F.round(sbp, 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price.cast(dec)).cast("double"), 2)
+            .alias("sum_disc_price"),
+            F.round(F.sum(charge.cast(dec)).cast("double"), 2)
+            .alias("sum_charge"),
+            F.round(sq / n, 4).alias("avg_qty"),
+            F.round(sbp / n, 4).alias("avg_price"),
+            F.round(sdisc / n, 4).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
