@@ -30,14 +30,14 @@ from zigchain_indexer_clickhouse_spark.plans.registry import register
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
-                 AS DOUBLE), 2) AS sum_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
-                 AS DOUBLE), 2) AS sum_base_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                 AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_disc_price,
-           ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                 * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE), 2)
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,6))), 2)
+                 AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 2)
+                 AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(38,6))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 * (1 + l_tax) AS DECIMAL(38,6))), 2) AS DOUBLE)
              AS sum_charge,
            ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6)))
                  AS DOUBLE) / COUNT(*), 4) AS avg_qty,
@@ -68,23 +68,30 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,6)"
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    sq = F.sum(F.col("l_quantity").cast(dec)).cast("double")
-    sbp = F.sum(F.col("l_extendedprice").cast(dec)).cast("double")
-    sdisc = F.sum(F.col("l_discount").cast(dec)).cast("double")
+    sq = F.sum(F.col("l_quantity").cast(dec))
+    sbp = F.sum(F.col("l_extendedprice").cast(dec))
+    sdisc = F.sum(F.col("l_discount").cast(dec))
     n = F.count("*")
+
+    def r2(c):
+        # round ON THE DECIMAL, then cast: rounding the double instead
+        # diverges at exact half-cent ties — Spark's double round goes
+        # through the shortest decimal string (HALF_UP on ".865"),
+        # DuckDB rounds the binary value (slightly below the tie), a
+        # 0.01 disagreement the sf1.0 sweep caught on q7
+        return F.round(c, 2).cast("double")
+
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(sq, 2).alias("sum_qty"),
-            F.round(sbp, 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price.cast(dec)).cast("double"), 2)
-            .alias("sum_disc_price"),
-            F.round(F.sum(charge.cast(dec)).cast("double"), 2)
-            .alias("sum_charge"),
-            F.round(sq / n, 4).alias("avg_qty"),
-            F.round(sbp / n, 4).alias("avg_price"),
-            F.round(sdisc / n, 4).alias("avg_disc"),
+            r2(sq).alias("sum_qty"),
+            r2(sbp).alias("sum_base_price"),
+            r2(F.sum(disc_price.cast(dec))).alias("sum_disc_price"),
+            r2(F.sum(charge.cast(dec))).alias("sum_charge"),
+            F.round(sq.cast("double") / n, 4).alias("avg_qty"),
+            F.round(sbp.cast("double") / n, 4).alias("avg_price"),
+            F.round(sdisc.cast("double") / n, 4).alias("avg_disc"),
             n.alias("count_order"),
         )
     )

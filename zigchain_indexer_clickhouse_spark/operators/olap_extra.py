@@ -460,7 +460,15 @@ N_SALT = 8
     "salted_skew_join",
     oracle="""
     WITH dim AS (
-      SELECT user_id, AVG(value) AS avg_user_value FROM events GROUP BY 1
+      -- integer-quantized mean: floor(value*1e6) per row is the same
+      -- bigint on both engines, its SUM is exact, and the // floor
+      -- division keeps every later step integer — the double AVG +
+      -- floor(avg*10000) form sat on a knife edge that flipped at the
+      -- 10x sweep scale
+      SELECT user_id,
+             SUM(CAST(floor(value * 1000000) AS BIGINT))
+               // (100 * COUNT(*)) AS avg_q
+      FROM events GROUP BY 1
     ),
     fact AS (
       SELECT event_id, event_type,
@@ -468,8 +476,7 @@ N_SALT = 8
       FROM events
     )
     SELECT event_type, COUNT(*) AS n_joined,
-           ROUND(SUM(CAST(floor(avg_user_value * 10000) AS BIGINT))
-                 / 10000.0, 4) AS sum_dim_value
+           ROUND(SUM(avg_q) / 10000.0, 4) AS sum_dim_value
     FROM fact JOIN dim ON dim.user_id = fact.skew_uid
     GROUP BY 1
     """,
@@ -491,7 +498,16 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join so test scale doesn't broadcast away the demo; the
     oracle is the UNSALTED join — salting must be result-invariant."""
     e = load(spark, sf_dir, "events")
-    dim = e.groupBy("user_id").agg(F.avg("value").alias("avg_user_value"))
+    # integer-quantized per-user mean (see the oracle comment): every
+    # step after the per-row floor is exact integer math, so the dim
+    # values are bit-identical across engines and row orders
+    dim = (
+        e.groupBy("user_id")
+        .agg(F.sum(F.floor(F.col("value") * 1000000).cast("long"))
+             .alias("svq"),
+             F.count("*").alias("nu"))
+        .select("user_id", F.expr("svq div (100 * nu)").alias("avg_q"))
+    )
     fact = e.select(
         "event_id",
         "event_type",
@@ -501,7 +517,7 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("salt", (F.col("event_id") % N_SALT).cast("int"))
     dim_salted = dim.select(
         "user_id",
-        "avg_user_value",
+        "avg_q",
         F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1))).alias("salt"),
     )
     return (
@@ -513,11 +529,7 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_joined"),
-            F.round(
-                F.sum(F.floor(F.col("avg_user_value") * 10000).cast("long"))
-                / 10000.0,
-                4,
-            ).alias("sum_dim_value"),
+            F.round(F.sum("avg_q") / 10000.0, 4).alias("sum_dim_value"),
         )
     )
 
@@ -677,7 +689,8 @@ def q22_idle_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS l_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -725,9 +738,14 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_nation", "cust_nation",
         F.year("l_shipdate").cast("int").alias("l_year"),
     ).agg(
+        # decimal accumulation: double summation is order-dependent and
+        # drifted 0.01 after rounding at the 10x sweep scale (the q1
+        # lesson applied here); per-row products are identical IEEE
+        # doubles on both engines, the decimal SUM is exact
         F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue")
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(38,6)")), 2
+        ).cast("double").alias("revenue")
     )
 
 
