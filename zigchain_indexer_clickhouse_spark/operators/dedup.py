@@ -1041,7 +1041,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 def _triangles_oracle() -> str:
     return f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
+      -- MATERIALIZED: this CTE is referenced four times and DuckDB
+      -- inlines CTEs by default — re-evaluating the whole minhash
+      -- signature pipeline per reference spilled >50 GB at the r11
+      -- sf1.0 sweep scale
       SELECT doc_a AS a, doc_b AS b FROM ({_minhash_oracle()})
     ),
     nodes AS (
@@ -1228,7 +1232,9 @@ def _pagerank_oracle() -> str:
         prev = f"r{k}"
     chain = ",".join(ctes)
     return f"""
-    WITH pairs AS (
+    WITH pairs AS MATERIALIZED (
+      -- MATERIALIZED: see dup_graph_triangles — the inlined minhash
+      -- pipeline re-evaluates per reference otherwise
       SELECT doc_a AS a, doc_b AS b FROM ({_minhash_oracle()})
     ),
     edges AS (
