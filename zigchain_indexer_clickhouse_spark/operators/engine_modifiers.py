@@ -45,7 +45,8 @@ from zigchain_indexer_clickhouse_spark.plans.registry import register
            CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
                 AS INT) AS grouping_lvl,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS sum_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+             AS DOUBLE) AS sum_price
     FROM orders
     GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
@@ -71,7 +72,8 @@ def rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             # materialize the level here, branch on the column after
             lvl.alias("grouping_lvl"),
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+            .cast("double").alias("sum_price"),
         )
         .select(
             F.when(F.col("grouping_lvl") >= 2, "ALL")
@@ -206,13 +208,13 @@ def collapsing_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
              strftime(ts, '%Y-%m') AS month,
-             COUNT(*) AS cnt, SUM(value) AS sum_v,
+             COUNT(*) AS cnt, SUM(CAST(value AS DECIMAL(38,6))) AS sum_v,
              MIN(value) AS min_v, MAX(value) AS max_v
       FROM events GROUP BY 1, 2, 3
     )
     SELECT event_type, month,
            CAST(SUM(cnt) AS BIGINT) AS n_events,
-           ROUND(SUM(sum_v), 2) AS sum_value,
+           CAST(ROUND(SUM(sum_v), 2) AS DOUBLE) AS sum_value,
            ROUND(MIN(min_v), 4) AS min_value,
            ROUND(MAX(max_v), 4) AS max_value
     FROM daily GROUP BY event_type, month
@@ -245,14 +247,14 @@ def agg_states_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day", "month")
         .agg(
             F.count("*").alias("cnt"),
-            F.sum("value").alias("sum_v"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_v"),
             F.min("value").alias("min_v"),
             F.max("value").alias("max_v"),
         )
     )
     return daily.groupBy("event_type", "month").agg(
         F.sum("cnt").cast("long").alias("n_events"),
-        F.round(F.sum("sum_v"), 2).alias("sum_value"),
+        F.round(F.sum("sum_v"), 2).cast("double").alias("sum_value"),
         F.round(F.min("min_v"), 4).alias("min_value"),
         F.round(F.max("max_v"), 4).alias("max_value"),
     )

@@ -412,7 +412,8 @@ def maybe_b64_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_rows,
            CAST(MIN(event_id) AS BIGINT) AS min_height,
            CAST(MAX(event_id) AS BIGINT) AS max_height,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2) AS DOUBLE)
+             AS total_value
     FROM events
     GROUP BY 1
     """,
@@ -427,7 +428,8 @@ def height_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.min("event_id").cast("long").alias("min_height"),
         F.max("event_id").cast("long").alias("max_height"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+        .cast("double").alias("total_value"),
     )
 
 

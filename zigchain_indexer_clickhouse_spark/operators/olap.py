@@ -104,7 +104,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_unshipped",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -134,9 +135,12 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # decimal accumulation: order-independent exact sums (the
+            # r11 half-cent-tie class, see q1)
+            F.round(F.sum((F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))
+                          .cast("decimal(38,6)")), 2)
+            .cast("double").alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
@@ -151,7 +155,8 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_volume",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -188,9 +193,10 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(F.sum((F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))
+                          .cast("decimal(38,6)")), 2)
+            .cast("double").alias("revenue")
         )
     )
 
@@ -204,9 +210,12 @@ def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, user_id, total_value, CAST(rnk AS INT) AS rnk
     FROM (
       SELECT event_type, user_id,
-             ROUND(SUM(value), 2) AS total_value,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY ROUND(SUM(value), 2) DESC, user_id) AS rnk
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2)
+               AS DOUBLE) AS total_value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2)
+                             AS DOUBLE) DESC, user_id) AS rnk
       FROM events GROUP BY event_type, user_id
     ) WHERE rnk <= 3
     """,
@@ -217,7 +226,8 @@ def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort."""
     e = load(spark, sf_dir, "events")
     agg = e.groupBy("event_type", "user_id").agg(
-        F.round(F.sum("value"), 2).alias("total_value")
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+        .cast("double").alias("total_value")
     )
     w = Window.partitionBy("event_type").orderBy(F.col("total_value").desc(), "user_id")
     return (
@@ -248,7 +258,8 @@ def top_users_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS session_value,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2)
+             AS DOUBLE) AS session_value,
            MIN(ts) AS session_start, MAX(ts) AS session_end
     FROM sessions GROUP BY user_id, session_id
     """,
@@ -273,7 +284,8 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+            .cast("double").alias("session_value"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
         )
@@ -289,7 +301,8 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS bucket,
            COUNT(*) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2)
+             AS DOUBLE) AS total_value
     FROM events GROUP BY 1
     """,
 )
@@ -301,5 +314,6 @@ def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+        .cast("double").alias("total_value"),
     )

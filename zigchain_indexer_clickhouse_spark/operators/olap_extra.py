@@ -24,7 +24,8 @@ from zigchain_indexer_clickhouse_spark.plans.registry import register
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+             AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -47,9 +48,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            # decimal accumulation: order-independent exact sums (the
+            # r11 half-cent-tie class, see q1)
+            F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                          .cast("decimal(38,6)")), 2)
+            .cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -62,7 +65,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
            ROUND(c.c_acctbal, 2) AS acctbal
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
@@ -92,9 +96,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(F.sum((F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))
+                          .cast("decimal(38,6)")), 2)
+            .cast("double").alias("revenue")
         )
         .select(
             "c_custkey", "c_name", "n_name", "revenue",
@@ -112,10 +117,11 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_share",
     oracle="""
     SELECT ROUND(
-             100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+             100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
                               THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_share,
+                              ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE), 4) AS promo_share,
            COUNT(*) AS n_items
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
@@ -136,8 +142,10 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev)
+                        .otherwise(0.0).cast("decimal(38,6)"))
+                .cast("double")
+                / F.sum(rev.cast("decimal(38,6)")).cast("double"),
                 4,
             ).alias("promo_share"),
             F.count("*").alias("n_items"),
@@ -193,9 +201,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_total",
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
-           ROUND(SUM(o_totalprice) OVER (
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS UNBOUNDED PRECEDING), 2) AS cum_spend,
+             ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS cum_spend,
            CAST(row_number() OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              AS INT) AS order_seq
@@ -212,11 +220,11 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderdate",
         F.round(
-            F.sum("o_totalprice").over(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(
                 w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
             2,
-        ).alias("cum_spend"),
+        ).cast("double").alias("cum_spend"),
         F.row_number().over(w).cast("int").alias("order_seq"),
     )
 
@@ -229,7 +237,8 @@ def running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-             ROUND(SUM(value), 2) AS day_value,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(38,6))), 2)
+               AS DOUBLE) AS day_value,
              COUNT(*) AS n_events
       FROM events GROUP BY 1
     )
@@ -246,7 +255,8 @@ def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed input is already aggregated so the global window is cheap."""
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.round(F.sum("value"), 2).alias("day_value"),
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")), 2)
+        .cast("double").alias("day_value"),
         F.count("*").alias("n_events"),
     )
     w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
@@ -295,7 +305,8 @@ def value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
            CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
-           ROUND(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+           CAST(ROUND(SUM(CAST(CASE WHEN event_type = 'purchase'
+                 THEN value ELSE 0 END AS DECIMAL(38,6))), 2) AS DOUBLE)
              AS purchase_value
     FROM events GROUP BY user_id
     """,
@@ -316,9 +327,10 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt("signup").alias("n_signup"),
         cnt("error").alias("n_error"),
         F.round(
-            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))
+                  .otherwise(0.0).cast("decimal(38,6)")),
             2,
-        ).alias("purchase_value"),
+        ).cast("double").alias("purchase_value"),
     )
 
 
@@ -329,7 +341,8 @@ def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "status_priority_rollup",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 2)
+             AS DOUBLE) AS total_price
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -340,7 +353,8 @@ def status_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(38,6)")), 2)
+        .cast("double").alias("total_price"),
     )
 
 
@@ -641,7 +655,8 @@ def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_customers_anti",
     oracle="""
     SELECT n.n_name AS nation, COUNT(*) AS n_idle,
-           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))), 2)
+             AS DOUBLE) AS total_acctbal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE c.c_acctbal > 0
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -676,7 +691,7 @@ def q22_idle_customers_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation")
         .agg(
             F.count("*").alias("n_idle"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(38,6)")), 2).cast("double").alias("total_acctbal"),
         )
     )
 
@@ -769,8 +784,11 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r.r_name = 'EUROPE'
     )
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
-                          ELSE 0 END) / SUM(volume), 4) AS mkt_share
+           ROUND(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_7'
+                          THEN volume ELSE 0 END AS DECIMAL(38,6)))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE),
+                 4) AS mkt_share
     FROM base GROUP BY o_year
     """,
 )
@@ -808,8 +826,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
         F.round(
-            F.sum(F.when(F.col("supp_nation") == "NATION_7", volume).otherwise(0.0))
-            / F.sum(volume),
+            F.sum(F.when(F.col("supp_nation") == "NATION_7", volume)
+                  .otherwise(0.0).cast("decimal(38,6)")).cast("double")
+            / F.sum(volume.cast("decimal(38,6)")).cast("double"),
             4,
         ).alias("mkt_share")
     )

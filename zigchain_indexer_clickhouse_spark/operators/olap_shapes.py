@@ -378,7 +378,8 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     avgq AS (
       SELECT l_partkey AS ap, AVG(l_quantity) AS avg_qty FROM fl GROUP BY 1
     )
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                 AS DOUBLE) / 7.0, 2) AS avg_yearly,
            COUNT(*) AS n_items
     FROM fl JOIN avgq ON ap = l_partkey
     WHERE l_quantity < 0.5 * avg_qty
@@ -407,7 +408,8 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         fl.join(avgq, fl.l_partkey == avgq.ap)
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+                    .cast("double") / 7.0, 2).alias("avg_yearly"),
             F.count("*").alias("n_items"),
         )
     )
@@ -419,7 +421,8 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+             AS DECIMAL(38,6))), 2) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
@@ -455,7 +458,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return j.filter(c1 | c2 | c3).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(38,6)")), 2).cast("double").alias(
             "revenue"
         ),
         F.count("*").alias("n_items"),
