@@ -84,9 +84,20 @@ def main() -> None:
 
     # BENCH_r08 postmortem (VERDICT r8 "What's wrong" #1): a snapshot
     # taken under machine contention misreported the engine by ~40%.
-    # Record the host load so a contaminated run is self-labeling, and
-    # re-run once when the 1-minute load at start says the box was
-    # already busy before we added our own 32 threads.
+    # First, WAIT (bounded) for the host to go quiet — the driver
+    # sequences the bench after its test battery, so the 1-minute load
+    # at entry is usually the tail of someone else's work draining
+    # (VERDICT r11 next #5 wants loadavg_at_start < 1); then record the
+    # load so any still-contaminated run is self-labeling, and re-run
+    # once when the box never settled.
+    wait_budget = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "180"))
+    waited = 0.0
+    while os.getloadavg()[0] > 1.0 and waited < wait_budget:
+        time.sleep(10)
+        waited += 10
+    if waited:
+        print(f"# waited {waited:.0f}s for idle "
+              f"(load now {os.getloadavg()[0]:.1f})", file=sys.stderr)
     load_before = os.getloadavg()
     timings = _run_headline(spark, qs, sf_dir)
     retried = False

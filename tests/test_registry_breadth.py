@@ -125,9 +125,9 @@ def test_vote_and_delegate_fail_closed_not_shifted(spark):
 
 
 def test_registry_decode_populations_and_outcome_dispatch(spark):
-    """msg_registry_decode at sf0.001: fifty-three (type_url, status)
-    rows (fifty-two registered types + fallback); only the unregistered
-    custom type takes the fallback; decoded aggregates are all
+    """msg_registry_decode at sf0.001: sixty-eight (type_url, status)
+    rows (sixty-seven registered types + fallback); only the
+    unregistered custom type takes the fallback; decoded aggregates are all
     non-trivial (amounts from repeated-Coin sums — 2-coin MsgSend,
     2-output MsgMultiSend, gov v1 deposits, the repeated-Any messages
     of gov v1 MsgSubmitProposal — the TWO-deep Any unwraps inside
@@ -143,7 +143,7 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         r["type_url"]: r
         for r in registry.queries()["msg_registry_decode"](spark, SF).collect()
     }
-    assert len(rows) == 53
+    assert len(rows) == 68
     assert rows["/zigchain.custom.v1.MsgCustom"]["status"] == (
         "Unknown message type"
     )
@@ -204,6 +204,22 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
         "/cosmos.group.v1.MsgVote",
         "/cosmos.group.v1.MsgExec",
         "/cosmos.group.v1.MsgLeaveGroup",
+        # r12 closure: gov v1 vote-weighted + the IBC handshake set
+        "/cosmos.gov.v1.MsgVoteWeighted",
+        "/ibc.core.client.v1.MsgCreateClient",
+        "/ibc.core.client.v1.MsgUpgradeClient",
+        "/ibc.core.client.v1.MsgSubmitMisbehaviour",
+        "/ibc.core.connection.v1.MsgConnectionOpenInit",
+        "/ibc.core.connection.v1.MsgConnectionOpenTry",
+        "/ibc.core.connection.v1.MsgConnectionOpenAck",
+        "/ibc.core.connection.v1.MsgConnectionOpenConfirm",
+        "/ibc.core.channel.v1.MsgChannelOpenInit",
+        "/ibc.core.channel.v1.MsgChannelOpenTry",
+        "/ibc.core.channel.v1.MsgChannelOpenAck",
+        "/ibc.core.channel.v1.MsgChannelOpenConfirm",
+        "/ibc.core.channel.v1.MsgChannelCloseInit",
+        "/ibc.core.channel.v1.MsgChannelCloseConfirm",
+        "/ibc.core.channel.v1.MsgTimeoutOnClose",
     )
     for url in coinless:
         assert rows[url]["status"] == "ok"
@@ -238,6 +254,23 @@ def test_registry_decode_populations_and_outcome_dispatch(spark):
     assert gv["sum_pid"] > 0 and 0 < gv["n_yes"] < gv["n_msgs"]
     gs = rows["/cosmos.group.v1.MsgSubmitProposal"]
     assert gs["total_amt"] > 0  # embedded 2-coin MsgSend unwrapped
+    # r12 closure: gov v1 weighted votes, handshake delay periods,
+    # proof-Height revision heights, TimeoutOnClose packet timeouts,
+    # Channel.state enums
+    vw1 = rows["/cosmos.gov.v1.MsgVoteWeighted"]
+    assert vw1["sum_pid"] > 0 and 0 < vw1["n_yes"] < vw1["n_msgs"]
+    for u in ("/ibc.core.connection.v1.MsgConnectionOpenInit",
+              "/ibc.core.connection.v1.MsgConnectionOpenTry",
+              "/ibc.core.connection.v1.MsgConnectionOpenConfirm",
+              "/ibc.core.channel.v1.MsgChannelOpenTry",
+              "/ibc.core.channel.v1.MsgChannelOpenAck",
+              "/ibc.core.channel.v1.MsgChannelOpenConfirm",
+              "/ibc.core.channel.v1.MsgChannelCloseConfirm",
+              "/ibc.core.channel.v1.MsgTimeoutOnClose"):
+        assert rows[u]["sum_timeout"] > 0
+    for u in ("/ibc.core.channel.v1.MsgChannelOpenInit",
+              "/ibc.core.channel.v1.MsgChannelOpenTry"):
+        assert 0 < rows[u]["n_yes"] < rows[u]["n_msgs"]
     for u in ("/cosmos.group.v1.MsgUpdateGroupAdmin",
               "/cosmos.group.v1.MsgCreateGroupPolicy",
               "/cosmos.group.v1.MsgWithdrawProposal",

@@ -64,9 +64,16 @@ NATIVE_KEYS = (
     "group_policy_admin", "group_policy_decision",
     "group_policy_metadata", "group_submit", "group_withdraw",
     "group_vote", "group_exec", "group_leave",
+    # r12 closure: gov v1 vote-weighted + IBC core handshakes
+    "gov_v1_vote_weighted", "create_client", "upgrade_client",
+    "submit_misbehaviour", "conn_open_init", "conn_open_try",
+    "conn_open_ack", "conn_open_confirm", "chan_open_init",
+    "chan_open_try", "chan_open_ack", "chan_open_confirm",
+    "chan_close_init", "chan_close_confirm", "timeout_on_close",
     # nested-only urls
     "basic_allowance", "stake_auth", "text_proposal", "tm_header",
-    "equivocation", "threshold_policy",
+    "equivocation", "threshold_policy", "client_state",
+    "consensus_state", "misbehaviour",
 )
 
 _LIB = None

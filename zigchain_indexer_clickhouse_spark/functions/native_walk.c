@@ -315,9 +315,16 @@ enum {
     T_GROUP_POLICY_ADMIN, T_GROUP_POLICY_DECISION,
     T_GROUP_POLICY_METADATA, T_GROUP_SUBMIT, T_GROUP_WITHDRAW,
     T_GROUP_VOTE, T_GROUP_EXEC, T_GROUP_LEAVE,
+    /* r12 closure: gov v1 vote-weighted + IBC core handshakes */
+    T_GOV_V1_VOTE_WEIGHTED, T_CREATE_CLIENT, T_UPGRADE_CLIENT,
+    T_SUBMIT_MISBEHAVIOUR, T_CONN_OPEN_INIT, T_CONN_OPEN_TRY,
+    T_CONN_OPEN_ACK, T_CONN_OPEN_CONFIRM, T_CHAN_OPEN_INIT,
+    T_CHAN_OPEN_TRY, T_CHAN_OPEN_ACK, T_CHAN_OPEN_CONFIRM,
+    T_CHAN_CLOSE_INIT, T_CHAN_CLOSE_CONFIRM, T_TIMEOUT_ON_CLOSE,
     /* nested-only urls (never `ok` as top-level messages) */
     T_BASIC_ALLOWANCE, T_STAKE_AUTH, T_TEXT_PROPOSAL, T_TM_HEADER,
-    T_EQUIVOCATION, T_THRESHOLD_POLICY,
+    T_EQUIVOCATION, T_THRESHOLD_POLICY, T_CLIENT_STATE,
+    T_CONSENSUS_STATE, T_MISBEHAVIOUR,
     T_COUNT
 };
 
@@ -674,7 +681,7 @@ static int decode_one(const uint8_t *h, int64_t off, int64_t hexlen,
     if (u == T_VOTE || u == T_DEPOSIT || u == T_VOTE_WEIGHTED ||
         u == T_GOV_V1_VOTE || u == T_GOV_V1_DEPOSIT ||
         u == T_GROUP_WITHDRAW || u == T_GROUP_VOTE ||
-        u == T_GROUP_EXEC) {
+        u == T_GROUP_EXEC || u == T_GOV_V1_VOTE_WEIGHTED) {
         if (vi_get(&b, 1, &uv)) {
             pid = (int64_t)uv;
             pid_set = 1;
@@ -697,11 +704,21 @@ static int decode_one(const uint8_t *h, int64_t off, int64_t hexlen,
             yes = (uv == 1) ? 1 : 0;
             yes_set = 1;
         }
-    } else if (u == T_VOTE_WEIGHTED) {
+    } else if (u == T_VOTE_WEIGHTED || u == T_GOV_V1_VOTE_WEIGHTED) {
         walk_t wv;
         if (!walk_or_ff(h, l_nth(&b, 3, 0), 2, &wv))
             return 0;
         if (wv.ok && vi_get(&wv, 1, &uv)) {
+            yes = (uv == 1) ? 1 : 0;
+            yes_set = 1;
+        }
+    } else if (u == T_CHAN_OPEN_INIT || u == T_CHAN_OPEN_TRY) {
+        /* Channel.state enum at field 2 (init) / field 3 (try) */
+        walk_t ch;
+        if (!walk_or_ff(h, l_nth(&b, u == T_CHAN_OPEN_INIT ? 2 : 3, 0),
+                        4, &ch))
+            return 0;
+        if (ch.ok && vi_get(&ch, 1, &uv)) {
             yes = (uv == 1) ? 1 : 0;
             yes_set = 1;
         }
@@ -751,10 +768,50 @@ static int decode_one(const uint8_t *h, int64_t off, int64_t hexlen,
                 tout_set = 1;
             }
         }
+    } else if (u == T_CONN_OPEN_INIT) {
+        if (vi_get(&b, 4, &uv)) {
+            tout = (int64_t)uv;
+            tout_set = 1;
+        }
+    } else if (u == T_CONN_OPEN_TRY) {
+        if (vi_get(&b, 5, &uv)) {
+            tout = (int64_t)uv;
+            tout_set = 1;
+        }
+    } else if (u == T_CONN_OPEN_CONFIRM) {
+        walk_t hh;
+        if (!walk_or_ff(h, l_nth(&b, 3, 0), 2, &hh))
+            return 0;
+        if (hh.ok && vi_get(&hh, 2, &uv)) {
+            tout = (int64_t)uv;
+            tout_set = 1;
+        }
+    } else if (u == T_CHAN_OPEN_TRY || u == T_CHAN_OPEN_ACK) {
+        walk_t hh;
+        if (!walk_or_ff(h, l_nth(&b, 6, 0), 2, &hh))
+            return 0;
+        if (hh.ok && vi_get(&hh, 2, &uv)) {
+            tout = (int64_t)uv;
+            tout_set = 1;
+        }
+    } else if (u == T_CHAN_OPEN_CONFIRM || u == T_CHAN_CLOSE_CONFIRM) {
+        walk_t hh;
+        if (!walk_or_ff(h, l_nth(&b, 4, 0), 2, &hh))
+            return 0;
+        if (hh.ok && vi_get(&hh, 2, &uv)) {
+            tout = (int64_t)uv;
+            tout_set = 1;
+        }
+    } else if (u == T_TIMEOUT_ON_CLOSE) {
+        if (pkt_ok && vi_get(&pkt, 8, &uv)) {
+            tout = (int64_t)uv;
+            tout_set = 1;
+        }
     }
 
     /* ---- shape checks (one arm per type, mirroring the dispatch) -- */
-    if (u == T_SEND || u == T_DELEGATE || u == T_UNDELEGATE) {
+    if (u == T_SEND || u == T_DELEGATE || u == T_UNDELEGATE ||
+        u == T_CHAN_CLOSE_INIT) {
         shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3);
     } else if (u == T_VOTE) {
         uint64_t d;
@@ -978,6 +1035,125 @@ static int decode_one(const uint8_t *h, int64_t off, int64_t hexlen,
     } else if (u == T_GROUP_LEAVE) {
         uint64_t d;
         shape_ok = has_ld(&b, 1) && vi_get(&b, 2, &d);
+    } else if (u == T_GOV_V1_VOTE_WEIGHTED) {
+        walk_t wv;
+        uint64_t d;
+        if (!walk_or_ff(h, l_nth(&b, 3, 0), 2, &wv))
+            return 0;
+        shape_ok = vi_get(&b, 1, &d) && has_ld(&b, 2) &&
+                   has_ld(&b, 3) && has_ld(&b, 4) && wv.ok &&
+                   has_ld(&wv, 2);
+    } else if (u == T_CREATE_CLIENT) {
+        walk_t a1, a2;
+        if (!walk_or_ff(h, l_nth(&b, 1, 0), 2, &a1))
+            return 0;
+        if (!walk_or_ff(h, l_nth(&b, 2, 0), 2, &a2))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3) &&
+                   a1.ok && a2.ok &&
+                   url_is(h, l_nth(&a1, 1, 0), urls, uoff,
+                          T_CLIENT_STATE) &&
+                   url_is(h, l_nth(&a2, 1, 0), urls, uoff,
+                          T_CONSENSUS_STATE);
+    } else if (u == T_UPGRADE_CLIENT) {
+        walk_t a2, a3;
+        if (!walk_or_ff(h, l_nth(&b, 2, 0), 2, &a2))
+            return 0;
+        if (!walk_or_ff(h, l_nth(&b, 3, 0), 2, &a3))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3) &&
+                   has_ld(&b, 4) && has_ld(&b, 5) && has_ld(&b, 6) &&
+                   a2.ok && a3.ok &&
+                   url_is(h, l_nth(&a2, 1, 0), urls, uoff,
+                          T_CLIENT_STATE) &&
+                   url_is(h, l_nth(&a3, 1, 0), urls, uoff,
+                          T_CONSENSUS_STATE);
+    } else if (u == T_SUBMIT_MISBEHAVIOUR) {
+        walk_t a2;
+        if (!walk_or_ff(h, l_nth(&b, 2, 0), 2, &a2))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3) &&
+                   a2.ok &&
+                   url_is(h, l_nth(&a2, 1, 0), urls, uoff,
+                          T_MISBEHAVIOUR);
+    } else if (u == T_CONN_OPEN_INIT) {
+        walk_t cp;
+        uint64_t d;
+        if (!walk_or_ff(h, l_nth(&b, 2, 0), 2, &cp))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3) &&
+                   has_ld(&b, 5) && vi_get(&b, 4, &d) && cp.ok &&
+                   has_ld(&cp, 1);
+    } else if (u == T_CONN_OPEN_TRY) {
+        walk_t a3, cp;
+        uint64_t d;
+        if (!walk_or_ff(h, l_nth(&b, 3, 0), 2, &a3))
+            return 0;
+        if (!walk_or_ff(h, l_nth(&b, 4, 0), 2, &cp))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 3) && has_ld(&b, 4) &&
+                   has_ld(&b, 7) && has_ld(&b, 8) && has_ld(&b, 12) &&
+                   vi_get(&b, 5, &d) && a3.ok && cp.ok &&
+                   url_is(h, l_nth(&a3, 1, 0), urls, uoff,
+                          T_CLIENT_STATE);
+    } else if (u == T_CONN_OPEN_ACK) {
+        walk_t a4;
+        if (!walk_or_ff(h, l_nth(&b, 4, 0), 2, &a4))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3) &&
+                   has_ld(&b, 4) && has_ld(&b, 5) && has_ld(&b, 6) &&
+                   has_ld(&b, 10) && a4.ok &&
+                   url_is(h, l_nth(&a4, 1, 0), urls, uoff,
+                          T_CLIENT_STATE);
+    } else if (u == T_CONN_OPEN_CONFIRM) {
+        walk_t hh;
+        uint64_t d;
+        if (!walk_or_ff(h, l_nth(&b, 3, 0), 2, &hh))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3) &&
+                   has_ld(&b, 4) && hh.ok && vi_get(&hh, 2, &d);
+    } else if (u == T_CHAN_OPEN_INIT) {
+        walk_t ch;
+        uint64_t d;
+        if (!walk_or_ff(h, l_nth(&b, 2, 0), 4, &ch))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3) &&
+                   ch.ok && vi_get(&ch, 1, &d);
+    } else if (u == T_CHAN_OPEN_TRY) {
+        walk_t ch, hh;
+        uint64_t d;
+        if (!walk_or_ff(h, l_nth(&b, 3, 0), 4, &ch))
+            return 0;
+        if (!walk_or_ff(h, l_nth(&b, 6, 0), 2, &hh))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 3) && has_ld(&b, 4) &&
+                   has_ld(&b, 5) && has_ld(&b, 6) && has_ld(&b, 7) &&
+                   ch.ok && vi_get(&ch, 1, &d) && hh.ok &&
+                   vi_get(&hh, 2, &d);
+    } else if (u == T_CHAN_OPEN_ACK) {
+        walk_t hh;
+        uint64_t d;
+        if (!walk_or_ff(h, l_nth(&b, 6, 0), 2, &hh))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3) &&
+                   has_ld(&b, 4) && has_ld(&b, 5) && has_ld(&b, 6) &&
+                   has_ld(&b, 7) && hh.ok && vi_get(&hh, 2, &d);
+    } else if (u == T_CHAN_OPEN_CONFIRM || u == T_CHAN_CLOSE_CONFIRM) {
+        walk_t hh;
+        uint64_t d;
+        if (!walk_or_ff(h, l_nth(&b, 4, 0), 2, &hh))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3) &&
+                   has_ld(&b, 4) && has_ld(&b, 5) && hh.ok &&
+                   vi_get(&hh, 2, &d);
+    } else if (u == T_TIMEOUT_ON_CLOSE) {
+        walk_t hh;
+        uint64_t d;
+        if (!walk_or_ff(h, l_nth(&b, 4, 0), 2, &hh))
+            return 0;
+        shape_ok = has_ld(&b, 1) && has_ld(&b, 2) && has_ld(&b, 3) &&
+                   has_ld(&b, 4) && has_ld(&b, 6) && vi_get(&b, 5, &d) &&
+                   pkt_ok && hh.ok && vi_get(&pkt, 8, &d);
     }
 
     int needs_amt =

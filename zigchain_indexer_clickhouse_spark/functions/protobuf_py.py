@@ -280,7 +280,7 @@ def registry_decode_py(blob: bytes, urls: dict) -> tuple:
 
     if u in (U["vote"], U["deposit"], U["vote_weighted"], U["gov_v1_vote"],
              U["gov_v1_deposit"], U["group_withdraw"], U["group_vote"],
-             U["group_exec"]):
+             U["group_exec"], U["gov_v1_vote_weighted"]):
         pid = vi.get(1)
     elif u in (U["group_upd_members"], U["group_upd_admin"],
                U["group_upd_metadata"], U["group_create_policy"],
@@ -288,12 +288,22 @@ def registry_decode_py(blob: bytes, urls: dict) -> tuple:
         pid = vi.get(2)   # group_id
     if u in (U["vote"], U["gov_v1_vote"], U["group_vote"]):
         yes = 1 if vi.get(3) == 1 else (0 if 3 in vi else None)
-    elif u == U["vote_weighted"]:
+    elif u in (U["vote_weighted"], U["gov_v1_vote_weighted"]):
         w_ok, _w_ld, w_vi = walk(l1(3) or b"\xff", 2)
         if w_ok:
             yes = 1 if w_vi.get(1) == 1 else (0 if 1 in w_vi else None)
     elif u == U["group_create_with_policy"]:
         yes = 1 if vi.get(5) == 1 else (0 if 5 in vi else None)
+    elif u == U["chan_open_init"]:
+        # Channel.state enum at field 2
+        c_ok, _c_ld, c_vi = walk(l1(2) or b"\xff", 4)
+        if c_ok:
+            yes = 1 if c_vi.get(1) == 1 else (0 if 1 in c_vi else None)
+    elif u == U["chan_open_try"]:
+        # Channel.state enum at field 3
+        c_ok, _c_ld, c_vi = walk(l1(3) or b"\xff", 4)
+        if c_ok:
+            yes = 1 if c_vi.get(1) == 1 else (0 if 1 in c_vi else None)
 
     pkt_ok, pkt_ld, pkt_vi = walk(l1(1) or b"\xff", 8)
     if u == U["transfer"]:
@@ -311,6 +321,26 @@ def registry_decode_py(blob: bytes, urls: dict) -> tuple:
             e_ok, _e_ld, e_vi = walk(a2_ld.get(2, [b""])[0], 4)
             if e_ok:
                 timeout = e_vi.get(1)   # Equivocation.height
+    # r12 IBC handshakes: delay_period varints, proof-Height
+    # revision_height, and the MsgTimeoutOnClose packet timeout
+    elif u == U["conn_open_init"]:
+        timeout = vi.get(4)
+    elif u == U["conn_open_try"]:
+        timeout = vi.get(5)
+    elif u == U["conn_open_confirm"]:
+        h_ok, _h_ld, h_vi = walk(l1(3) or b"\xff", 2)
+        if h_ok:
+            timeout = h_vi.get(2)
+    elif u in (U["chan_open_try"], U["chan_open_ack"]):
+        h_ok, _h_ld, h_vi = walk(l1(6) or b"\xff", 2)
+        if h_ok:
+            timeout = h_vi.get(2)
+    elif u in (U["chan_open_confirm"], U["chan_close_confirm"]):
+        h_ok, _h_ld, h_vi = walk(l1(4) or b"\xff", 2)
+        if h_ok:
+            timeout = h_vi.get(2)
+    elif u == U["timeout_on_close"]:
+        timeout = pkt_vi.get(8) if pkt_ok else None
 
     # shape checks — one arm per type, mirroring the expression dispatch
     if u in (U["send"], U["delegate"], U["undelegate"], U["exec"]):
@@ -443,6 +473,70 @@ def registry_decode_py(blob: bytes, urls: dict) -> tuple:
         shape_ok = has_vi(1, 3, 5) and has_ld(2, 4)
     elif u == U["group_leave"]:
         shape_ok = has_ld(1) and has_vi(2)
+    # ---- r12: gov v1 vote-weighted + IBC handshakes ------------------
+    elif u == U["gov_v1_vote_weighted"]:
+        w_ok, w_ld, _ = walk(l1(3) or b"\xff", 2)
+        shape_ok = has_vi(1) and has_ld(2, 3, 4) and w_ok and 2 in w_ld
+    elif u == U["create_client"]:
+        a1_ok, a1_ld, _ = walk(l1(1) or b"\xff", 2)
+        a2_ok, a2_ld, _ = walk(l1(2) or b"\xff", 2)
+        shape_ok = (has_ld(1, 2, 3) and a1_ok and a2_ok
+                    and a1_ld.get(1, [b""])[0].decode("utf-8", "replace")
+                    == U["client_state"]
+                    and a2_ld.get(1, [b""])[0].decode("utf-8", "replace")
+                    == U["consensus_state"])
+    elif u == U["upgrade_client"]:
+        a2_ok, a2_ld, _ = walk(l1(2) or b"\xff", 2)
+        a3_ok, a3_ld, _ = walk(l1(3) or b"\xff", 2)
+        shape_ok = (has_ld(1, 2, 3, 4, 5, 6) and a2_ok and a3_ok
+                    and a2_ld.get(1, [b""])[0].decode("utf-8", "replace")
+                    == U["client_state"]
+                    and a3_ld.get(1, [b""])[0].decode("utf-8", "replace")
+                    == U["consensus_state"])
+    elif u == U["submit_misbehaviour"]:
+        a2_ok, a2_ld, _ = walk(l1(2) or b"\xff", 2)
+        shape_ok = (has_ld(1, 2, 3) and a2_ok
+                    and a2_ld.get(1, [b""])[0].decode("utf-8", "replace")
+                    == U["misbehaviour"])
+    elif u == U["conn_open_init"]:
+        c_ok, c_ld, _ = walk(l1(2) or b"\xff", 2)
+        shape_ok = (has_ld(1, 2, 3, 5) and has_vi(4) and c_ok
+                    and 1 in c_ld)
+    elif u == U["conn_open_try"]:
+        a3_ok, a3_ld, _ = walk(l1(3) or b"\xff", 2)
+        c_ok, _c_ld, _ = walk(l1(4) or b"\xff", 2)
+        shape_ok = (has_ld(1, 3, 4, 7, 8, 12) and has_vi(5)
+                    and a3_ok and c_ok
+                    and a3_ld.get(1, [b""])[0].decode("utf-8", "replace")
+                    == U["client_state"])
+    elif u == U["conn_open_ack"]:
+        a4_ok, a4_ld, _ = walk(l1(4) or b"\xff", 2)
+        shape_ok = (has_ld(1, 2, 3, 4, 5, 6, 10) and a4_ok
+                    and a4_ld.get(1, [b""])[0].decode("utf-8", "replace")
+                    == U["client_state"])
+    elif u == U["conn_open_confirm"]:
+        h_ok, _h_ld, h_vi = walk(l1(3) or b"\xff", 2)
+        shape_ok = has_ld(1, 2, 3, 4) and h_ok and 2 in h_vi
+    elif u == U["chan_open_init"]:
+        c_ok, _c_ld, c_vi = walk(l1(2) or b"\xff", 4)
+        shape_ok = has_ld(1, 2, 3) and c_ok and 1 in c_vi
+    elif u == U["chan_open_try"]:
+        c_ok, _c_ld, c_vi = walk(l1(3) or b"\xff", 4)
+        h_ok, _h_ld, h_vi = walk(l1(6) or b"\xff", 2)
+        shape_ok = (has_ld(1, 3, 4, 5, 6, 7) and c_ok and 1 in c_vi
+                    and h_ok and 2 in h_vi)
+    elif u == U["chan_open_ack"]:
+        h_ok, _h_ld, h_vi = walk(l1(6) or b"\xff", 2)
+        shape_ok = has_ld(1, 2, 3, 4, 5, 6, 7) and h_ok and 2 in h_vi
+    elif u in (U["chan_open_confirm"], U["chan_close_confirm"]):
+        h_ok, _h_ld, h_vi = walk(l1(4) or b"\xff", 2)
+        shape_ok = has_ld(1, 2, 3, 4, 5) and h_ok and 2 in h_vi
+    elif u == U["chan_close_init"]:
+        shape_ok = has_ld(1, 2, 3)
+    elif u == U["timeout_on_close"]:
+        h_ok, _h_ld, _h_vi = walk(l1(4) or b"\xff", 2)
+        shape_ok = (has_ld(1, 2, 3, 4, 6) and has_vi(5) and pkt_ok
+                    and h_ok and 8 in pkt_vi)
 
     needs_amt = u in (
         U["send"], U["exec"], U["delegate"], U["transfer"],

@@ -216,6 +216,8 @@ HEAD_TYPES = frozenset((
     "group_upd_admin", "group_upd_metadata", "group_policy_admin",
     "group_policy_metadata", "group_withdraw", "group_exec",
     "group_vote", "group_leave",
+    # r12 slot-free arm (three strings, the revoke shape)
+    "chan_close_init",
 ))
 
 
@@ -316,6 +318,22 @@ def add_positional_decode(df: DataFrame, blob: str, urls: dict,
             _take(_skip(_skip(Cur(B), 1).vi(2, 5, False)[1], 3), 4),
         "group_policy_decision": _take(_skip(Cur(B), 1, 2), 3),
         "group_submit": _take(_skip(Cur(B), 1, 2, 3), 4),
+        # r12 closure slots: light-client Anys, counterparty/Channel
+        # messages, proof Heights, the TimeoutOnClose packet
+        "gov_v1_vote_weighted": _take(vs_mid(), 3),
+        "create_client": _take(Cur(B), 1),
+        "upgrade_client": _take(_skip(Cur(B), 1), 2),
+        "submit_misbehaviour": _take(_skip(Cur(B), 1), 2),
+        "conn_open_init": _take(_skip(Cur(B), 1), 2),
+        "conn_open_try": _take(_skip(Cur(B), 1), 3),
+        "conn_open_ack": _take(_skip(Cur(B), 1, 2, 3), 4),
+        "conn_open_confirm": _take(_skip(Cur(B), 1, 2), 3),
+        "chan_open_init": _take(_skip(Cur(B), 1), 2),
+        "chan_open_try": _take(_skip(Cur(B), 1), 3),
+        "chan_open_ack": _take(_skip(Cur(B), 1, 2, 3, 4, 5), 6),
+        "chan_open_confirm": _take(_skip(Cur(B), 1, 2, 3), 4),
+        "chan_close_confirm": _take(_skip(Cur(B), 1, 2, 3), 4),
+        "timeout_on_close": _take(Cur(B), 1),
     })
     slot2 = ucase({
         "recv_packet": _take(_skip(Cur(B), 1, 2), 3),
@@ -327,6 +345,12 @@ def add_positional_decode(df: DataFrame, blob: str, urls: dict,
         # member slot, two strings and the as-admin varint)
         "group_create_with_policy":
             _take(_skip(_skip(Cur(B), 1), 2, 3, 4).vi(5, 1, False)[1], 6),
+        # r12 closure second-level slots
+        "create_client": _take(_skip(Cur(B), 1), 2),
+        "upgrade_client": _take(_skip(Cur(B), 1, 2), 3),
+        "conn_open_try": _take(_skip(Cur(B), 1, 3), 4),
+        "chan_open_try": _take(_skip(Cur(B), 1, 3, 4, 5), 6),
+        "timeout_on_close": _take(_skip(Cur(B), 1, 2, 3), 4),
     })
     two_str_mid = _mid(_skip(Cur(B), 1, 2))
     mid = ucase({
@@ -336,10 +360,10 @@ def add_positional_decode(df: DataFrame, blob: str, urls: dict,
             "perm_locked", "revoke", "revoke_allow", "exec",
             "verify_invariant", "instantiate", "grant", "grant_allow",
             "periodic_vest", "group_policy_admin", "group_policy_metadata",
-            "group_policy_decision", "group_submit")},
+            "group_policy_decision", "group_submit", "chan_close_init")},
         **{k: _mid(vs_mid()) for k in (
             "vote", "deposit", "vote_weighted", "gov_v1_vote",
-            "gov_v1_deposit", "group_vote")},
+            "gov_v1_deposit", "group_vote", "gov_v1_vote_weighted")},
     }, "BIGINT")
     pid_v = Cur(B).vi(1, 5)[0]
     pid2_v = _skip(Cur(B), 1).vi(2, 5)[0]   # group_id after one string
@@ -347,7 +371,7 @@ def add_positional_decode(df: DataFrame, blob: str, urls: dict,
         **{k: pid_v for k in
            ("vote", "deposit", "vote_weighted", "gov_v1_vote",
             "gov_v1_deposit", "group_withdraw", "group_vote",
-            "group_exec")},
+            "group_exec", "gov_v1_vote_weighted")},
         **{k: pid2_v for k in
            ("group_upd_members", "group_upd_admin", "group_upd_metadata",
             "group_create_policy", "group_leave")},
@@ -373,7 +397,8 @@ def add_positional_decode(df: DataFrame, blob: str, urls: dict,
         ucase({"gov_v1_submit": any_unwrap(S2c, send_hex)})
         + " AS __rp_in2",
         ucase({"recv_packet": pkt_mid, "ack": pkt_mid,
-               "timeout": pkt_mid}, "BIGINT") + " AS __rp_pktmid",
+               "timeout": pkt_mid, "timeout_on_close": pkt_mid},
+              "BIGINT") + " AS __rp_pktmid",
     )
     IN1, IN2, MID, PID = "__rp_in1", "__rp_in2", "__rp_mid", "__rp_pid"
     PKTMID = "__rp_pktmid"
@@ -779,6 +804,109 @@ def add_positional_decode(df: DataFrame, blob: str, urls: dict,
     arms["group_leave"] = out(
         "group_leave", _skip(Cur(B), 1).vi(2, 5, False)[1].at_end(),
         pid=PID)
+
+    # ---- r12 closure: gov v1 vote-weighted + IBC core handshakes ----
+    # gov v1 vote-weighted — the v1beta1 shape + a metadata string
+    vw1_end = _skip(m().ld_slot(3, S1c), 4).at_end()
+    arms["gov_v1_vote_weighted"] = out(
+        "gov_v1_vote_weighted", f"({vw1_end} AND {w_end})",
+        pid=PID, yes=f"(CASE WHEN {w_end} THEN {yes01(wv)} END)")
+
+    # light-client Any claims (exact url, canonical encoding)
+    cs_ok = f"({any_unwrap(S1c, uh['client_state'])} IS NOT NULL)"
+    cons2_ok = f"({any_unwrap(S2c, uh['consensus_state'])} IS NOT NULL)"
+    misb_ok = f"({any_unwrap(S1c, uh['misbehaviour'])} IS NOT NULL)"
+    arms["create_client"] = out(
+        "create_client",
+        f"({_skip(Cur(B).ld_slot(1, S1c).ld_slot(2, S2c), 3).at_end()}"
+        f" AND {cs_ok} AND {cons2_ok})")
+    arms["upgrade_client"] = out(
+        "upgrade_client",
+        f"({_skip(_skip(Cur(B), 1).ld_slot(2, S1c).ld_slot(3, S2c), 4, 5, 6).at_end()}"
+        f" AND {cs_ok} AND {cons2_ok})")
+    arms["submit_misbehaviour"] = out(
+        "submit_misbehaviour",
+        f"({_skip(_skip(Cur(B), 1).ld_slot(2, S1c), 3).at_end()}"
+        f" AND {misb_ok})")
+
+    def height_tv(slot: str) -> tuple[str, str]:
+        """(revision_height value, exact-end claim) over a bound
+        proof-Height slot — the walker's timeout source for the
+        handshake confirms."""
+        _h1, h1c = Cur(slot).vi(1, 5, False)
+        tv, h2c = h1c.vi(2, 9)
+        return tv, h2c.at_end()
+
+    # connection handshake
+    coi_cp_end = _skip(Cur(S1c), 1, 2).at_end()
+    coi_tv, coi_c = _skip(_skip(Cur(B), 1).ld_slot(2, S1c), 3).vi(4, 5)
+    arms["conn_open_init"] = out(
+        "conn_open_init",
+        f"({_skip(coi_c, 5).at_end()} AND {coi_cp_end})", tout=coi_tv)
+    cot_cp_end = _skip(Cur(S2c), 1, 2).at_end()
+    cot_tv, cot_c = (_skip(Cur(B), 1).ld_slot(3, S1c)
+                     .ld_slot(4, S2c).vi(5, 5))
+    arms["conn_open_try"] = out(
+        "conn_open_try",
+        f"({_skip(cot_c, 7, 8, 12).at_end()} AND {cs_ok} "
+        f"AND {cot_cp_end})",
+        tout=cot_tv)
+    arms["conn_open_ack"] = out(
+        "conn_open_ack",
+        f"({_skip(_skip(Cur(B), 1, 2, 3).ld_slot(4, S1c), 5, 6, 10).at_end()}"
+        f" AND {cs_ok})")
+    coc_tv, coc_end = height_tv(S1c)
+    arms["conn_open_confirm"] = out(
+        "conn_open_confirm",
+        f"({_skip(_skip(Cur(B), 1, 2).ld_slot(3, S1c), 4).at_end()}"
+        f" AND {coc_end})",
+        tout=f"(CASE WHEN {coc_end} THEN {coc_tv} END)")
+
+    def channel_claim(slot: str) -> tuple[str, str]:
+        """(state enum value, exact-end claim) over a bound Channel
+        slot — state + ordering varints, counterparty, version."""
+        sv, c1 = Cur(slot).vi(1, 1)
+        _o, c2 = c1.vi(2, 1, False)
+        return sv, _skip(c2, 3, 5).at_end()
+
+    # channel handshake
+    chi_sv, chi_end = channel_claim(S1c)
+    arms["chan_open_init"] = out(
+        "chan_open_init",
+        f"({_skip(_skip(Cur(B), 1).ld_slot(2, S1c), 3).at_end()}"
+        f" AND {chi_end})",
+        yes=f"(CASE WHEN {chi_end} THEN {yes01(chi_sv)} END)")
+    cht_sv, cht_end = channel_claim(S1c)
+    cht_tv, cht_hend = height_tv(S2c)
+    arms["chan_open_try"] = out(
+        "chan_open_try",
+        f"({_skip(_skip(_skip(Cur(B), 1).ld_slot(3, S1c), 4, 5).ld_slot(6, S2c), 7).at_end()}"
+        f" AND {cht_end} AND {cht_hend})",
+        yes=f"(CASE WHEN {cht_end} THEN {yes01(cht_sv)} END)",
+        tout=f"(CASE WHEN {cht_hend} THEN {cht_tv} END)")
+    cha_tv, cha_hend = height_tv(S1c)
+    arms["chan_open_ack"] = out(
+        "chan_open_ack",
+        f"({_skip(_skip(Cur(B), 1, 2, 3, 4, 5).ld_slot(6, S1c), 7).at_end()}"
+        f" AND {cha_hend})",
+        tout=f"(CASE WHEN {cha_hend} THEN {cha_tv} END)")
+    for k in ("chan_open_confirm", "chan_close_confirm"):
+        chc_tv, chc_hend = height_tv(S1c)
+        arms[k] = out(
+            k,
+            f"({_skip(_skip(Cur(B), 1, 2, 3).ld_slot(4, S1c), 5).at_end()}"
+            f" AND {chc_hend})",
+            tout=f"(CASE WHEN {chc_hend} THEN {chc_tv} END)")
+    arms["chan_close_init"] = out(
+        "chan_close_init", _skip(m(), 3).at_end())
+    toc_tv, toc_pend = pkt_tail()
+    toc_hv, toc_hend = height_tv(S2c)
+    toc_c = (_skip(Cur(B).ld_slot(1, S1c), 2, 3)
+             .ld_slot(4, S2c).vi(5, 9, False)[1])
+    arms["timeout_on_close"] = out(
+        "timeout_on_close",
+        f"({_skip(toc_c, 6).at_end()} AND {toc_pend} AND {toc_hend})",
+        tout=f"(CASE WHEN {toc_pend} THEN {toc_tv} END)")
 
     # unknown: registered-free, UTF-8-valid urls are CLAIMED with the
     # walker's fallthrough tuple (url, 'Unknown message type', zeros)

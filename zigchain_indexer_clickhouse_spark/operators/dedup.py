@@ -1133,7 +1133,11 @@ def _prefix_filter_oracle() -> str:
       FROM tok, generate_series(1, 4000) g(i)
       WHERE g.i <= len(toks) - 2
     ),
-    shh AS (SELECT DISTINCT doc_id, {base} AS bh FROM shd),
+    -- MATERIALIZED: shh feeds both sides of the inter self-join AND
+    -- nsh; un-materialized, DuckDB re-inlines the whole tokenize →
+    -- shingle → hash pipeline three times (the 513 s sf1.0 gate row —
+    -- VERDICT r11 next #4, same class as the r11 dup-graph fix)
+    shh AS MATERIALIZED (SELECT DISTINCT doc_id, {base} AS bh FROM shd),
     nsh AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
     inter AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS ninter

@@ -83,15 +83,30 @@ def pending_work_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "overlapping_ranges",
+    # The naive oracle form (r a JOIN r b ON a.id < b.id AND NOT
+    # (b.e < a.s OR a.e < b.s)) has no equi-key, so DuckDB runs an
+    # IEJoin over the full n² pair space — the 992 s sf1.0 gate row
+    # (VERDICT r11 next #4). This form buckets both sides exactly like
+    # the Spark plan and counts each pair in its first shared bucket;
+    # tests/test_oracle_rewrites.py pins it bit-identical to the naive
+    # SQL at sf0.001, so the oracle's semantics are still anchored to
+    # the reference predicate, not to the engine's algorithm.
     oracle="""
-    WITH r AS (
+    WITH r AS MATERIALIZED (
       SELECT o_orderkey AS id, o_orderkey * 10 AS s,
              o_orderkey * 10 + 5 + (o_custkey % 30) AS e
       FROM orders WHERE o_orderstatus IN ('O', 'P')
+    ),
+    bk AS MATERIALIZED (
+      SELECT id, s, e,
+             UNNEST(range(s // 64, e // 64 + 1)) AS bucket
+      FROM r
     )
     SELECT a.id AS work_id, COUNT(*) AS n_overlaps
-    FROM r a JOIN r b
-      ON a.id < b.id AND NOT (b.e < a.s OR a.e < b.s)
+    FROM bk a JOIN bk b
+      ON a.bucket = b.bucket AND a.id < b.id
+    WHERE NOT (b.e < a.s OR a.e < b.s)
+      AND a.bucket = GREATEST(a.s // 64, b.s // 64)
     GROUP BY a.id
     """,
 )

@@ -96,7 +96,7 @@ _EXPENSIVE = frozenset({
 })
 
 
-_verified_cache: frozenset[str] | None = None
+_verified_cache: dict[str, int] | None = None
 
 
 def _reverify_after() -> dict[str, int]:
@@ -129,15 +129,19 @@ def _row_is_green(v: dict) -> bool:
     return v.get("err") == "no_oracle" and bool(v.get("spark_rows"))
 
 
-def _verified_names() -> frozenset[str]:
-    """Every query name whose LATEST CORRECTNESS_r*.json row is green
-    (per-query latest: each query's most recent round wins — a
-    hash-failed row keeps the query in the never-verified tier until a
-    LATER round records it green, even if that round's capped sample
-    skipped it) AND whose round is past the oracle snapshot's
-    ``reverify_after`` cutoff — a query whose oracle semantics changed
-    since its last driver row drops back into the never-verified-first
-    tier until the driver re-draws it."""
+def _verified_rounds() -> dict[str, int]:
+    """name → latest green driver round, for every query whose LATEST
+    CORRECTNESS_r*.json row is green (per-query latest: each query's
+    most recent round wins — a hash-failed row keeps the query in the
+    never-verified tier until a LATER round records it green, even if
+    that round's capped sample skipped it) AND whose round is past the
+    oracle snapshot's ``reverify_after`` cutoff — a query whose oracle
+    semantics changed since its last driver row drops back into the
+    never-verified-first tier until the driver re-draws it.  The round
+    value drives STALENESS ROTATION (VERDICT r11 next #2): the
+    verified tier is ordered oldest-stamp-first, so every driver
+    sample re-draws the longest-unsampled cohort and no query's latest
+    driver check can age indefinitely."""
     global _verified_cache
     if _verified_cache is not None:
         return _verified_cache
@@ -164,21 +168,24 @@ def _verified_names() -> frozenset[str]:
             if prev is None or rnd >= prev[0]:
                 latest_row[k] = (rnd, _row_is_green(v))
     cutoff = _reverify_after()
-    names = {
-        k for k, (rnd, green) in latest_row.items()
+    _verified_cache = {
+        k: rnd for k, (rnd, green) in latest_row.items()
         if green and rnd > cutoff.get(k, 0)
     }
-    _verified_cache = frozenset(names)
     return _verified_cache
 
 
 def _priority_order(names) -> list[str]:
-    """Never-driver-verified names first (registration order within each
-    tier, cheap before expensive), previously-verified names after."""
-    verified = _verified_names()
+    """Never-driver-verified names first (registration order within
+    each tier, cheap before expensive), previously-verified names
+    after, OLDEST driver stamp first — the capped driver sample reads
+    the head of this order, so rotation keeps every query's latest
+    driver check fresh instead of letting the r1-r2 cohort age
+    forever (VERDICT r11 next #2)."""
+    verified = _verified_rounds()
 
-    def tier(n: str) -> tuple[int, int]:
-        return (n in verified, n in _EXPENSIVE)
+    def tier(n: str) -> tuple[bool, int, bool]:
+        return (n in verified, verified.get(n, 0), n in _EXPENSIVE)
 
     return sorted(names, key=lambda n: tier(n))
 

@@ -386,8 +386,39 @@ _MSG_GROUP_VOTE_URL = "/cosmos.group.v1.MsgVote"
 _MSG_GROUP_EXEC_URL = "/cosmos.group.v1.MsgExec"
 _MSG_GROUP_LEAVE_URL = "/cosmos.group.v1.MsgLeaveGroup"
 _THRESHOLD_POLICY_URL = "/cosmos.group.v1.ThresholdDecisionPolicy"
+# r12 widening to the PINNED cosmjs defaultRegistryTypes closure
+# (VERDICT r11 next #1, membership pinned in
+# tests/test_registry_membership.py against @cosmjs/stargate 0.32.x):
+# gov v1 MsgVoteWeighted and the IBC core handshake set — client
+# create/upgrade/misbehaviour, the connection open 4-step, the channel
+# open/close 6-step, and MsgTimeoutOnClose
+_MSG_GOV_V1_VOTE_WEIGHTED_URL = "/cosmos.gov.v1.MsgVoteWeighted"
+_MSG_CREATE_CLIENT_URL = "/ibc.core.client.v1.MsgCreateClient"
+_MSG_UPGRADE_CLIENT_URL = "/ibc.core.client.v1.MsgUpgradeClient"
+_MSG_SUBMIT_MISBEHAVIOUR_URL = (
+    "/ibc.core.client.v1.MsgSubmitMisbehaviour")
+_MSG_CONN_OPEN_INIT_URL = (
+    "/ibc.core.connection.v1.MsgConnectionOpenInit")
+_MSG_CONN_OPEN_TRY_URL = "/ibc.core.connection.v1.MsgConnectionOpenTry"
+_MSG_CONN_OPEN_ACK_URL = "/ibc.core.connection.v1.MsgConnectionOpenAck"
+_MSG_CONN_OPEN_CONFIRM_URL = (
+    "/ibc.core.connection.v1.MsgConnectionOpenConfirm")
+_MSG_CHAN_OPEN_INIT_URL = "/ibc.core.channel.v1.MsgChannelOpenInit"
+_MSG_CHAN_OPEN_TRY_URL = "/ibc.core.channel.v1.MsgChannelOpenTry"
+_MSG_CHAN_OPEN_ACK_URL = "/ibc.core.channel.v1.MsgChannelOpenAck"
+_MSG_CHAN_OPEN_CONFIRM_URL = (
+    "/ibc.core.channel.v1.MsgChannelOpenConfirm")
+_MSG_CHAN_CLOSE_INIT_URL = "/ibc.core.channel.v1.MsgChannelCloseInit"
+_MSG_CHAN_CLOSE_CONFIRM_URL = (
+    "/ibc.core.channel.v1.MsgChannelCloseConfirm")
+_MSG_TIMEOUT_ON_CLOSE_URL = "/ibc.core.channel.v1.MsgTimeoutOnClose"
+# nested-only (never top-level-ok) light-client payloads
+_TM_CLIENT_STATE_URL = "/ibc.lightclients.tendermint.v1.ClientState"
+_TM_CONSENSUS_STATE_URL = (
+    "/ibc.lightclients.tendermint.v1.ConsensusState")
+_TM_MISBEHAVIOUR_URL = "/ibc.lightclients.tendermint.v1.Misbehaviour"
 
-# event_id % 56 → registered typeUrl (52 types; kinds 52-55 carry the
+# event_id % 72 → registered typeUrl (67 types; kinds 67-71 carry the
 # unknown fallback), the cosmjs defaultRegistryTypes families: bank ×2
 # (send/multi-send), wasm ×2 (execute/instantiate), staking ×6
 # (delegate/undelegate/redelegate/create/edit/cancel-unbonding), gov
@@ -399,7 +430,11 @@ _THRESHOLD_POLICY_URL = "/cosmos.group.v1.ThresholdDecisionPolicy"
 # permanent-locked/periodic), and — r11 — evidence (MsgSubmitEvidence
 # with a nested Equivocation Any), gov v1 MsgExecLegacyContent, and
 # the fourteen cosmos.group.v1 messages (create/update group and
-# policy, submit/withdraw/vote/exec proposal, leave group).
+# policy, submit/withdraw/vote/exec proposal, leave group), and —
+# r12 — gov v1 MsgVoteWeighted plus the fourteen IBC core handshake
+# messages (client create/upgrade/misbehaviour, connection open
+# init/try/ack/confirm, channel open init/try/ack/confirm +
+# close init/confirm, MsgTimeoutOnClose).
 # decoder.js:9 registers the full defaultRegistryTypes closure.
 _REGISTRY_URLS = [
     _MSG_SEND_URL, _MSG_EXEC_URL, _MSG_DELEGATE_URL, _MSG_VOTE_URL,
@@ -424,9 +459,18 @@ _REGISTRY_URLS = [
     _MSG_GROUP_POLICY_METADATA_URL, _MSG_GROUP_SUBMIT_URL,
     _MSG_GROUP_WITHDRAW_URL, _MSG_GROUP_VOTE_URL, _MSG_GROUP_EXEC_URL,
     _MSG_GROUP_LEAVE_URL,
+    # kinds 52-66 (r12): gov v1 vote-weighted + IBC core handshakes
+    _MSG_GOV_V1_VOTE_WEIGHTED_URL, _MSG_CREATE_CLIENT_URL,
+    _MSG_UPGRADE_CLIENT_URL, _MSG_SUBMIT_MISBEHAVIOUR_URL,
+    _MSG_CONN_OPEN_INIT_URL, _MSG_CONN_OPEN_TRY_URL,
+    _MSG_CONN_OPEN_ACK_URL, _MSG_CONN_OPEN_CONFIRM_URL,
+    _MSG_CHAN_OPEN_INIT_URL, _MSG_CHAN_OPEN_TRY_URL,
+    _MSG_CHAN_OPEN_ACK_URL, _MSG_CHAN_OPEN_CONFIRM_URL,
+    _MSG_CHAN_CLOSE_INIT_URL, _MSG_CHAN_CLOSE_CONFIRM_URL,
+    _MSG_TIMEOUT_ON_CLOSE_URL,
 ]
 
-_REGISTRY_MOD = 56
+_REGISTRY_MOD = 72
 _UNKNOWN_URL = "/zigchain.custom.v1.MsgCustom"
 
 # wide-varint bases the round-9 walker decodes (5- and 9-byte wire
@@ -461,12 +505,20 @@ _KIND_AMT = {
 _KIND_PID = dict.fromkeys(
     (3, 9, 23, 31, 32,
      # group module: group_id (39-42, 51) / proposal_id (48-50) varints
-     39, 40, 41, 42, 48, 49, 50, 51),
+     39, 40, 41, 42, 48, 49, 50, 51,
+     # gov v1 vote-weighted proposal_id (r12)
+     52),
     "user_id % 10000")
 _KIND_YES = {
     **dict.fromkeys(
-        (3, 23, 31, 49), "CASE WHEN user_id % 4 = 0 THEN 1 ELSE 0 END"),
+        (3, 23, 31, 49,
+         # gov v1 vote-weighted option==YES (r12)
+         52), "CASE WHEN user_id % 4 = 0 THEN 1 ELSE 0 END"),
     43: "1",   # group_policy_as_admin bool (always set in synthesis)
+    # channel open init/try: Channel.state enum keyed like the vote
+    # option (state == 1 ⇔ user_id % 4 == 0)
+    60: "CASE WHEN user_id % 4 = 0 THEN 1 ELSE 0 END",
+    61: "CASE WHEN user_id % 4 = 0 THEN 1 ELSE 0 END",
 }
 _KIND_TOUT = {
     4: f"({_XFER_TOUT_BASE} + {_T}) % {_TOUT_PRIME}",
@@ -477,6 +529,17 @@ _KIND_TOUT = {
     34: f"({_PKT_TOUT_BASE} + {_T}) % {_TOUT_PRIME}",
     35: f"({_PKT_TOUT_BASE} + {_T}) % {_TOUT_PRIME}",
     36: f"({_T}) % {_TOUT_PRIME}",   # Equivocation.height
+    # r12 IBC handshakes: connection delay_period varints (56/57),
+    # proof-Height revision_height varints (59, 61-63, 65), and the
+    # 9-byte packet timeout inside MsgTimeoutOnClose (66)
+    56: f"({_T}) % {_TOUT_PRIME}",
+    57: f"({_T}) % {_TOUT_PRIME}",
+    59: f"({_T}) % {_TOUT_PRIME}",
+    61: f"({_T}) % {_TOUT_PRIME}",
+    62: f"({_T}) % {_TOUT_PRIME}",
+    63: f"({_T}) % {_TOUT_PRIME}",
+    65: f"({_T}) % {_TOUT_PRIME}",
+    66: f"({_PKT_TOUT_BASE} + {_T}) % {_TOUT_PRIME}",
 }
 
 
@@ -506,10 +569,10 @@ _REGISTRY_ORACLE_SQL = f"""
 
 
 def _registry_blob_hex() -> Column:
-    """The 52-type registry wire synthesis as ONE column expression
+    """The 67-type registry wire synthesis as ONE column expression
     over (event_id, user_id, value) — shared verbatim by the batch
     operator (#187), its streaming twin and the at-rest dataset, so
-    the three can never drift. kind = event_id % 56; kinds 52-55
+    the three can never drift. kind = event_id % 72; kinds 67-71
     carry the unregistered custom payload. Round 9 makes the wire
     REAL-CHAIN SHAPED (VERDICT r8 missing #1/#2): repeated fields
     (2-coin MsgSend, 2-output MsgMultiSend, gov v1 deposits and the
@@ -580,12 +643,28 @@ def _registry_blob_hex() -> Column:
             ).alias("packet"),
             proto_encode_hex(pf_varint(1, F.lit(1)),
                              pf_varint(2, tout)).alias("height"),
+            # r12 IBC handshake: the light-client state/consensus Anys
+            # ride in four bodies (create/upgrade client, connection
+            # try/ack) — bound here so the dispatch CASE references
+            # them as struct fields, not four copies of the tree
+            proto_encode_hex(
+                pf_str(1, F.lit(_TM_CLIENT_STATE_URL)),
+                pf_ld(2, proto_encode_hex(pf_str(1, F.concat(
+                    F.lit("zigchain-"),
+                    (F.col("user_id") % 3).cast("string")))))
+            ).alias("cs_any"),
+            proto_encode_hex(
+                pf_str(1, F.lit(_TM_CONSENSUS_STATE_URL)),
+                pf_ld(2, proto_encode_hex(pf_varint(1, tout)))
+            ).alias("cons_any"),
         )
 
         def with_shared2(c2: Column) -> Column:
             send_body = c2["send_body"]
             packet = c2["packet"]
             height = c2["height"]
+            cs_any = c2["cs_any"]
+            cons_any = c2["cons_any"]
             exec_body = proto_encode_hex(
                 pf_str(1, user),
                 pf_str(2, F.concat(F.lit("zig1w"),
@@ -804,6 +883,106 @@ def _registry_blob_hex() -> Column:
                 pf_str(4, F.lit("grp-vote-meta")), pf_varint(5, F.lit(1)))
             group_leave_body = proto_encode_hex(
                 pf_str(1, user), pf_varint(2, pid))
+            # ---- r12 closure: gov v1 vote-weighted + IBC handshakes --
+            gov_v1_vote_weighted_body = proto_encode_hex(
+                pf_varint(1, pid), pf_str(2, user),
+                pf_ld(3, proto_encode_hex(
+                    pf_varint(1, F.col("user_id") % 4 + 1),
+                    pf_str(2, F.lit("1.000000000000000000")))),
+                pf_str(4, F.lit("v1-weighted-metadata")))
+            client_id = F.concat(F.lit("07-tendermint-"),
+                                 (F.col("user_id") % 5).cast("string"))
+            create_client_body = proto_encode_hex(
+                pf_ld(1, cs_any), pf_ld(2, cons_any), pf_str(3, user))
+            upgrade_client_body = proto_encode_hex(
+                pf_str(1, client_id), pf_ld(2, cs_any),
+                pf_ld(3, cons_any),
+                pf_ld(4, F.hex(F.lit("proofC").cast("binary"))),
+                pf_ld(5, F.hex(F.lit("proofS").cast("binary"))),
+                pf_str(6, user))
+            submit_misbehaviour_body = proto_encode_hex(
+                pf_str(1, client_id),
+                pf_ld(2, proto_encode_hex(
+                    pf_str(1, F.lit(_TM_MISBEHAVIOUR_URL)),
+                    pf_ld(2, proto_encode_hex(pf_str(1, client_id))))),
+                pf_str(3, user))
+            conn_id = F.concat(F.lit("connection-"),
+                               (F.col("event_id") % 13).cast("string"))
+            conn_cp = proto_encode_hex(
+                pf_str(1, client_id), pf_str(2, conn_id))
+            conn_version = proto_encode_hex(pf_str(1, F.lit("1")))
+            conn_open_init_body = proto_encode_hex(
+                pf_str(1, client_id), pf_ld(2, conn_cp),
+                pf_ld(3, conn_version), pf_varint(4, tout),
+                pf_str(5, user))
+            # try: real cosmjs encodings omit the defaulted/deprecated
+            # fields (previous_connection_id, the extra proofs), so the
+            # wire carries fields 1,3,4,5,7,8,12 of the 13-field proto
+            conn_open_try_body = proto_encode_hex(
+                pf_str(1, client_id), pf_ld(3, cs_any),
+                pf_ld(4, conn_cp), pf_varint(5, tout),
+                pf_ld(7, height),
+                pf_ld(8, F.hex(F.lit("proofI").cast("binary"))),
+                pf_str(12, user))
+            conn_open_ack_body = proto_encode_hex(
+                pf_str(1, conn_id),
+                pf_str(2, F.concat(
+                    F.lit("connection-"),
+                    (F.col("event_id") % 17).cast("string"))),
+                pf_ld(3, conn_version), pf_ld(4, cs_any),
+                pf_ld(5, height),
+                pf_ld(6, F.hex(F.lit("proofT").cast("binary"))),
+                pf_str(10, user))
+            conn_open_confirm_body = proto_encode_hex(
+                pf_str(1, conn_id),
+                pf_ld(2, F.hex(F.lit("proofA").cast("binary"))),
+                pf_ld(3, height), pf_str(4, user))
+            chan_id = F.concat(F.lit("channel-"),
+                               (F.col("event_id") % 11).cast("string"))
+            # Channel.state is the yes-keyed enum (synthesis keys it
+            # exactly like the vote option: 1 ⇔ user_id % 4 == 0);
+            # counterparty + version round out the 4 encoded fields
+            channel_body = proto_encode_hex(
+                pf_varint(1, F.col("user_id") % 4 + 1),
+                pf_varint(2, F.lit(1)),
+                pf_ld(3, proto_encode_hex(
+                    pf_str(1, F.lit("transfer")),
+                    pf_str(2, F.concat(
+                        F.lit("channel-"),
+                        (F.col("event_id") % 7).cast("string"))))),
+                pf_str(5, F.lit("ics20-1")))
+            chan_open_init_body = proto_encode_hex(
+                pf_str(1, F.lit("transfer")), pf_ld(2, channel_body),
+                pf_str(3, user))
+            chan_open_try_body = proto_encode_hex(
+                pf_str(1, F.lit("transfer")), pf_ld(3, channel_body),
+                pf_str(4, F.lit("ics20-1")),
+                pf_ld(5, F.hex(F.lit("proofI").cast("binary"))),
+                pf_ld(6, height), pf_str(7, user))
+            chan_open_ack_body = proto_encode_hex(
+                pf_str(1, F.lit("transfer")), pf_str(2, chan_id),
+                pf_str(3, F.concat(
+                    F.lit("channel-"),
+                    (F.col("event_id") % 7).cast("string"))),
+                pf_str(4, F.lit("ics20-1")),
+                pf_ld(5, F.hex(F.lit("proofT").cast("binary"))),
+                pf_ld(6, height), pf_str(7, user))
+            # open-confirm and close-confirm share one wire shape
+            # (s, s, proof, Height, s) under distinct urls — the
+            # delegate/undelegate pattern
+            chan_confirm_body = proto_encode_hex(
+                pf_str(1, F.lit("transfer")), pf_str(2, chan_id),
+                pf_ld(3, F.hex(F.lit("proofA").cast("binary"))),
+                pf_ld(4, height), pf_str(5, user))
+            chan_close_init_body = proto_encode_hex(
+                pf_str(1, F.lit("transfer")), pf_str(2, chan_id),
+                pf_str(3, user))
+            timeout_on_close_body = proto_encode_hex(
+                pf_ld(1, packet),
+                pf_ld(2, F.hex(F.lit("proofU").cast("binary"))),
+                pf_ld(3, F.hex(F.lit("proofX").cast("binary"))),
+                pf_ld(4, height), pf_varint(5, xfer_tout + 2),
+                pf_str(6, user))
             custom_body = F.hex(
                 F.concat(F.lit("custom:"), F.col("event_id").cast("string"))
                 .cast("binary"))
@@ -861,6 +1040,22 @@ def _registry_blob_hex() -> Column:
                 .when(kind == 49, group_vote_body)
                 .when(kind == 50, group_withdraw_body)      # same wire
                 .when(kind == 51, group_leave_body)
+                # kinds 52-66 (r12): gov v1 vote-weighted + IBC core
+                .when(kind == 52, gov_v1_vote_weighted_body)
+                .when(kind == 53, create_client_body)
+                .when(kind == 54, upgrade_client_body)
+                .when(kind == 55, submit_misbehaviour_body)
+                .when(kind == 56, conn_open_init_body)
+                .when(kind == 57, conn_open_try_body)
+                .when(kind == 58, conn_open_ack_body)
+                .when(kind == 59, conn_open_confirm_body)
+                .when(kind == 60, chan_open_init_body)
+                .when(kind == 61, chan_open_try_body)
+                .when(kind == 62, chan_open_ack_body)
+                .when(kind == 63, chan_confirm_body)
+                .when(kind == 64, chan_close_init_body)
+                .when(kind == 65, chan_confirm_body)  # same wire shape
+                .when(kind == 66, timeout_on_close_body)
                 .otherwise(custom_body)
             )
             # the url array is padded with the unknown url up to the
@@ -1085,7 +1280,7 @@ def _registry_decoded_fields(u: Column, s: Column) -> Column:
                 u.isin(_MSG_VOTE_URL, _MSG_DEPOSIT_URL, _MSG_VOTE_WEIGHTED_URL,
                        _MSG_GOV_V1_VOTE_URL, _MSG_GOV_V1_DEPOSIT_URL,
                        _MSG_GROUP_WITHDRAW_URL, _MSG_GROUP_VOTE_URL,
-                       _MSG_GROUP_EXEC_URL),
+                       _MSG_GROUP_EXEC_URL, _MSG_GOV_V1_VOTE_WEIGHTED_URL),
                 vi[1])
                 .when(u.isin(_MSG_GROUP_UPD_MEMBERS_URL, _MSG_GROUP_UPD_ADMIN_URL,
                              _MSG_GROUP_UPD_METADATA_URL,
@@ -1094,11 +1289,20 @@ def _registry_decoded_fields(u: Column, s: Column) -> Column:
             yes = (F.when(u.isin(_MSG_VOTE_URL, _MSG_GOV_V1_VOTE_URL,
                                  _MSG_GROUP_VOTE_URL),
                           (vi[3] == 1).cast("long"))
-                   .when(u == _MSG_VOTE_WEIGHTED_URL,
+                   .when(u.isin(_MSG_VOTE_WEIGHTED_URL,
+                                _MSG_GOV_V1_VOTE_WEIGHTED_URL),
                          F.when(wopt["ok"],
                                 (wopt["vi"][1] == 1).cast("long")))
                    .when(u == _MSG_GROUP_CREATE_WITH_POLICY_URL,
-                         (vi[5] == 1).cast("long")))
+                         (vi[5] == 1).cast("long"))
+                   # channel open init/try: Channel.state enum (the
+                   # nested Channel rides at field 2 / field 3)
+                   .when(u == _MSG_CHAN_OPEN_INIT_URL,
+                         F.when(mem["ok"],
+                                (mem["vi"][1] == 1).cast("long")))
+                   .when(u == _MSG_CHAN_OPEN_TRY_URL,
+                         F.when(mem3["ok"],
+                                (mem3["vi"][1] == 1).cast("long"))))
             timeout = (F.when(u == _MSG_TRANSFER_URL, vi[7])
                        .when(u == _MSG_VESTING_URL, vi[4])
                        .when(u == _MSG_CANCEL_UNBOND_URL, vi[4])
@@ -1111,11 +1315,27 @@ def _registry_decoded_fields(u: Column, s: Column) -> Column:
                              F.when(any2["ok"] & inner["ok"]
                                     & (F.decode(F.unhex(ld1(any2["ld"], 1)),
                                                 "UTF-8") == _EQUIVOCATION_URL),
-                                    inner["vi"][1])))
+                                    inner["vi"][1]))
+                       # r12 IBC handshakes: delay_period varints,
+                       # proof-Height revision_height, and the packet
+                       # timeout inside MsgTimeoutOnClose
+                       .when(u == _MSG_CONN_OPEN_INIT_URL, vi[4])
+                       .when(u == _MSG_CONN_OPEN_TRY_URL, vi[5])
+                       .when(u == _MSG_CONN_OPEN_CONFIRM_URL,
+                             F.when(g["ok"], g["vi"][2]))
+                       .when(u.isin(_MSG_CHAN_OPEN_TRY_URL,
+                                    _MSG_CHAN_OPEN_ACK_URL),
+                             F.when(a6["ok"], a6["vi"][2]))
+                       .when(u.isin(_MSG_CHAN_OPEN_CONFIRM_URL,
+                                    _MSG_CHAN_CLOSE_CONFIRM_URL),
+                             F.when(h4["ok"], h4["vi"][2]))
+                       .when(u == _MSG_TIMEOUT_ON_CLOSE_URL,
+                             F.when(pkt["ok"], pkt["vi"][8])))
 
             shape_ok = (
                 F.when(u.isin(_MSG_SEND_URL, _MSG_DELEGATE_URL,
-                              _MSG_UNDELEGATE_URL, _MSG_EXEC_URL),
+                              _MSG_UNDELEGATE_URL, _MSG_EXEC_URL,
+                              _MSG_CHAN_CLOSE_INIT_URL),
                        _has_ld(1, 2, 3))
                 .when(u == _MSG_VOTE_URL, _has_vi(1, 3) & _has_ld(2))
                 .when(u == _MSG_TRANSFER_URL, _has_ld(1, 2, 3, 4, 5) & _has_vi(7))
@@ -1219,6 +1439,62 @@ def _registry_decoded_fields(u: Column, s: Column) -> Column:
                 .when(u == _MSG_GROUP_VOTE_URL,
                       _has_vi(1, 3, 5) & _has_ld(2, 4))
                 .when(u == _MSG_GROUP_LEAVE_URL, _has_ld(1) & _has_vi(2))
+                # ---- r12: gov v1 vote-weighted + IBC handshakes ----
+                .when(u == _MSG_GOV_V1_VOTE_WEIGHTED_URL,
+                      _has_vi(1) & _has_ld(2, 3, 4) & wopt["ok"]
+                      & F.map_contains_key(wopt["ld"], F.lit(2)))
+                .when(u == _MSG_CREATE_CLIENT_URL,
+                      _has_ld(1, 2, 3) & d1["ok"] & any2["ok"]
+                      & (F.decode(F.unhex(ld1(d1["ld"], 1)), "UTF-8")
+                         == _TM_CLIENT_STATE_URL)
+                      & (F.decode(F.unhex(ld1(any2["ld"], 1)), "UTF-8")
+                         == _TM_CONSENSUS_STATE_URL))
+                .when(u == _MSG_UPGRADE_CLIENT_URL,
+                      _has_ld(1, 2, 3, 4, 5, 6) & any2["ok"] & any3["ok"]
+                      & (F.decode(F.unhex(ld1(any2["ld"], 1)), "UTF-8")
+                         == _TM_CLIENT_STATE_URL)
+                      & (F.decode(F.unhex(ld1(any3["ld"], 1)), "UTF-8")
+                         == _TM_CONSENSUS_STATE_URL))
+                .when(u == _MSG_SUBMIT_MISBEHAVIOUR_URL,
+                      _has_ld(1, 2, 3) & any2["ok"]
+                      & (F.decode(F.unhex(ld1(any2["ld"], 1)), "UTF-8")
+                         == _TM_MISBEHAVIOUR_URL))
+                .when(u == _MSG_CONN_OPEN_INIT_URL,
+                      # counterparty (2 strings) scans clean at field 2
+                      _has_ld(1, 2, 3, 5) & _has_vi(4) & any2["ok"]
+                      & F.map_contains_key(any2["ld"], F.lit(1)))
+                .when(u == _MSG_CONN_OPEN_TRY_URL,
+                      # client_state Any at 3, counterparty at 4
+                      _has_ld(1, 3, 4, 7, 8, 12) & _has_vi(5)
+                      & any3["ok"] & per["ok"]
+                      & (F.decode(F.unhex(ld1(any3["ld"], 1)), "UTF-8")
+                         == _TM_CLIENT_STATE_URL))
+                .when(u == _MSG_CONN_OPEN_ACK_URL,
+                      _has_ld(1, 2, 3, 4, 5, 6, 10) & h4["ok"]
+                      & (F.decode(F.unhex(ld1(h4["ld"], 1)), "UTF-8")
+                         == _TM_CLIENT_STATE_URL))
+                .when(u == _MSG_CONN_OPEN_CONFIRM_URL,
+                      _has_ld(1, 2, 3, 4) & g["ok"]
+                      & F.map_contains_key(g["vi"], F.lit(2)))
+                .when(u == _MSG_CHAN_OPEN_INIT_URL,
+                      _has_ld(1, 2, 3) & mem["ok"]
+                      & F.map_contains_key(mem["vi"], F.lit(1)))
+                .when(u == _MSG_CHAN_OPEN_TRY_URL,
+                      _has_ld(1, 3, 4, 5, 6, 7) & mem3["ok"]
+                      & F.map_contains_key(mem3["vi"], F.lit(1))
+                      & a6["ok"]
+                      & F.map_contains_key(a6["vi"], F.lit(2)))
+                .when(u == _MSG_CHAN_OPEN_ACK_URL,
+                      _has_ld(1, 2, 3, 4, 5, 6, 7) & a6["ok"]
+                      & F.map_contains_key(a6["vi"], F.lit(2)))
+                .when(u.isin(_MSG_CHAN_OPEN_CONFIRM_URL,
+                             _MSG_CHAN_CLOSE_CONFIRM_URL),
+                      _has_ld(1, 2, 3, 4, 5) & h4["ok"]
+                      & F.map_contains_key(h4["vi"], F.lit(2)))
+                .when(u == _MSG_TIMEOUT_ON_CLOSE_URL,
+                      _has_ld(1, 2, 3, 4, 6) & _has_vi(5)
+                      & pkt["ok"] & h4["ok"]
+                      & F.map_contains_key(pkt["vi"], F.lit(8)))
                 .otherwise(F.lit(False))
             )
             needs_amt = u.isin(
@@ -1336,12 +1612,30 @@ _REGISTRY_URL_KEYS = {
     "group_vote": _MSG_GROUP_VOTE_URL,
     "group_exec": _MSG_GROUP_EXEC_URL,
     "group_leave": _MSG_GROUP_LEAVE_URL,
+    "gov_v1_vote_weighted": _MSG_GOV_V1_VOTE_WEIGHTED_URL,
+    "create_client": _MSG_CREATE_CLIENT_URL,
+    "upgrade_client": _MSG_UPGRADE_CLIENT_URL,
+    "submit_misbehaviour": _MSG_SUBMIT_MISBEHAVIOUR_URL,
+    "conn_open_init": _MSG_CONN_OPEN_INIT_URL,
+    "conn_open_try": _MSG_CONN_OPEN_TRY_URL,
+    "conn_open_ack": _MSG_CONN_OPEN_ACK_URL,
+    "conn_open_confirm": _MSG_CONN_OPEN_CONFIRM_URL,
+    "chan_open_init": _MSG_CHAN_OPEN_INIT_URL,
+    "chan_open_try": _MSG_CHAN_OPEN_TRY_URL,
+    "chan_open_ack": _MSG_CHAN_OPEN_ACK_URL,
+    "chan_open_confirm": _MSG_CHAN_OPEN_CONFIRM_URL,
+    "chan_close_init": _MSG_CHAN_CLOSE_INIT_URL,
+    "chan_close_confirm": _MSG_CHAN_CLOSE_CONFIRM_URL,
+    "timeout_on_close": _MSG_TIMEOUT_ON_CLOSE_URL,
     "basic_allowance": _BASIC_ALLOWANCE_URL,
     "stake_auth": _STAKE_AUTH_URL,
     "text_proposal": _TEXT_PROPOSAL_URL,
     "tm_header": _TM_HEADER_URL,
     "equivocation": _EQUIVOCATION_URL,
     "threshold_policy": _THRESHOLD_POLICY_URL,
+    "client_state": _TM_CLIENT_STATE_URL,
+    "consensus_state": _TM_CONSENSUS_STATE_URL,
+    "misbehaviour": _TM_MISBEHAVIOUR_URL,
 }
 
 _REGISTRY_STRUCT_TYPE = ("type_url string, status string, amt bigint, "
@@ -1553,7 +1847,7 @@ def _registry_blobs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parameter variants in play while making their gate cost
 # SCALE-INDEPENDENT (VERDICT r10 item 8: the trio cost ~45 s of every
 # sf0.01 gate; the hybrid alone cost 332 s at sf1.0 unbounded).
-_CONF_EVENT_BOUND = 5600  # 100 full passes of the 56-kind grid
+_CONF_EVENT_BOUND = 7200  # 100 full passes of the 72-kind grid
 _REGISTRY_ORACLE_SQL_CONF = _REGISTRY_ORACLE_SQL.replace(
     "FROM events)",
     f"FROM events WHERE event_id < {_CONF_EVENT_BOUND})",
