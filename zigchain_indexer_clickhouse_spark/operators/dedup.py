@@ -1133,11 +1133,13 @@ def _prefix_filter_oracle() -> str:
       FROM tok, generate_series(1, 4000) g(i)
       WHERE g.i <= len(toks) - 2
     ),
-    -- MATERIALIZED: shh feeds both sides of the inter self-join AND
-    -- nsh; un-materialized, DuckDB re-inlines the whole tokenize →
-    -- shingle → hash pipeline three times (the 513 s sf1.0 gate row —
-    -- VERDICT r11 next #4, same class as the r11 dup-graph fix)
-    shh AS MATERIALIZED (SELECT DISTINCT doc_id, {base} AS bh FROM shd),
+    -- NOT materialized, deliberately (VERDICT r11 next #4 candidate,
+    -- measured and REJECTED): `shh AS MATERIALIZED` is 3x SLOWER at
+    -- sf1.0 (302.7 s vs 105.4 s, identical 1,052,400-row result) —
+    -- DuckDB parallelizes the inlined tokenize→shingle→hash pipeline
+    -- into each consumer better than it scans the materialized
+    -- intermediate, so re-inlining is not this oracle's bottleneck.
+    shh AS (SELECT DISTINCT doc_id, {base} AS bh FROM shd),
     nsh AS (SELECT doc_id, COUNT(*) AS n FROM shh GROUP BY doc_id),
     inter AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS ninter
