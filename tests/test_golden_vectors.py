@@ -157,6 +157,46 @@ EVIDENCE_ANY_B64 = (
     "dmFsY29uczFodXlkZWV2cHozN3NkOXNua2d1bDYwNzBtc3R1cHVrdzBhYWJiY2M="
 )
 
+# --------------------------------------------------------------------------
+# Vector 6 (r12 closure): an Any-wrapped cosmos.gov.v1.MsgVoteWeighted.
+# Any   = 0A 1E "/cosmos.gov.v1.MsgVoteWeighted"  (30 B url)
+#         12 60 <MsgVoteWeighted: 96 B>
+# MsgVoteWeighted (gov/v1/tx.proto) =
+#         08 AC 02      field 1 proposal_id = LEB128(300)
+#         12 2D <45 B>  field 2 voter (bech32 address)
+#         1A 18 <WeightedVoteOption: 24 B> field 3 options[0] =
+#           08 01                 field 1 option = VOTE_OPTION_YES
+#           12 14 "1.000000000000000000"  field 2 weight (20 B Dec str)
+#         22 12 "golden v1 weighted"      field 4 metadata (18 B)
+# --------------------------------------------------------------------------
+GOV_V1_VW_ANY_B64 = (
+    "Ch4vY29zbW9zLmdvdi52MS5Nc2dWb3RlV2VpZ2h0ZWQSYAisAhItY29zbW9zMWh1eWRl"
+    "ZXZwejM3c2Q5c25rZ3VsNjA3MG1zdHVwdWt3MDB4a3c5GhgIARIUMS4wMDAwMDAwMDAw"
+    "MDAwMDAwMDAiEmdvbGRlbiB2MSB3ZWlnaHRlZA=="
+)
+
+# --------------------------------------------------------------------------
+# Vector 7 (r12 closure): an Any-wrapped
+# ibc.core.channel.v1.MsgChannelOpenInit.
+# Any   = 0A 27 "/ibc.core.channel.v1.MsgChannelOpenInit"  (39 B url)
+#         12 5F <MsgChannelOpenInit: 95 B>
+# MsgChannelOpenInit (channel/v1/tx.proto) =
+#         0A 08 "transfer"      field 1 port_id (8 B)
+#         12 24 <Channel: 36 B> field 2 channel =
+#           08 01               field 1 state = STATE_INIT (1)
+#           10 01               field 2 ordering = ORDER_UNORDERED (1)
+#           1A 15 <Counterparty: 21 B> field 3 =
+#             0A 08 "transfer"  field 1 port_id
+#             12 09 "channel-7" field 2 channel_id
+#           2A 07 "ics20-1"     field 5 version (7 B)
+#         1A 2D <45 B>          field 3 signer (bech32 address)
+# --------------------------------------------------------------------------
+CHAN_OPEN_INIT_ANY_B64 = (
+    "CicvaWJjLmNvcmUuY2hhbm5lbC52MS5Nc2dDaGFubmVsT3BlbkluaXQSXwoIdHJhbnNm"
+    "ZXISJAgBEAEaFQoIdHJhbnNmZXISCWNoYW5uZWwtNyoHaWNzMjAtMRotY29zbW9zMWh1"
+    "eWRlZXZwejM3c2Q5c25rZ3VsNjA3MG1zdHVwdWt3MDB4a3c5"
+)
+
 
 def test_txraw_golden_python_walker():
     """The Python walker recovers every envelope layer of the frozen
@@ -212,6 +252,14 @@ def test_golden_any_vectors_python_walker():
         base64.b64decode(EVIDENCE_ANY_B64), URLS) == (
         "/cosmos.evidence.v1beta1.MsgSubmitEvidence", "ok", 777, 0, 0,
         7734500)
+    # r12 closure vectors: gov v1 weighted vote (nested
+    # WeightedVoteOption) and the channel handshake's Channel.state
+    assert registry_decode_py(
+        base64.b64decode(GOV_V1_VW_ANY_B64), URLS) == (
+        "/cosmos.gov.v1.MsgVoteWeighted", "ok", 0, 300, 1, 0)
+    assert registry_decode_py(
+        base64.b64decode(CHAN_OPEN_INIT_ANY_B64), URLS) == (
+        "/ibc.core.channel.v1.MsgChannelOpenInit", "ok", 0, 0, 1, 0)
 
 
 def test_txraw_golden_expression_walkers(spark):
@@ -258,6 +306,8 @@ def test_golden_vectors_positional_hybrid(spark):
         base64.b64decode(SEND2_ANY_B64).hex().upper(),
         base64.b64decode(GROUP_VOTE_ANY_B64).hex().upper(),
         base64.b64decode(EVIDENCE_ANY_B64).hex().upper(),
+        base64.b64decode(GOV_V1_VW_ANY_B64).hex().upper(),
+        base64.b64decode(CHAN_OPEN_INIT_ANY_B64).hex().upper(),
     ]
     df = spark.createDataFrame([(v,) for v in vectors],
                                "blob_hex string")
@@ -269,3 +319,25 @@ def test_golden_vectors_positional_hybrid(spark):
                r["__rp_d"]["amt"], r["__rp_d"]["pid"],
                r["__rp_d"]["yes"], r["__rp_d"]["timeout"])
         assert got == exp and exp[1] == "ok"
+
+
+def test_r12_golden_vectors_expression_walker(spark):
+    """The one-tree expression dispatch (registry_decoded_struct, the
+    stream/at-rest shape) decodes the r12 frozen vectors exactly: the
+    gov v1 weighted vote's nested WeightedVoteOption and the channel
+    handshake's Channel.state enum."""
+    df = spark.createDataFrame(
+        [(base64.b64decode(GOV_V1_VW_ANY_B64).hex().upper(),),
+         (base64.b64decode(CHAN_OPEN_INIT_ANY_B64).hex().upper(),)],
+        "blob_hex string",
+    )
+    rows = {
+        r["d"]["type_url"]: r["d"]
+        for r in df.select(
+            registry_decoded_struct(F.col("blob_hex")).alias("d")
+        ).collect()
+    }
+    vw = rows["/cosmos.gov.v1.MsgVoteWeighted"]
+    assert (vw["status"], vw["pid"], vw["yes"]) == ("ok", 300, 1)
+    ci = rows["/ibc.core.channel.v1.MsgChannelOpenInit"]
+    assert (ci["status"], ci["yes"], ci["amt"]) == ("ok", 1, 0)

@@ -113,7 +113,7 @@ def test_native_operator_matches_arrow_operator(spark):
     finally:
         del os.environ["SPARK_GRAFT_REGISTRY_DECODE"]
     assert native == arrow
-    assert len(native) == 53
+    assert len(native) == 68
 
 
 def test_so_cache_is_user_private_and_rejects_tampering():

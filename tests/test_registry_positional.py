@@ -179,4 +179,4 @@ def test_hybrid_operator_matches_arrow_operator(spark):
     hybrid = sorted(tuple(r) for r in
                     qs["msg_registry_decode_hybrid"](spark, SF).collect())
     assert arrow == hybrid
-    assert len(arrow) == 53
+    assert len(arrow) == 68

@@ -280,7 +280,7 @@ def test_stream_registry_decode_matches_batch_twin(spark, sf_dir):
         tuple(r[c] for c in cols)
         for r in qs["msg_registry_decode"](spark, sf_dir).collect()
     }
-    assert stream == batch and len(batch) == 53
+    assert stream == batch and len(batch) == 68
 
 
 def test_stream_registry_decode_native_equals_python_shape(spark, sf_dir):
@@ -307,4 +307,4 @@ def test_stream_registry_decode_native_equals_python_shape(spark, sf_dir):
                     qs["stream_registry_decode"](spark, sf_dir).collect())
     finally:
         del os.environ["SPARK_GRAFT_REGISTRY_DECODE"]
-    assert native == py and len(native) == 53
+    assert native == py and len(native) == 68

@@ -582,7 +582,7 @@ def _registry_blob_hex() -> Column:
 
     The shared sub-messages are LAMBDA-BOUND in two layers (coins /
     Description, then MsgSend body / Packet / Height) before the
-    40-branch CASE references them: coin alone rides in ~20 bodies
+    67-branch CASE references them: coin alone rides in ~20 bodies
     and the 2-coin send body in three (authz MsgExec and twice in
     gov v1 submit), so unbound they multiply the plan the same way
     the walker step did — the r9 vanilla-session (1 GiB) stream run
@@ -1528,7 +1528,7 @@ def registry_decoded_struct(blob_hex: Column) -> Column:
     barriers (streaming, at-rest range reads): each walker fold's
     output is LAMBDA-BOUND (a one-element ``transform``) before the
     next fold or the dispatch consumes it, so blob scan → Any scan →
-    field-map scan each evaluate exactly once per row and the 36-type
+    field-map scan each evaluate exactly once per row and the 67-type
     dispatch reads them as map lookups. Returns struct(type_url,
     status, amt, pid, yes, timeout) with the same outcome keying as
     the staged batch operator (#187)."""
@@ -1826,7 +1826,7 @@ def _registry_agg(decoded: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# 187. msg_registry_decode — 36-type registry decode (Arrow volume path
+# 187. msg_registry_decode — 67-type registry decode (Arrow volume path
 #      by default; walker and hybrid variants oracle-gated separately)
 # --------------------------------------------------------------------------
 def _registry_blobs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1986,7 +1986,7 @@ def msg_registry_decode_walker(spark: SparkSession, sf_dir: str
     (functions/protobuf.py proto_encode_hex / proto_scan_hex): ONE
     constant-size fold synthesizes each wire body, one unwraps the
     Any, one walks every top-level field into (field_no → payload)
-    maps, and the 36-type dispatch is plain map lookups keyed by
+    maps, and the 67-type dispatch is plain map lookups keyed by
     typeUrl. Plan size is independent of registry breadth — each r8
     widening batch (19 → 25 → 31) added only CASE branches and zero
     compile units — which is the property that actually survives
@@ -2401,7 +2401,7 @@ def blob_decode_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# 23c. registry_decode_at_rest — the full 36-type registry over
+# 23c. registry_decode_at_rest — the full 67-type registry over
 #      height-pruned blobs at rest
 # --------------------------------------------------------------------------
 @register(
@@ -2412,7 +2412,7 @@ def blob_decode_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def registry_decode_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The round's two decode themes composed: the FULL 36-type cosmjs
+    """The two decode themes composed: the FULL 67-type cosmjs
     registry dispatch (#187) running over blobs AT REST with
     storage-side pruning (#23b) — the reference's production read
     path: raw messages persisted height-partitioned (models.js:118),

@@ -1043,7 +1043,7 @@ def stream_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the decode adds ZERO streaming state (a stateless
     Arrow-batched projection at ~µs/row); the only state is the
-    ≤37-group aggregate. The oracle is the batch operator's own
+    ≤68-group aggregate. The oracle is the batch operator's own
     oracle, registered under this name too, and equivalence with the
     batch twin is test-asserted."""
     from zigchain_indexer_clickhouse_spark.sources.tx_decode import (
