@@ -133,14 +133,24 @@ def test_so_cache_is_user_private_and_rejects_tampering():
     assert not (st.st_mode & 0o077), oct(st.st_mode)
     assert f"-{os.getuid()}" in os.path.basename(d)
 
-    # the loaded .so passes the trust gate
-    sos = [f for f in os.listdir(d) if f.endswith(".so")]
-    assert sos, "kernel not cached in the private dir"
-    so = os.path.join(d, sos[0])
+    # the CURRENT-source kernel passes the trust gate (target the
+    # live tag explicitly: stale tags of older sources — or a planted
+    # world-writable sibling awaiting the loader's sweep — may also
+    # sit in the dir, and an arbitrary listing entry proved flaky)
+    import hashlib
+
+    tag = hashlib.md5(open(nr._SRC, "rb").read()).hexdigest()[:12]
+    so = os.path.join(d, f"native_{tag}.so")
+    assert os.path.isfile(so), "kernel not cached in the private dir"
     assert nr._safe_to_load(so)
 
     # tampered perms (the closest simulation of a foreign plant that a
-    # single-uid test can stage): loader must refuse + rebuild
+    # single-uid test can stage): loader must refuse + rebuild; a
+    # tampered SIBLING (planted at another tag's name) must be swept
+    planted = os.path.join(d, "native_000000000000.so")
+    with open(planted, "w") as f:
+        f.write("not a library")
+    os.chmod(planted, 0o777)
     os.chmod(so, 0o777)
     assert not nr._safe_to_load(so)
     nr._LIB = None
@@ -148,6 +158,7 @@ def test_so_cache_is_user_private_and_rejects_tampering():
     try:
         assert nr._load() is not None
         assert nr._safe_to_load(so)  # rebuilt with safe bits
+        assert not os.path.lexists(planted)  # sibling swept
     finally:
         nr._LIB = None
         nr._LIB_TRIED = False

@@ -127,9 +127,23 @@ def _load() -> ctypes.CDLL | None:
     try:
         src = open(_SRC, "rb").read()
         tag = hashlib.md5(src).hexdigest()[:12]
-        so = os.path.join(_cache_dir(), f"native_{tag}.so")
+        cache = _cache_dir()
+        so = os.path.join(cache, f"native_{tag}.so")
         if os.path.lexists(so) and not _safe_to_load(so):
             os.remove(so)  # tampered / foreign-owned: rebuild
+        # housekeeping: sweep SIBLING kernels that fail the trust gate
+        # (e.g. a world-writable file planted before the private dir
+        # was ours, or loosened permissions) — the dir is 0700 ours,
+        # so every entry is ours to delete; stale-but-trusted kernels
+        # of older source hashes are harmless and stay
+        for f in os.listdir(cache):
+            p = os.path.join(cache, f)
+            if (f.startswith("native_") and f.endswith(".so")
+                    and p != so and not _safe_to_load(p)):
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
         if not os.path.isfile(so):
             tmp = f"{so}.build-{os.getpid()}"
             subprocess.run(

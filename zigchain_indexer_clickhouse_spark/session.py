@@ -30,8 +30,12 @@ def get_spark(app_name: str = "zigchain-indexer-spark", master: str | None = Non
         # effective when this builder creates the JVM — a foreign
         # session keeps its own heap and the registry ops degrade
         # gracefully (tx_decode._hybrid_profile).
+        # SPARK_GRAFT_DRIVER_MEM wins over the legacy SPARK_DRIVER_MEMORY
+        # name; one config site (a duplicate 8g config below used to
+        # silently override this one — last-wins).
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "6g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+                or os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # AQE: runtime shuffle-partition coalescing + skew-join splitting.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -90,7 +94,6 @@ def get_spark(app_name: str = "zigchain-indexer-spark", master: str | None = Non
             os.path.join(tempfile.gettempdir(), "zic_spark_warehouse"),
         )
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     # last-wins overrides for harness probes (tools/resilience_probe.py
     # squeezes memory + forces spill paths this way): semicolon-
