@@ -56,3 +56,54 @@ def test_bucketed_overlap_oracle_matches_naive_predicate(sf_dir):
     ).fetchall()
     assert fast == naive
     assert len(fast) > 0  # non-vacuous: overlaps exist at sf0.001
+
+
+NAIVE_GAPS = """
+    WITH present AS (
+      SELECT DISTINCT o_orderkey AS height FROM orders WHERE o_orderstatus <> 'O'
+    ),
+    expected AS (
+      SELECT g.h FROM generate_series(0, 10000000) g(h)
+      WHERE g.h <= (SELECT MAX(o_orderkey) FROM orders)
+    )
+    SELECT COUNT(*) AS gap_count,
+           CAST(MIN(e.h) AS BIGINT) AS first_gap,
+           CAST(MAX(e.h) AS BIGINT) AS last_gap
+    FROM expected e LEFT JOIN present p ON e.h = p.height
+    WHERE p.height IS NULL
+"""
+
+
+def test_series_free_gap_oracle_matches_naive_series(sf_dir):
+    """The r12 series-free gap_detection oracle (gaps-and-islands:
+    first/last missing height is always one of {0, mh, present±1})
+    must be bit-identical to the naive generate_series + anti-join
+    form it replaced (monitor_indexer.js:91-105) — valid to evaluate
+    here because sf0.001's max height is far below the naive form's
+    10M constant bound. That constant is WHY the rewrite exists: the
+    sf1.0 replica's stride-floored heights exceed 10M, silently
+    truncating the naive oracle's expected domain (r12 sweep catch)."""
+    from zigchain_indexer_clickhouse_spark.plans import registry
+
+    oracle = registry.oracles()["gap_detection"]
+    con = _connect(sf_dir)
+    fast = con.execute(f"SELECT * FROM ({oracle})").fetchall()
+    naive = con.execute(f"SELECT * FROM ({NAIVE_GAPS})").fetchall()
+    assert fast == naive
+    assert fast[0][0] > 0  # non-vacuous: gaps exist at sf0.001
+
+
+def test_health_report_gaps_leg_matches_naive_series(sf_dir):
+    """monitor_health_report's gaps row carries the same series-free
+    rewrite (count + last-gap only); pin it to the naive form too."""
+    from zigchain_indexer_clickhouse_spark.plans import registry
+
+    oracle = registry.oracles()["monitor_health_report"]
+    con = _connect(sf_dir)
+    row = con.execute(
+        f"SELECT n, detail FROM ({oracle}) WHERE \"check\" = 'gaps'"
+    ).fetchall()
+    naive = con.execute(
+        f"SELECT gap_count, last_gap FROM ({NAIVE_GAPS})"
+    ).fetchall()
+    assert row == naive

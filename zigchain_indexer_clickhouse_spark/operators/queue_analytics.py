@@ -162,19 +162,38 @@ def overlapping_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "gap_detection",
+    # Series-free oracle (r12): the old form materialized
+    # generate_series(0, 10000000) — DuckDB 1.0 rejects subquery
+    # bounds, and the CONSTANT bound silently truncated the expected
+    # domain once the sf1.0 replica's stride-floored heights passed
+    # 10M (caught by the r12 sweep: Spark 89,151,010 gaps vs oracle
+    # 9,900,102). Gaps-and-islands instead: over [0, mh],
+    # gap_count = mh+1 - |present|, and the first/last missing height
+    # is always one of {0, mh, present±1} (if min-missing m > 0 then
+    # m-1 is present; if max-missing m < mh then m+1 is present), so
+    # no height series is ever generated — O(n) at any scale.
+    # present AS MATERIALIZED: referenced 3×; DuckDB inlines CTEs
+    # (the r11 dup-graph defect class).
     oracle="""
-    WITH present AS (
+    WITH present AS MATERIALIZED (
       SELECT DISTINCT o_orderkey AS height FROM orders WHERE o_orderstatus <> 'O'
     ),
-    expected AS (
-      SELECT g.h FROM generate_series(0, 10000000) g(h)
-      WHERE g.h <= (SELECT MAX(o_orderkey) FROM orders)
+    mx AS (SELECT MAX(o_orderkey) AS mh FROM orders),
+    cand AS (
+      SELECT c.h FROM (
+        SELECT 0 AS h
+        UNION ALL SELECT height + 1 FROM present
+        UNION ALL SELECT height - 1 FROM present
+        UNION ALL SELECT mh FROM mx
+      ) c
+      LEFT JOIN present p ON p.height = c.h
+      WHERE p.height IS NULL
+        AND c.h >= 0 AND c.h <= (SELECT mh FROM mx)
     )
-    SELECT COUNT(*) AS gap_count,
-           CAST(MIN(e.h) AS BIGINT) AS first_gap,
-           CAST(MAX(e.h) AS BIGINT) AS last_gap
-    FROM expected e LEFT JOIN present p ON e.h = p.height
-    WHERE p.height IS NULL
+    SELECT CAST((SELECT mh FROM mx) + 1
+                - (SELECT COUNT(*) FROM present) AS BIGINT) AS gap_count,
+           CAST((SELECT MIN(h) FROM cand) AS BIGINT) AS first_gap,
+           CAST((SELECT MAX(h) FROM cand) AS BIGINT) AS last_gap
     """,
 )
 def gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,12 +390,20 @@ def recent_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(MAX(o_orderkey) AS BIGINT) AS detail
     FROM orders GROUP BY o_orderstatus
     UNION ALL
-    SELECT 'gaps', COUNT(*), CAST(MAX(e.h) AS BIGINT)
-    FROM (SELECT g.h FROM generate_series(0, 10000000) g(h)
-          WHERE g.h <= (SELECT MAX(o_orderkey) FROM orders)) e
-    LEFT JOIN (SELECT DISTINCT o_orderkey AS height FROM orders
-               WHERE o_orderstatus <> 'O') p ON e.h = p.height
-    WHERE p.height IS NULL
+    SELECT 'gaps',
+           CAST((SELECT MAX(o_orderkey) FROM orders) + 1
+                - (SELECT COUNT(DISTINCT o_orderkey) FROM orders
+                   WHERE o_orderstatus <> 'O') AS BIGINT),
+           (SELECT CAST(MAX(c.h) AS BIGINT) FROM (
+              SELECT height - 1 AS h
+              FROM (SELECT DISTINCT o_orderkey AS height FROM orders
+                    WHERE o_orderstatus <> 'O')
+              UNION ALL SELECT MAX(o_orderkey) FROM orders
+            ) c
+            LEFT JOIN (SELECT DISTINCT o_orderkey AS height FROM orders
+                       WHERE o_orderstatus <> 'O') p ON p.height = c.h
+            WHERE p.height IS NULL AND c.h >= 0
+              AND c.h <= (SELECT MAX(o_orderkey) FROM orders))
     UNION ALL
     SELECT 'stuck_items', COUNT(*),
            CAST(MAX(floor(epoch(TIMESTAMP '{NOW}' - ts) / 60)) AS BIGINT)
