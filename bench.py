@@ -73,6 +73,32 @@ def _run_headline(spark, qs, sf_dir) -> dict[str, float]:
     return timings
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line.
+
+    This box is a VM guest: host-side contention shows up as STEAL
+    time, which guest loadavg cannot see — an idle-looking guest can
+    still run 2x slow (observed in r12: every shuffle-heavy headline
+    ~2x its r11-idle time on an identical tree at loadavg 0.04, while
+    steal spiked to 11% under load). Recording steal makes such runs
+    self-labeling the same way loadavg does for guest-side contention.
+    """
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except (OSError, ValueError, IndexError):
+        return (0, 0)
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float | None:
+    dt = after[1] - before[1]
+    if dt <= 0:
+        return None
+    return round(100.0 * (after[0] - before[0]) / dt, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -99,7 +125,9 @@ def main() -> None:
         print(f"# waited {waited:.0f}s for idle "
               f"(load now {os.getloadavg()[0]:.1f})", file=sys.stderr)
     load_before = os.getloadavg()
+    steal_before = _cpu_jiffies()
     timings = _run_headline(spark, qs, sf_dir)
+    steal_pct = _steal_pct(steal_before, _cpu_jiffies())
     retried = False
     if load_before[0] > 4.0:  # someone else's work was running
         print(f"# load {load_before[0]:.1f} at start — re-running once",
@@ -119,6 +147,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "loadavg_at_start": [round(x, 2) for x in load_before],
                 "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
+                "steal_pct": steal_pct,
                 "contention_retry": retried,
             }
         )
