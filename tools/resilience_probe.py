@@ -156,7 +156,7 @@ def main() -> int:
     base = (
         e.repartition(8, "event_id")
         .select(proto_scan_hex(blob, 2).alias("s"))
-        .select(F.sum(F.length(F.col("s")["ld"][2])).alias("n"))
+        .select(F.sum(F.length(F.concat_ws("", F.col("s")["ld"][2]))).alias("n"))
         .collect()[0]["n"]
     )
     injected = (
@@ -164,7 +164,7 @@ def main() -> int:
         .rdd.mapPartitions(crash_once)
         .toDF(e.schema)
         .select(proto_scan_hex(blob, 2).alias("s"))
-        .select(F.sum(F.length(F.col("s")["ld"][2])).alias("n"))
+        .select(F.sum(F.length(F.concat_ws("", F.col("s")["ld"][2]))).alias("n"))
         .collect()[0]["n"]
     )
     report["task_retry"] = (
