@@ -552,19 +552,31 @@ def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 shape: suppliers solely responsible for a failed order
     (returnflag 'R' stands in for late receipt — the schema has no
     commit/receipt dates). The EXISTS(other supplier) AND NOT
-    EXISTS(other failing supplier) pair collapses into ONE per-order
-    aggregate — distinct-supplier and distinct-failing-supplier counts
+    EXISTS(other failing supplier) pair collapses into per-order
+    aggregates — distinct-supplier and distinct-failing-supplier counts
     plus the culprit id — instead of two correlated self-joins of
-    lineitem; at 100 TB that's one shuffle on orderkey versus three."""
+    lineitem; at 100 TB that's one keyed shuffle of the joined rows
+    versus three."""
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     l = load(spark, sf_dir, "lineitem")
     fl = l.join(o, l.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
-    ret_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    per_order = fl.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(ret_supp).alias("n_ret_supp"),
+    # Two countDistincts over different expressions used to plan as an
+    # Expand (every joined row tripled with a gid, THEN shuffled on a
+    # 4-column key — plans/r12/q21_..._before.txt op (9)). A pair-level
+    # pre-aggregation computes the same three quantities while shuffling
+    # each joined row ONCE on (orderkey, suppkey), map-side-combined
+    # (guide §2.3 "aggregate before you shuffle"); the second agg sees
+    # only the deduped pairs. count()/max() skip NULL suppkeys exactly
+    # as COUNT(DISTINCT ...) does.
+    pairs = fl.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    ret_supp = F.when(F.col("has_r") == 1, F.col("l_suppkey"))
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count("l_suppkey").alias("n_supp"),
+        F.count(ret_supp).alias("n_ret_supp"),
         F.max(ret_supp).alias("culprit"),
     )
     s = load(spark, sf_dir, "supplier")

@@ -233,16 +233,24 @@ def ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10k heights per partition dir (the reference uses 100k): coarse
     # enough that a write is a handful of directories, fine enough to
     # prune a height-range query to ~0.1% of files at chain scale.
-    # Persist the parse ALREADY range-partitioned on the layout key:
-    # the two widest writes (tx_event_attrs, type_wasm_attrs) then
-    # stream straight from cache to files with NO shuffle of their own
+    # Persist the parse ALREADY partitioned on the layout key: the two
+    # widest writes (tx_event_attrs, type_wasm_attrs) then stream
+    # straight from cache to files with NO shuffle of their own
     # — at 100 TB those two carry ~all the bytes, so this halves the
     # shuffled volume of the fan-out. The aggregated tables re-shuffle
     # on their (tiny) group keys regardless.
+    # HASH-partitioned, not repartitionByRange (r12, guide §2.4): range
+    # partitioning runs a RangePartitioner SAMPLING job whose bounds
+    # scan re-executes the ENTIRE un-persisted upstream (JSON build +
+    # parse) a second time — measured 1.85 s → 1.0 s warm at sf0.1 for
+    # this stage alone. partitionBy() on the write splits files by
+    # bucket VALUE either way, so the directory layout is identical;
+    # hash merely loses cross-bucket ordering of whole dirs, which
+    # nothing reads.
     flat = (
         parse_block_results(build_block_documents(e))
         .withColumn("height_bucket", F.floor(F.col("height") / 10000).cast("long"))
-        .repartitionByRange("height_bucket")
+        .repartition("height_bucket")
         .persist()
     )
     tx_events = flat.groupBy(
@@ -264,8 +272,8 @@ def ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = scratch_dir(spark, "ingest", sf_dir)
     flat.count()  # warm the cache once before the concurrent fan-out
 
-    # The wide projections of `flat` inherit its range partitioning —
-    # writing them through another repartitionByRange would shuffle the
+    # The wide projections of `flat` inherit its bucket partitioning —
+    # writing them through another repartition would shuffle the
     # bulk of the data a second time for an identical layout.
     _PRE_PARTITIONED = {"tx_event_attrs", "type_wasm_attrs"}
 
@@ -273,8 +281,10 @@ def ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         if name not in _PRE_PARTITIONED:
             # aggregated outputs are tiny: line files up with partition
             # dirs — one file per (bucket, write) instead of
-            # shuffle_partitions many
-            df = df.repartitionByRange("height_bucket")
+            # shuffle_partitions many. Hash, not range: range would run
+            # a sampling job that re-executes the aggregation from
+            # cache once more per table (guide §2.4).
+            df = df.repartition("height_bucket")
         df.write.mode("overwrite").partitionBy("height_bucket").parquet(
             os.path.join(vdir, name)
         )
@@ -287,10 +297,12 @@ def ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         flat.unpersist()
     counts = [
+        # global count, not groupBy(lit): same one-row result without a
+        # hash exchange per table — partial counts meet at a single
+        # partition (guide §2.4)
         spark.read.parquet(os.path.join(vcur, name))
-        .select(F.lit(name).alias("table_name"))
-        .groupBy("table_name")
         .agg(F.count("*").alias("n_rows"))
+        .select(F.lit(name).alias("table_name"), "n_rows")
         for name in tables
     ]
     return reduce(lambda a, b: a.unionAll(b), counts)

@@ -568,7 +568,27 @@ _REGISTRY_ORACLE_SQL = f"""
     """
 
 
+# Memoized synthesis Column (r12 gate-cost profile): building the
+# 67-branch tree costs ~35 s of SEQUENTIAL py4j round trips (tens of
+# thousands of Column constructor calls) — per CALL, before Catalyst
+# even sees it. The tree is deterministic (unresolved F.col refs, no
+# free state) and a Column is an immutable JVM expression handle that
+# any select() in the same JVM may reference, across sessions of one
+# process — so build it once. Six call sites (batch full + bounded
+# conformance, stream ×3, at-rest) collapse to one construction per
+# gate process. Analysis of the resulting plan is separate and still
+# per-DataFrame (the _shared_stage memos bound that for batch shapes).
+_BLOB_HEX_MEMO: Column | None = None
+
+
 def _registry_blob_hex() -> Column:
+    global _BLOB_HEX_MEMO
+    if _BLOB_HEX_MEMO is None:
+        _BLOB_HEX_MEMO = _build_registry_blob_hex()
+    return _BLOB_HEX_MEMO
+
+
+def _build_registry_blob_hex() -> Column:
     """The 67-type registry wire synthesis as ONE column expression
     over (event_id, user_id, value) — shared verbatim by the batch
     operator (#187), its streaming twin and the at-rest dataset, so
