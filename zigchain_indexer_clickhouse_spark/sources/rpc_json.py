@@ -270,7 +270,9 @@ def ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_wasm_attrs": flat.filter(F.col("type") == "click"),
     }
     base = scratch_dir(spark, "ingest", sf_dir)
-    flat.count()  # warm the cache once before the concurrent fan-out
+    # no separate cache-warming count: the serial_first write of the
+    # widest table below materializes the persist as a side effect of
+    # its own scan — one fewer full pass over the parse output (r12)
 
     # The wide projections of `flat` inherit its bucket partitioning —
     # writing them through another repartition would shuffle the
@@ -293,17 +295,20 @@ def ingest_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         # read back from THE version this run committed (not a pointer
         # re-resolve — another commit in between would silently decouple
         # the summary from this run's writes)
-        vcur = fanout_write_atomic(base, tables, _write)
+        vcur = fanout_write_atomic(base, tables, _write,
+                                   serial_first="tx_event_attrs")
     finally:
         flat.unpersist()
     counts = [
         # global count, not groupBy(lit): same one-row result without a
         # hash exchange per table — partial counts meet at a single
-        # partition (guide §2.4)
-        spark.read.parquet(os.path.join(vcur, name))
+        # partition (guide §2.4). Schema passed explicitly (it IS the
+        # written frame's schema) so the read-back skips five footer
+        # re-inferences; the rows still come from the written files.
+        spark.read.schema(df.schema).parquet(os.path.join(vcur, name))
         .agg(F.count("*").alias("n_rows"))
         .select(F.lit(name).alias("table_name"), "n_rows")
-        for name in tables
+        for name, df in tables.items()
     ]
     return reduce(lambda a, b: a.unionAll(b), counts)
 

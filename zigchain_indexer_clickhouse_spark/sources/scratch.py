@@ -103,12 +103,21 @@ def current_version_dir(base: str) -> str | None:
     return path if os.path.isdir(path) else None
 
 
-def fanout_write_atomic(base: str, tables: dict, write_fn) -> str:
+def fanout_write_atomic(base: str, tables: dict, write_fn,
+                        serial_first: str | None = None) -> str:
     """Write every ``tables`` entry concurrently under a fresh version
     dir via ``write_fn(version_dir, name, df)``, then commit the
     pointer — all-or-nothing. Any write-thread exception aborts the
     commit (readers stay on the previous version, the orphan version
-    dir is removed) and is re-raised. Returns the committed dir."""
+    dir is removed) and is re-raised. Returns the committed dir.
+
+    ``serial_first`` names one table to write in the CALLING thread
+    before the concurrent fan-out: when the tables project a shared
+    persisted-but-unmaterialized frame, the first write materializes
+    the cache as a side effect of its own scan, so the caller needs no
+    separate cache-warming pass and the remaining writes stream from
+    cache (guide §2.6 / §5 — one fewer full read of the staged data).
+    A failure there aborts before any thread starts."""
     import shutil
 
     from pyspark import InheritableThread
@@ -123,9 +132,16 @@ def fanout_write_atomic(base: str, tables: dict, write_fn) -> str:
         except BaseException as ex:  # noqa: BLE001 — re-raised below
             errors.append(ex)
 
+    if serial_first is not None and serial_first in tables:
+        try:
+            write_fn(vdir, serial_first, tables[serial_first])
+        except BaseException:
+            shutil.rmtree(vdir, ignore_errors=True)
+            raise
     threads = [
         InheritableThread(target=_run, args=(name, df))
         for name, df in tables.items()
+        if name != serial_first
     ]
     for t in threads:
         t.start()

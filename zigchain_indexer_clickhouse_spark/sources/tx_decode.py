@@ -1542,6 +1542,35 @@ def _registry_decoded_fields(u: Column, s: Column) -> Column:
     return F.element_at(F.transform(F.array(lvl1), _with1), 1)
 
 
+# Memoized instances of the two deterministic walker-dispatch trees
+# (same r12 rationale as _BLOB_HEX_MEMO: building each costs tens of
+# seconds of sequential py4j round trips, per call, before analysis).
+_DECODED_FIELDS_COLS_MEMO: Column | None = None
+_DECODED_STRUCT_BLOBCOL_MEMO: Column | None = None
+
+
+def _registry_decoded_fields_cols() -> Column:
+    """``_registry_decoded_fields(col(type_url), col(scan))``, built
+    once per process — the walker operator's dispatch tree over its
+    persisted field-map stage."""
+    global _DECODED_FIELDS_COLS_MEMO
+    if _DECODED_FIELDS_COLS_MEMO is None:
+        _DECODED_FIELDS_COLS_MEMO = _registry_decoded_fields(
+            F.col("type_url"), F.col("scan"))
+    return _DECODED_FIELDS_COLS_MEMO
+
+
+def registry_decoded_struct_blobcol() -> Column:
+    """``registry_decoded_struct(col(blob_hex))``, built once per
+    process — the one-tree walker decode every full-row walker shape
+    applies over a projected ``blob_hex`` column."""
+    global _DECODED_STRUCT_BLOBCOL_MEMO
+    if _DECODED_STRUCT_BLOBCOL_MEMO is None:
+        _DECODED_STRUCT_BLOBCOL_MEMO = registry_decoded_struct(
+            F.col("blob_hex"))
+    return _DECODED_STRUCT_BLOBCOL_MEMO
+
+
 def registry_decoded_struct(blob_hex: Column) -> Column:
     """Per-row registry decode of an Any-wrapped wire blob (hex) as ONE
     bound expression tree — for execution shapes with no persist
@@ -1706,6 +1735,11 @@ def registry_decoded_struct_for(blob_hex: Column) -> Column:
     intermediate parse state as columns across projections."""
     mode = os.environ.get("SPARK_GRAFT_REGISTRY_DECODE", "python")
     if mode == "walker":
+        # the one call site passes col(blob_hex) — take the memoized
+        # tree; an exotic caller with a different input still builds
+        # fresh
+        if str(blob_hex) == str(F.col("blob_hex")):
+            return registry_decoded_struct_blobcol()
         return registry_decoded_struct(blob_hex)
     return registry_decoded_struct_py(blob_hex)
 
@@ -1913,7 +1947,7 @@ def msg_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         # expression form (the same shape the at-rest/stream walker
         # modes run)
         decoded = _registry_blobs_stage(spark, sf_dir).select(
-            registry_decoded_struct(F.col("blob_hex")).alias("d")
+            registry_decoded_struct_blobcol().alias("d")
         ).select("d.*")
         return _registry_agg(decoded)
     if mode == "hybrid":
@@ -2057,8 +2091,7 @@ def msg_registry_decode_walker(spark: SparkSession, sf_dir: str
         # the status branch
         fields = walked.select(
             F.col("type_url"),
-            _registry_decoded_fields(
-                F.col("type_url"), F.col("scan")).alias("d"),
+            _registry_decoded_fields_cols().alias("d"),
         )
         z = F.lit(0).cast("long")
         d = F.col("d")

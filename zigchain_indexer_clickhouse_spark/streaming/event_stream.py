@@ -1052,15 +1052,22 @@ def stream_registry_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _registry_blob_hex,
         registry_decoded_df_native,
         registry_decoded_df_py,
-        registry_decoded_struct,
     )
 
     s = _read_event_stream(spark, sf_dir)
     mode = _registry_decode_mode("native")
     if mode == "walker":
+        # project blob_hex first, then apply the memoized one-tree
+        # decode over the bound column — same composed semantics, but
+        # both trees come from the module memos instead of a fresh
+        # py4j construction per invocation (r12)
+        from zigchain_indexer_clickhouse_spark.sources.tx_decode import (
+            registry_decoded_struct_blobcol,
+        )
+
         decoded = (
-            s.select(registry_decoded_struct(_registry_blob_hex())
-                     .alias("d"))
+            s.select(_registry_blob_hex().alias("blob_hex"))
+            .select(registry_decoded_struct_blobcol().alias("d"))
             .select("d.type_url", "d.status", "d.amt", "d.pid", "d.yes",
                     "d.timeout")
         )
