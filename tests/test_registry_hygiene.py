@@ -64,13 +64,28 @@ def test_oracle_snapshot_is_current():
         "tools/oracle_snapshot.json missing — run "
         "`python tools/oracle_snapshot.py --update`"
     )
-    drifted = snap_mod.drift(cur, snap)
+    drifted = snap_mod.drift(cur, snap, snap_mod.current_impl_hashes())
     assert not drifted, (
-        f"oracle text changed without re-verification for {drifted}; run "
+        f"oracle text or defining-module source changed without "
+        f"re-verification for {drifted}; run "
         "`python tools/oracle_snapshot.py --update <sf_dir>` (it re-runs "
         "the local correctness gate on exactly these operators before "
-        "refreshing the snapshot)"
+        "refreshing the snapshot, and stamps reverify_after so the "
+        "driver sample re-draws them)"
     )
+
+
+def test_impl_drift_is_detected():
+    """A changed defining-module source (impl hash) counts as drift even
+    when the oracle text is untouched — the r12 q21/ingest hole."""
+    cur = snap_mod.current_hashes()
+    snap = snap_mod.load_snapshot()
+    impl = snap_mod.current_impl_hashes()
+    assert set(impl) == set(cur)
+    name = next(iter(cur))
+    forged = dict(impl)
+    forged[name] = "0" * 16
+    assert name in snap_mod.drift(cur, snap, forged)
 
 
 def test_oracle_snapshot_has_no_stale_names():

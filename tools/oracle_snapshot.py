@@ -56,6 +56,41 @@ def current_hashes() -> dict[str, str]:
     return out
 
 
+def current_impl_hashes() -> dict[str, str]:
+    """name → sha256 (16 hex) of the operator's DEFINING MODULE source.
+
+    The implementation-dirtiness signal (VERDICT r12 next #2b): round 12
+    rewrote q21_sole_failing_supplier and ingest_pipeline_full without
+    touching their oracles, and the staleness rotation — keyed only on
+    driver-verified rounds — sent both to the tail of the sample, so the
+    rewrites shipped without a driver-level hash check. Hashing the
+    defining module closes that hole the same way the oracle hash does:
+    any edit to a module flags every operator it defines, the hygiene
+    test fails until ``--update`` re-gates them locally, and the stamped
+    ``reverify_after`` drops them into the never-verified-first tier so
+    the next driver sample re-draws them. Module granularity is
+    deliberate (it is what the verdict asked for, and it catches
+    same-module helper edits); helpers in OTHER modules do not flag
+    their consumers — cross-module changes still rely on the local gate.
+    """
+    import sys as _sys
+
+    from zigchain_indexer_clickhouse_spark.plans import registry
+
+    fns = registry.queries()
+    file_hash: dict[str, str] = {}
+    out: dict[str, str] = {}
+    for name, fn in fns.items():
+        path = _sys.modules[fn.__module__].__file__
+        h = file_hash.get(path)
+        if h is None:
+            with open(path, "rb") as f:
+                h = hashlib.sha256(f.read()).hexdigest()[:16]
+            file_hash[path] = h
+        out[name] = h
+    return out
+
+
 def load_snapshot() -> dict[str, dict]:
     """Snapshot entries: {name: {"hash": str, "reverify_after": int}}.
     Legacy flat-string entries (pre-r9) migrate in memory with
@@ -70,10 +105,21 @@ def load_snapshot() -> dict[str, dict]:
     }
 
 
-def drift(cur: dict[str, str], snap: dict[str, dict]) -> list[str]:
-    """Names whose oracle text changed or that are new since snapshot."""
-    return [n for n, h in cur.items()
-            if snap.get(n, {}).get("hash") != h]
+def drift(cur: dict[str, str], snap: dict[str, dict],
+          impl: dict[str, str] | None = None) -> list[str]:
+    """Names whose oracle text OR defining-module source changed (or
+    that are new) since the snapshot. Entries written before the impl
+    field existed (pre-r13) carry no ``impl`` and are not impl-checked
+    until the next ``--update`` stamps them."""
+    out = []
+    for n, h in cur.items():
+        ent = snap.get(n, {})
+        if ent.get("hash") != h:
+            out.append(n)
+        elif (impl is not None and "impl" in ent
+              and ent["impl"] != impl.get(n)):
+            out.append(n)
+    return out
 
 
 def max_artifact_round() -> int:
@@ -95,11 +141,16 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
 
     cur = current_hashes()
+    impl = current_impl_hashes()
     snap = load_snapshot()
-    changed = drift(cur, snap)
+    changed = drift(cur, snap, impl)
     removed = sorted(set(snap) - set(cur))
+    # first run after the impl field lands: stamp legacy entries
+    # without treating them as drift (their code predates the baseline)
+    needs_impl_stamp = any("impl" not in snap.get(n, {"impl": ""})
+                           for n in cur)
 
-    if not changed and not removed:
+    if not changed and not removed and not needs_impl_stamp:
         print(f"snapshot current: {len(cur)} oracles, no drift")
         return 0
     print(f"drifted/new: {changed}")
@@ -129,6 +180,7 @@ def main() -> int:
     out = {
         n: {
             "hash": h,
+            "impl": impl[n],
             "reverify_after": (cutoff if n in changed
                                else snap[n]["reverify_after"]),
         }

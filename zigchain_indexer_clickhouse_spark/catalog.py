@@ -10,8 +10,6 @@ predicate pushdown, column pruning, and partition pruning for free.
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -39,9 +37,27 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 # construction, 2×; the memoized handle costs ~0 ms. This is exactly
 # what a metastore/catalog gives a production cluster: the table's
 # schema is resolved once, not re-sampled from footers per query.
-# Keyed weakly by session so a stopped session's plans are dropped and
-# a foreign session never sees another session's resolution.
-_DF_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+#
+# The memo lives as an attribute ON the SparkSession wrapper object
+# (not in a module-level registry): the r12 WeakKeyDictionary could
+# never evict — its DataFrame values strongly referenced their session
+# (df.sparkSession), so the weakly-keyed entry kept its own key alive
+# (ADVICE r12). An instance attribute has no such cycle to break: the
+# cache's lifetime IS the session wrapper's lifetime, a stopped and
+# dropped session takes its plans with it, and a foreign session never
+# sees another session's resolution.
+#
+# Static-input assumption (ADVICE r12): a cached handle snapshots the
+# parquet file listing at first load. The bench/gate inputs under
+# sf_dir are immutable by contract; a caller that rewrites files under
+# a cached sf_dir mid-session must call clear_cache(spark) first.
+_CACHE_ATTR = "_zic_table_memo"
+
+
+def clear_cache(spark: SparkSession) -> None:
+    """Drop this session's memoized table handles (e.g. after
+    regenerating the files under a previously-loaded sf_dir)."""
+    getattr(spark, _CACHE_ATTR, {}).clear()
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -76,7 +92,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set(tz_conf, "UTC")
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    cache = _DF_CACHE.setdefault(spark, {})
+    cache = getattr(spark, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _CACHE_ATTR, cache)
     key = f"{sf_dir}/{name}"
     cached = cache.get(key)
     if cached is not None:

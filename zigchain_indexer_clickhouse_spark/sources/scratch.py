@@ -132,7 +132,13 @@ def fanout_write_atomic(base: str, tables: dict, write_fn,
         except BaseException as ex:  # noqa: BLE001 — re-raised below
             errors.append(ex)
 
-    if serial_first is not None and serial_first in tables:
+    if serial_first is not None and serial_first not in tables:
+        # a typo would silently degrade to the all-concurrent path with
+        # no cache warm at all (ADVICE r12) — fail loud instead
+        raise KeyError(
+            f"serial_first {serial_first!r} not in tables "
+            f"{sorted(tables)}")
+    if serial_first is not None:
         try:
             write_fn(vdir, serial_first, tables[serial_first])
         except BaseException:

@@ -28,6 +28,7 @@ positional reference (the msg_body_decode 10 MiB codegen lesson).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -580,12 +581,73 @@ _REGISTRY_ORACLE_SQL = f"""
 # per-DataFrame (the _shared_stage memos bound that for batch shapes).
 _BLOB_HEX_MEMO: Column | None = None
 
+# One lock per memoized tree: the r13 background warm (see
+# warm_expression_memos_async) builds the trees concurrently with the
+# gate's early queries, and a decode operator arriving mid-build must
+# BLOCK on the in-progress construction rather than duplicate 30-50 s
+# of py4j round trips.
+_BLOB_HEX_LOCK = threading.Lock()
+_DECODED_FIELDS_LOCK = threading.Lock()
+_DECODED_STRUCT_LOCK = threading.Lock()
+
 
 def _registry_blob_hex() -> Column:
     global _BLOB_HEX_MEMO
     if _BLOB_HEX_MEMO is None:
-        _BLOB_HEX_MEMO = _build_registry_blob_hex()
+        with _BLOB_HEX_LOCK:
+            if _BLOB_HEX_MEMO is None:
+                _BLOB_HEX_MEMO = _build_registry_blob_hex()
     return _BLOB_HEX_MEMO
+
+
+_WARM_STARTED = False
+
+
+def warm_expression_memos_async() -> None:
+    """Start daemon threads that pre-build the three deterministic
+    registry expression memos (_BLOB_HEX_MEMO and the two walker
+    dispatch trees) CONCURRENTLY with whatever the caller does next.
+
+    The builds are pure driver-side py4j construction — ~50 s for the
+    synthesis tree and ~20-30 s for each dispatch tree, almost all of
+    it socket round-trip wait (guide §2.6: overlap independent work;
+    the GIL is released during each py4j call). A correctness-gate run
+    spends its first minutes on non-decode operators, so by the time a
+    decode operator needs a tree the memo is warm — the same work, off
+    the critical path. Idempotent; no-op without an active
+    SparkContext (the sync path then builds on first use as before).
+    Threads only write the module memos; every getter is lock-guarded,
+    so a concurrent sync caller blocks on the in-progress build
+    instead of duplicating it.
+    """
+    global _WARM_STARTED
+    if _WARM_STARTED:
+        return
+    from pyspark import SparkContext
+
+    if SparkContext._active_spark_context is None:
+        return
+    _WARM_STARTED = True
+
+    def _safe(fn):
+        def run():
+            try:
+                fn()
+            except Exception:
+                # leave the memo unset — the first real caller rebuilds
+                # synchronously and surfaces any real error itself
+                pass
+        return run
+
+    builds = [_registry_blob_hex, _registry_decoded_fields_cols]
+    # the one-tree struct decode is only consumed under the walker
+    # execution shape (stream/batch walker modes) — skip its ~20 s of
+    # construction unless that mode is selected
+    if os.environ.get("SPARK_GRAFT_REGISTRY_DECODE") == "walker":
+        builds.append(registry_decoded_struct_blobcol)
+    for build in builds:
+        threading.Thread(target=_safe(build), daemon=True,
+                         name=f"zic-warm-{build.__name__}").start()
 
 
 def _build_registry_blob_hex() -> Column:
@@ -1555,8 +1617,10 @@ def _registry_decoded_fields_cols() -> Column:
     persisted field-map stage."""
     global _DECODED_FIELDS_COLS_MEMO
     if _DECODED_FIELDS_COLS_MEMO is None:
-        _DECODED_FIELDS_COLS_MEMO = _registry_decoded_fields(
-            F.col("type_url"), F.col("scan"))
+        with _DECODED_FIELDS_LOCK:
+            if _DECODED_FIELDS_COLS_MEMO is None:
+                _DECODED_FIELDS_COLS_MEMO = _registry_decoded_fields(
+                    F.col("type_url"), F.col("scan"))
     return _DECODED_FIELDS_COLS_MEMO
 
 
@@ -1566,8 +1630,10 @@ def registry_decoded_struct_blobcol() -> Column:
     applies over a projected ``blob_hex`` column."""
     global _DECODED_STRUCT_BLOBCOL_MEMO
     if _DECODED_STRUCT_BLOBCOL_MEMO is None:
-        _DECODED_STRUCT_BLOBCOL_MEMO = registry_decoded_struct(
-            F.col("blob_hex"))
+        with _DECODED_STRUCT_LOCK:
+            if _DECODED_STRUCT_BLOBCOL_MEMO is None:
+                _DECODED_STRUCT_BLOBCOL_MEMO = registry_decoded_struct(
+                    F.col("blob_hex"))
     return _DECODED_STRUCT_BLOBCOL_MEMO
 
 
@@ -1735,13 +1801,29 @@ def registry_decoded_struct_for(blob_hex: Column) -> Column:
     intermediate parse state as columns across projections."""
     mode = os.environ.get("SPARK_GRAFT_REGISTRY_DECODE", "python")
     if mode == "walker":
-        # the one call site passes col(blob_hex) — take the memoized
-        # tree; an exotic caller with a different input still builds
-        # fresh
-        if str(blob_hex) == str(F.col("blob_hex")):
+        # the one call site passes the unbound col("blob_hex") — take
+        # the memoized tree ONLY for that exact object shape: comparing
+        # str() forms would also match a dataframe-bound df["blob_hex"]
+        # (identical string form, different resolution under self-joins
+        # — ADVICE r12), so require an unbound plain reference
+        if _is_unbound_blobcol(blob_hex):
             return registry_decoded_struct_blobcol()
         return registry_decoded_struct(blob_hex)
     return registry_decoded_struct_py(blob_hex)
+
+
+def _is_unbound_blobcol(c: Column) -> bool:
+    """True iff ``c`` is a plain UNBOUND ``col("blob_hex")`` reference —
+    a py4j UnresolvedAttribute, not a dataframe-resolved column (whose
+    str() form is identical but whose resolution semantics are not)."""
+    try:
+        # Spark 4: the JVM Column wraps a ColumnNode reachable via
+        # node(); an unbound reference is internal.UnresolvedAttribute
+        cls = c._jc.node().getClass().getSimpleName()
+        return (cls == "UnresolvedAttribute"
+                and str(c) == str(F.col("blob_hex")))
+    except Exception:
+        return False
 
 
 def registry_decoded_df_native(df: DataFrame) -> DataFrame:
@@ -1787,6 +1869,20 @@ def _registry_decode_mode(default: str) -> str:
         if not native_available():
             return "python"
     return mode
+
+
+def _can_retain_conformance_stages(spark: SparkSession) -> bool:
+    """True when the driver heap affords keeping the conformance ops'
+    persisted stages and analyzed plans alive ACROSS invocations
+    (≥4 GiB — the same bound as _hybrid_profile's full tier). The r10
+    eager-release discipline exists to protect a vanilla 1 GiB gate
+    session from ~10² MB of retained plans+cache; in a ≥4 GiB session
+    that protection costs a full re-parse/re-analyze/re-execute per
+    invocation (measured r13: 121 s per hybrid call, 50 s per walker
+    call at sf0.01) for zero benefit. Retain where affordable, release
+    where not."""
+    gib = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory()) / 1024**3
+    return gib >= 4.0
 
 
 def _hybrid_profile(spark: SparkSession) -> str:
@@ -1997,12 +2093,17 @@ def msg_registry_decode_hybrid(spark: SparkSession, sf_dir: str
         lambda: _registry_blobs_conf_stage(spark, sf_dir))
     out = _registry_agg(decoded)
     rows = out.collect()
-    for k in list(_STAGE_CACHE):
-        if k[2] == "registry20_hybrid":
-            try:
-                _STAGE_CACHE.pop(k).unpersist(True)
-            except Exception:
-                _STAGE_CACHE.pop(k, None)
+    # release the positional stage only where the heap demands it
+    # (1 GiB vanilla gate); a ≥4 GiB session keeps it so a repeat
+    # invocation reuses the parsed/analyzed/cached chain instead of
+    # paying ~121 s of re-parse+re-compile (r13)
+    if not _can_retain_conformance_stages(spark):
+        for k in list(_STAGE_CACHE):
+            if k[2] == "registry20_hybrid":
+                try:
+                    _STAGE_CACHE.pop(k).unpersist(True)
+                except Exception:
+                    _STAGE_CACHE.pop(k, None)
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -2115,13 +2216,17 @@ def msg_registry_decode_walker(spark: SparkSession, sf_dir: str
     # pin analyzed plans — a conformance-harness op must not carry
     # that through the rest of a vanilla 1 GiB gate session.
     rows = agg.collect()
-    for k in list(_STAGE_CACHE):
-        if k[2] in ("registry20_any", "registry20_walk",
-                    "registry20_decoded"):
-            try:
-                _STAGE_CACHE.pop(k).unpersist(True)
-            except Exception:
-                _STAGE_CACHE.pop(k, None)
+    # same conditional-release policy as the hybrid op: the eager
+    # release protects a 1 GiB session; in a ≥4 GiB session it costs
+    # ~50 s of re-plan+re-execute per repeat invocation (r13)
+    if not _can_retain_conformance_stages(spark):
+        for k in list(_STAGE_CACHE):
+            if k[2] in ("registry20_any", "registry20_walk",
+                        "registry20_decoded"):
+                try:
+                    _STAGE_CACHE.pop(k).unpersist(True)
+                except Exception:
+                    _STAGE_CACHE.pop(k, None)
     return spark.createDataFrame(rows, agg.schema)
 
 
