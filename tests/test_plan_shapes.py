@@ -266,6 +266,7 @@ _BNLJ_ALLOWED = {
     "ann_pq_adc",  # 5-query broadcast probed against the PQ code table
     "recent_activity",
     "monitor_health_report",
+    "gap_detection",  # 1-row (mh, n_present) broadcast into cand/result (r13)
     "tfidf_top_terms",
     "q11_value_concentration",
     "unigram_lm_score",  # 1-row corpus-total broadcast crossed in

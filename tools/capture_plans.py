@@ -1,4 +1,5 @@
-"""Capture .explain("formatted") for headline queries into plans/r12/.
+"""Capture .explain("formatted") for headline queries into
+plans/$SPARK_GRAFT_PLANS_ROUND/ (default r13).
 
 Usage: python tools/capture_plans.py <suffix> [name ...]
   suffix: 'before' or 'after' (file name suffix)
@@ -42,7 +43,8 @@ def main() -> None:
         import bench
 
         names = list(bench.HEADLINE)
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
     qs = registry.queries()

@@ -197,41 +197,58 @@ def overlapping_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Missing-block detection: expected height series anti-joined with
-    present heights (monitor_indexer.js:91-105 generate_series + LEFT
-    JOIN ... IS NULL).
+    """Missing-block detection (monitor_indexer.js:91-105
+    generate_series + LEFT JOIN ... IS NULL), computed SERIES-FREE —
+    the r12 oracle rewrite's gaps-and-islands argument, now applied to
+    the engine side too (r13, guide §2.3: the r1-r12 plan exploded the
+    whole [0, max_height] domain — 10¹¹ rows at chain scale — to
+    anti-join ~|present| of them away again):
 
-    Scale design: the expected series is generated in chunks (one
-    sequence() per 64k-height stripe exploded in parallel), not one
-    driver-side array, and the anti-join shuffles on height only.
+    - gap_count = mh + 1 − |present| (two aggregates, no series);
+    - the first/last missing height is always one of
+      {0, mh, present±1}: if the minimum missing m > 0 then m−1 is
+      present, and if the maximum missing m < mh then m+1 is present —
+      so 2·|present| + 2 candidates anti-joined with present replace
+      the (mh+1)-row series. Cost O(|present|) at any scale.
+
+    Candidates ride the anti-join on the same height key the present
+    set was deduplicated on; the result is the oracle's own candidate
+    construction, mirrored term for term.
     """
     o = load(spark, sf_dir, "orders")
     present = o.filter(F.col("o_orderstatus") != "O").select(
         F.col("o_orderkey").alias("height")
     ).distinct()
-    stripe = 65536
-    max_h = o.agg(F.max("o_orderkey").alias("mh"))
-    expected = (
-        max_h.select(
-            "mh",
-            F.explode(F.sequence(F.lit(0), F.floor(F.col("mh") / stripe))).alias("chunk"),
-        )
-        .select(
-            "mh",
-            F.explode(
-                F.sequence(
-                    F.col("chunk") * stripe,
-                    F.least(F.col("chunk") * stripe + stripe - 1, F.col("mh")),
-                )
-            ).alias("h"),
-        )
-        .select("h")
+    # ONE scan of orders yields both scalars: the domain top and the
+    # present-set size (count of distinct non-'O' keys ≡ |present|)
+    stats = o.agg(
+        F.max("o_orderkey").alias("mh"),
+        F.count_distinct(
+            F.when(F.col("o_orderstatus") != "O", F.col("o_orderkey"))
+        ).alias("np"),
     )
-    gaps = expected.join(present, expected.h == present.height, "left_anti")
-    return gaps.agg(
-        F.count("*").alias("gap_count"),
+    cand = present.select(
+        F.explode(F.array(F.col("height") + 1, F.col("height") - 1)).alias("h")
+    ).unionAll(
+        stats.select(F.explode(F.array(F.lit(0).cast("long"), F.col("mh"))).alias("h"))
+    )
+    missing = (
+        cand.join(F.broadcast(stats), F.lit(True))
+        .filter((F.col("h") >= 0) & (F.col("h") <= F.col("mh")))
+        .select("h")
+        .join(present, F.col("h") == present.height, "left_anti")
+    )
+    bounds = missing.agg(
         F.min("h").cast("long").alias("first_gap"),
         F.max("h").cast("long").alias("last_gap"),
+    )
+    return (
+        stats.join(F.broadcast(bounds), F.lit(True))
+        .select(
+            (F.col("mh") + 1 - F.col("np")).cast("long").alias("gap_count"),
+            "first_gap",
+            "last_gap",
+        )
     )
 
 
@@ -448,22 +465,37 @@ def monitor_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").cast("long").alias("detail"),
     ).select("check", "n", "detail")
 
+    # series-free gaps branch (r13, same argument as gap_detection):
+    # the count is mh+1 − |present|, and the LAST missing height is
+    # always present−1 or mh — so 2 aggregates + |present|+1 candidates
+    # replace the exploded [0, mh] series the r1-r12 plan anti-joined
+    # away (O(domain) rows at chain scale). Mirrors the r12 oracle.
     present = o.filter(F.col("o_orderstatus") != "O").select(
         F.col("o_orderkey").alias("height")
     ).distinct()
-    stripe = 65536
-    expected = (
-        o.agg(F.max("o_orderkey").alias("mh"))
-        .select("mh", F.explode(F.sequence(F.lit(0), F.floor(F.col("mh") / stripe))).alias("chunk"))
-        .select(F.explode(F.sequence(
-            F.col("chunk") * stripe,
-            F.least(F.col("chunk") * stripe + stripe - 1, F.col("mh")),
-        )).alias("h"))
+    gap_stats = o.agg(
+        F.max("o_orderkey").alias("mh"),
+        F.count_distinct(
+            F.when(F.col("o_orderstatus") != "O", F.col("o_orderkey"))
+        ).alias("np"),
     )
-    gaps = expected.join(present, expected.h == present.height, "left_anti").agg(
-        F.lit("gaps").alias("check"),
-        F.count("*").alias("n"),
-        F.max("h").cast("long").alias("detail"),
+    cand = present.select((F.col("height") - 1).alias("h")).unionAll(
+        gap_stats.select(F.col("mh").alias("h"))
+    )
+    last_missing = (
+        cand.join(F.broadcast(gap_stats), F.lit(True))
+        .filter((F.col("h") >= 0) & (F.col("h") <= F.col("mh")))
+        .select("h")
+        .join(present, F.col("h") == present.height, "left_anti")
+        .agg(F.max("h").cast("long").alias("detail"))
+    )
+    gaps = (
+        gap_stats.join(F.broadcast(last_missing), F.lit(True))
+        .select(
+            F.lit("gaps").alias("check"),
+            (F.col("mh") + 1 - F.col("np")).cast("long").alias("n"),
+            "detail",
+        )
     )
 
     age_min = F.floor((now.cast("long") - F.col("ts").cast("long")) / 60)
