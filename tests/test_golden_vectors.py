@@ -50,6 +50,13 @@ from zigchain_indexer_clickhouse_spark.sources.tx_decode import (
     registry_decoded_struct,
 )
 
+import pytest
+
+# pinned-wire golden vectors across all three decode paths — deep-conformance
+# tier, skipped on the default (driver-window) path;
+# SPARK_GRAFT_FULL_TESTS=1 runs it.
+pytestmark = pytest.mark.slowbattery
+
 URLS = dict(_REGISTRY_URL_KEYS)
 
 # --------------------------------------------------------------------------

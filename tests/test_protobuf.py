@@ -10,6 +10,8 @@ from zigchain_indexer_clickhouse_spark.functions.protobuf import (
     encode_any,
 )
 
+import pytest
+
 
 def _roundtrip(spark, urls):
     df = spark.createDataFrame([(u,) for u in urls], "url string")
@@ -186,6 +188,7 @@ def test_msg_send_oversize_field_decodes_null_not_shifted(spark):
     )
 
 
+@pytest.mark.slowbattery
 def test_msg_send_roundtrip_property(spark):
     """Property: for ANY printable-ASCII fields under the documented
     128-byte bound, Spark-encoded wire bytes match the independent
@@ -279,6 +282,7 @@ def test_encode_any_multibyte_and_long_urls(spark):
 # ---------------------------------------------------------------------------
 # TxRaw envelope (round 5): encode_tx_raw / tx_raw_body / tx_body_messages
 # ---------------------------------------------------------------------------
+@pytest.mark.slowbattery
 def test_tx_raw_roundtrip_multi_message(spark):
     """Full envelope round-trip on REAL wire bytes: N Any messages →
     TxRaw (with a trailing auth_info field the decoder must skip) →
@@ -311,6 +315,7 @@ def test_tx_raw_roundtrip_multi_message(spark):
         assert r["decoded"] == r["urls"]
 
 
+@pytest.mark.slowbattery
 def test_tx_raw_body_two_byte_varint(spark):
     """A body > 127 bytes forces the 2-byte varint path at the TxRaw
     level — the case the 1-byte fast path would mis-slice."""
@@ -404,6 +409,7 @@ def test_msg_execute_roundtrip_and_unknown_fallback(spark):
     assert r["raw"] == "opaque-payload"
 
 
+@pytest.mark.slowbattery
 def test_tx_raw_roundtrip_property(spark):
     """Property: for ANY deterministic corpus of message lists (0-6
     messages, urls 1-160 bytes so both varint paths fire at Any AND
@@ -640,6 +646,7 @@ def test_msg_withdraw_reward_roundtrip_and_fail_closed(spark):
     assert send is None
 
 
+@pytest.mark.slowbattery
 def test_msg_redelegate_roundtrip_and_fail_closed(spark):
     """MsgBeginRedelegate: the four-field (3 strings + Coin at 0x22)
     body round-trips; a delegate body (coin at 0x1A) fails closed."""

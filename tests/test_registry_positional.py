@@ -25,6 +25,12 @@ from zigchain_indexer_clickhouse_spark.sources.tx_decode import (
     registry_decoded_df_hybrid,
 )
 
+
+# the claim-gated positional dispatch's 37-arm Janino battery — deep-conformance
+# tier, skipped on the default (driver-window) path;
+# SPARK_GRAFT_FULL_TESTS=1 runs it.
+pytestmark = pytest.mark.slowbattery
+
 URLS = dict(_REGISTRY_URL_KEYS)
 SF = "/root/testdata/sf0.001"
 

@@ -10,6 +10,7 @@ stream consumes the identical input the batch plan scans.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -262,6 +263,7 @@ def test_stream_uniq_up_to_matches_batch_twin(spark, sf_dir):
     assert _rows(got) == _rows(want) and got.count() > 0
 
 
+@pytest.mark.slowbattery
 def test_stream_registry_decode_matches_batch_twin(spark, sf_dir):
     """The live 36-type registry rollup equals the batch operator's —
     same synthesis, same dispatch (shared helpers), different
@@ -283,6 +285,7 @@ def test_stream_registry_decode_matches_batch_twin(spark, sf_dir):
     assert stream == batch and len(batch) == 68
 
 
+@pytest.mark.slowbattery
 def test_stream_registry_decode_native_equals_python_shape(spark, sf_dir):
     """#47b's r11 default is the native C kernel riding mapInArrow
     inside the micro-batch plan; forcing the Arrow-Python walker must
