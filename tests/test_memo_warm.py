@@ -36,6 +36,56 @@ def test_warm_is_idempotent_and_getters_converge(spark):
             is td._DECODED_FIELDS_COLS_MEMO)
 
 
+def test_hybrid_chain_warm_is_gated_and_deposits_the_memo(
+        spark, monkeypatch, sf_dir):
+    # join any warm threads the idempotence test above left running so
+    # their transient __rp_in_* temp view cannot race the view check
+    for t in threading.enumerate():
+        if t.name.startswith("zic-warm-"):
+            t.join(timeout=600)
+
+    app = spark.sparkContext.applicationId
+    memo_key = (app, sf_dir, "registry20_hybrid", False)
+    td._POS_CHAIN_MEMO.pop(memo_key, None)
+    td._CHAIN_WARM_KEYS.clear()
+
+    # outside the gate (no memo warm active) the hook is inert — this
+    # is the bench-path guarantee: catalog.load() must never spawn a
+    # parse thread in a timed run
+    monkeypatch.setattr(td, "_WARM_STARTED", False)
+    td._warm_hybrid_chain_async(spark, sf_dir)
+    assert memo_key not in td._POS_CHAIN_MEMO
+    assert not any(t.name == "zic-warm-hybrid-chain"
+                   for t in threading.enumerate())
+
+    # below the "full" profile it must not touch the parser at all
+    # (the static ANTLR cache it builds would starve small heaps)
+    real_profile = td._hybrid_profile
+    monkeypatch.setattr(td, "_WARM_STARTED", True)
+    monkeypatch.setattr(td, "_hybrid_profile", lambda s: "head")
+    td._CHAIN_WARM_KEYS.clear()
+    td._warm_hybrid_chain_async(spark, sf_dir)
+    assert not any(t.name == "zic-warm-hybrid-chain"
+                   for t in threading.enumerate())
+    monkeypatch.setattr(td, "_hybrid_profile", real_profile)
+
+    # on the gate path + full profile it deposits the analyzed chain
+    # and leaves NO session residue (the __rp_in_* view is dropped)
+    views_before = {t.name for t in spark.catalog.listTables()}
+    td._CHAIN_WARM_KEYS.clear()
+    td._warm_hybrid_chain_async(spark, sf_dir)
+    for t in threading.enumerate():
+        if t.name == "zic-warm-hybrid-chain":
+            t.join(timeout=600)
+    assert memo_key in td._POS_CHAIN_MEMO
+    views_after = {t.name for t in spark.catalog.listTables()}
+    assert views_before == views_after
+    # and a repeat call is a fast no-op on the deposited memo
+    td._warm_hybrid_chain_async(spark, sf_dir)
+    assert not any(t.name == "zic-warm-hybrid-chain"
+                   for t in threading.enumerate())
+
+
 def test_conformance_retention_keys_on_heap(spark):
     # the suite session runs ≥4 GiB, so retention is on here; the
     # 1 GiB vanilla-gate protection stays for small heaps (same bound

@@ -604,9 +604,11 @@ _WARM_STARTED = False
 
 
 def warm_expression_memos_async() -> None:
-    """Start daemon threads that pre-build the three deterministic
-    registry expression memos (_BLOB_HEX_MEMO and the two walker
-    dispatch trees) CONCURRENTLY with whatever the caller does next.
+    """Start daemon threads that pre-build the deterministic registry
+    expression memos (_BLOB_HEX_MEMO and the walker dispatch trees)
+    CONCURRENTLY with whatever the caller does next, and arm the
+    gate-path flag that lets catalog.load() kick off the
+    positional-chain parser warm (_warm_hybrid_chain_async).
 
     The builds are pure driver-side py4j construction — ~50 s for the
     synthesis tree and ~20-30 s for each dispatch tree, almost all of
@@ -645,6 +647,11 @@ def warm_expression_memos_async() -> None:
     # construction unless that mode is selected
     if os.environ.get("SPARK_GRAFT_REGISTRY_DECODE") == "walker":
         builds.append(registry_decoded_struct_blobcol)
+    # NB: the positional-chain parser warm (the fourth decode memo,
+    # _warm_hybrid_chain_async) cannot start here — it needs
+    # (spark, sf_dir), which only an operator invocation reveals; it
+    # is triggered from catalog.load() at the battery's first row,
+    # gated on the _WARM_STARTED flag this function sets
     for build in builds:
         threading.Thread(target=_safe(build), daemon=True,
                          name=f"zic-warm-{build.__name__}").start()
@@ -1899,6 +1906,92 @@ def _hybrid_profile(spark: SparkSession) -> str:
     return "python"
 
 
+# Memoized ANALYZED positional chains, keyed (applicationId, sf_dir,
+# tag, head_only) — the VERDICT r12 #3 "analyzed-plan memo keyed
+# (session, shape)". A chain DataFrame is an immutable analyzed-plan
+# handle (like the Column memos above, it caches METADATA, never
+# rows); re-parsing + re-analyzing the ~0.9 MB dispatch SQL costs
+# 26.8-54.6 s per call even on a warm parser cache
+# (tools/pos_parse_probe.py), and the plan is fully determined by the
+# key. Entries for a dead app / different sf_dir are swept on the way
+# in, _shared_stage-style. Same static-input assumption as the
+# catalog load memo: the embedded scan snapshots the parquet file
+# listing at analysis time.
+_POS_CHAIN_MEMO: dict[tuple, DataFrame] = {}
+_POS_CHAIN_LOCK = threading.Lock()
+
+
+def _positional_chain(spark: SparkSession, sf_dir: str, tag: str,
+                      head_only: bool, build) -> DataFrame:
+    """The analyzed positional-dispatch chain over ``build()``,
+    memoized. The lock makes a caller arriving mid-build (the
+    background warm vs. the gate's hybrid row) BLOCK on the
+    in-progress parse instead of duplicating ~30-60 s of it."""
+    from zigchain_indexer_clickhouse_spark.functions.registry_positional \
+        import add_positional_decode
+
+    key = (spark.sparkContext.applicationId, sf_dir, tag, head_only)
+    df = _POS_CHAIN_MEMO.get(key)
+    if df is not None:
+        return df
+    with _POS_CHAIN_LOCK:
+        df = _POS_CHAIN_MEMO.get(key)
+        if df is None:
+            for k in [k for k in _POS_CHAIN_MEMO
+                      if k[0] != key[0] or k[1] != sf_dir]:
+                _POS_CHAIN_MEMO.pop(k, None)
+            df = add_positional_decode(
+                build(), "blob_hex", dict(_REGISTRY_URL_KEYS),
+                carry=["blob_hex"], head_only=head_only)
+            _POS_CHAIN_MEMO[key] = df
+    return df
+
+
+_CHAIN_WARM_KEYS: set[tuple] = set()
+
+
+def _warm_hybrid_chain_async(spark: SparkSession, sf_dir: str) -> None:
+    """Second-stage warm: once any operator reveals (spark, sf_dir) —
+    which ``warm_expression_memos_async`` never sees — build the REAL
+    analyzed conformance chain into _POS_CHAIN_MEMO in a daemon
+    thread, so the hybrid gate row finds it ready instead of paying
+    the 135.6 s cold (26.8-54.6 s warm-cache) parse+analyze in the
+    foreground (tools/pos_parse_probe.py; most of the cold cost is
+    the JVM's one-time static ANTLR prediction-cache build). Called
+    from catalog.load(), i.e. from the FIRST gate row; fires only on
+    the gate path (_WARM_STARTED — the bench never warms), only on
+    the full profile, and once per (session, sf_dir). The deposited
+    plan is built over the same unpersisted conf-blobs plan the
+    persisted stage wraps, so the hybrid's results are identical
+    either way (persist never alters a logical plan)."""
+    if not _WARM_STARTED:
+        return
+    # python-only fast path: load() calls this per table load, and the
+    # real guards below each cost a py4j round trip
+    fast_key = (id(spark), sf_dir)
+    if fast_key in _CHAIN_WARM_KEYS:
+        return
+    _CHAIN_WARM_KEYS.add(fast_key)
+    if _hybrid_profile(spark) != "full":
+        return
+    key = (spark.sparkContext.applicationId, sf_dir, "registry20_hybrid",
+           False)
+    if key in _POS_CHAIN_MEMO:
+        return
+
+    def _run():
+        try:
+            _positional_chain(
+                spark, sf_dir, "registry20_hybrid", head_only=False,
+                build=lambda: _conf_blobs_plan(spark, sf_dir))
+        except Exception:
+            # best-effort: the hybrid row parses synchronously as before
+            pass
+
+    threading.Thread(target=_run, daemon=True,
+                     name="zic-warm-hybrid-chain").start()
+
+
 def registry_decoded_df_hybrid(spark: SparkSession, sf_dir: str,
                                tag: str, build) -> DataFrame:
     """The round-10 VOLUME path (VERDICT r9 item #1): claim-gated
@@ -1938,9 +2031,18 @@ def registry_decoded_df_hybrid(spark: SparkSession, sf_dir: str,
         return registry_decoded_df_py(build())
 
     def _decorated() -> DataFrame:
-        return add_positional_decode(
-            build(), "blob_hex", dict(_REGISTRY_URL_KEYS),
-            carry=["blob_hex"], head_only=(profile == "head"))
+        # build() runs even when the chain memo hits: it registers the
+        # shared blobs stage (under this codegen-off window, as
+        # always), so the chain's persist-planning substitutes the
+        # stage's InMemoryRelation — one synthesis execution shared
+        # with the walker — instead of re-deriving the synthesis
+        # inline while a later consumer materializes the stage again.
+        # The memoized chain was analyzed over the same plan the stage
+        # wraps, so the substitution matches on canonical equality.
+        base = build()
+        return _positional_chain(spark, sf_dir, tag,
+                                 head_only=(profile == "head"),
+                                 build=lambda: base)
 
     old_ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     # the conf must wrap persist() too: InMemoryRelation captures its
@@ -2004,16 +2106,20 @@ _REGISTRY_ORACLE_SQL_CONF = _REGISTRY_ORACLE_SQL.replace(
 )
 
 
+def _conf_blobs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bounded (blob_hex) synthesis PLAN — shared verbatim by the
+    persisted conformance stage below and the hybrid chain warm
+    (_warm_hybrid_chain_async), so the two can never drift."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_id") < _CONF_EVENT_BOUND)
+    return e.select(_registry_blob_hex().alias("blob_hex"))
+
+
 def _registry_blobs_conf_stage(spark: SparkSession, sf_dir: str
                                ) -> DataFrame:
     """The bounded synthesis frame the two conformance variants share."""
-
-    def _build() -> DataFrame:
-        e = load(spark, sf_dir, "events").filter(
-            F.col("event_id") < _CONF_EVENT_BOUND)
-        return e.select(_registry_blob_hex().alias("blob_hex"))
-
-    return _shared_stage("registry20_blobs_conf", spark, sf_dir, _build)
+    return _shared_stage("registry20_blobs_conf", spark, sf_dir,
+                         lambda: _conf_blobs_plan(spark, sf_dir))
 
 
 @register(
