@@ -49,10 +49,10 @@ def test_hybrid_chain_warm_is_gated_and_deposits_the_memo(
     td._POS_CHAIN_MEMO.pop(memo_key, None)
     td._CHAIN_WARM_KEYS.clear()
 
-    # outside the gate (no memo warm active) the hook is inert — this
-    # is the bench-path guarantee: catalog.load() must never spawn a
-    # parse thread in a timed run
-    monkeypatch.setattr(td, "_WARM_STARTED", False)
+    # outside the gate (no oracles() call armed the flag) the hook is
+    # inert — this is the bench-path guarantee: catalog.load() must
+    # never spawn a parse thread in a timed run
+    monkeypatch.setattr(td, "_GATE_PATH", False)
     td._warm_hybrid_chain_async(spark, sf_dir)
     assert memo_key not in td._POS_CHAIN_MEMO
     assert not any(t.name == "zic-warm-hybrid-chain"
@@ -61,7 +61,7 @@ def test_hybrid_chain_warm_is_gated_and_deposits_the_memo(
     # below the "full" profile it must not touch the parser at all
     # (the static ANTLR cache it builds would starve small heaps)
     real_profile = td._hybrid_profile
-    monkeypatch.setattr(td, "_WARM_STARTED", True)
+    monkeypatch.setattr(td, "_GATE_PATH", True)
     monkeypatch.setattr(td, "_hybrid_profile", lambda s: "head")
     td._CHAIN_WARM_KEYS.clear()
     td._warm_hybrid_chain_async(spark, sf_dir)

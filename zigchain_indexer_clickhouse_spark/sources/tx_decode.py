@@ -602,6 +602,16 @@ def _registry_blob_hex() -> Column:
 
 _WARM_STARTED = False
 
+# Armed the moment the GATE PATH is entered (registry.oracles() /
+# __spark_entry__.oracle_sql()), even when no SparkContext exists yet
+# — a driver that lists the oracles BEFORE building its session must
+# still get the warms once its first operator runs. _WARM_STARTED
+# stays context-dependent (the memo threads need a live gateway);
+# catalog.load()'s hook retries warm_expression_memos_async under
+# this flag, so the memo wave starts at the first load() in that
+# ordering instead of never.
+_GATE_PATH = False
+
 
 def warm_expression_memos_async() -> None:
     """Start daemon threads that pre-build the deterministic registry
@@ -622,7 +632,8 @@ def warm_expression_memos_async() -> None:
     so a concurrent sync caller blocks on the in-progress build
     instead of duplicating it.
     """
-    global _WARM_STARTED
+    global _GATE_PATH, _WARM_STARTED
+    _GATE_PATH = True
     if _WARM_STARTED:
         return
     from pyspark import SparkContext
@@ -651,7 +662,7 @@ def warm_expression_memos_async() -> None:
     # _warm_hybrid_chain_async) cannot start here — it needs
     # (spark, sf_dir), which only an operator invocation reveals; it
     # is triggered from catalog.load() at the battery's first row,
-    # gated on the _WARM_STARTED flag this function sets
+    # gated on the _GATE_PATH flag this function sets
     for build in builds:
         threading.Thread(target=_safe(build), daemon=True,
                          name=f"zic-warm-{build.__name__}").start()
@@ -1959,12 +1970,12 @@ def _warm_hybrid_chain_async(spark: SparkSession, sf_dir: str) -> None:
     foreground (tools/pos_parse_probe.py; most of the cold cost is
     the JVM's one-time static ANTLR prediction-cache build). Called
     from catalog.load(), i.e. from the FIRST gate row; fires only on
-    the gate path (_WARM_STARTED — the bench never warms), only on
+    the gate path (_GATE_PATH — the bench never warms), only on
     the full profile, and once per (session, sf_dir). The deposited
     plan is built over the same unpersisted conf-blobs plan the
     persisted stage wraps, so the hybrid's results are identical
     either way (persist never alters a logical plan)."""
-    if not _WARM_STARTED:
+    if not _GATE_PATH:
         return
     # python-only fast path: load() calls this per table load, and the
     # real guards below each cost a py4j round trip
@@ -1972,6 +1983,10 @@ def _warm_hybrid_chain_async(spark: SparkSession, sf_dir: str) -> None:
     if fast_key in _CHAIN_WARM_KEYS:
         return
     _CHAIN_WARM_KEYS.add(fast_key)
+    # a gate that listed the oracles before building its session never
+    # got the expression-memo wave — start it now (idempotent; the
+    # caller holds a live session, so the context check passes)
+    warm_expression_memos_async()
     if _hybrid_profile(spark) != "full":
         return
     key = (spark.sparkContext.applicationId, sf_dir, "registry20_hybrid",
